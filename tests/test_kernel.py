@@ -1,0 +1,162 @@
+"""Kernel == naive-oracle property tests (pure pandas/numpy, no Spark).
+
+Mirrors the reference's NaiveAggregator equivalence strategy
+(aggregator/src/test/.../SawtoothAggregatorTest.scala, GroupByTest.scala:193-253).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from chronon_spark.api.types import Aggregation, AggregationPart, Operation, Window
+from chronon_spark.kernel.naive import naive_asof_features
+from chronon_spark.kernel.sawtooth import compute_asof_features
+
+DAY = 86_400_000
+HOUR = 3_600_000
+
+
+def make_events(rng, n, span_days=60, null_rate=0.1, start=1_700_000_000_000):
+    ts = np.sort(rng.integers(0, span_days * DAY, n)) + start
+    vals = rng.normal(100, 50, n)
+    vals[rng.random(n) < null_rate] = np.nan
+    cats = rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.2, 0.1])
+    return pd.DataFrame(
+        {
+            "ts": ts.astype(np.int64),
+            "value": vals,
+            "category": pd.Series(cats, dtype=object),
+        }
+    )
+
+
+def make_queries(rng, n, span_days=60, start=1_700_000_000_000):
+    return (rng.integers(-5 * DAY, span_days * DAY + 5 * DAY, n) + start).astype(np.int64)
+
+
+ALL_NUMERIC_PARTS = [
+    AggregationPart("value", op, {}, w)
+    for op in [
+        Operation.COUNT,
+        Operation.SUM,
+        Operation.AVERAGE,
+        Operation.VARIANCE,
+        Operation.MIN,
+        Operation.MAX,
+        Operation.FIRST,
+        Operation.LAST,
+    ]
+    for w in [None, Window.days(7), Window.days(30), Window.hours(36)]
+]
+
+
+def assert_matches(got, want, name):
+    for i, (g, w) in enumerate(zip(got, want)):
+        if w is None or g is None:
+            assert g == w, f"{name}[{i}]: got {g} want {w}"
+        elif isinstance(w, float):
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-9), f"{name}[{i}]: got {g} want {w}"
+        elif isinstance(w, list):
+            assert len(g) == len(w), f"{name}[{i}]: got {g} want {w}"
+            for a, b in zip(g, w):
+                assert a == pytest.approx(b, rel=1e-9), f"{name}[{i}]: got {g} want {w}"
+        elif isinstance(w, dict):
+            assert set(g) == set(w), f"{name}[{i}]: got {g} want {w}"
+            for kk in w:
+                assert g[kk] == pytest.approx(w[kk], rel=1e-9), f"{name}[{i}].{kk}"
+        else:
+            assert g == w, f"{name}[{i}]: got {g} want {w}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("tail_hop", [None, HOUR, DAY])
+def test_numeric_ops_match_naive(seed, tail_hop):
+    rng = np.random.default_rng(seed)
+    ev = make_events(rng, 400)
+    q = make_queries(rng, 80)
+    got = compute_asof_features(ev, q, ALL_NUMERIC_PARTS, tail_hop)
+    want = naive_asof_features(ev, q, ALL_NUMERIC_PARTS, tail_hop)
+    for p in ALL_NUMERIC_PARTS:
+        assert_matches(got[p.output_column], want[p.output_column], p.output_column)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_collection_ops_match_naive(seed):
+    rng = np.random.default_rng(seed)
+    ev = make_events(rng, 300)
+    q = make_queries(rng, 50)
+    parts = [
+        AggregationPart("value", Operation.LAST_K, {"k": 5}, Window.days(14)),
+        AggregationPart("value", Operation.FIRST_K, {"k": 3}, None),
+        AggregationPart("value", Operation.TOP_K, {"k": 4}, Window.days(30)),
+        AggregationPart("value", Operation.BOTTOM_K, {"k": 4}, Window.days(30)),
+        AggregationPart("category", Operation.UNIQUE_COUNT, {}, Window.days(7)),
+        AggregationPart("category", Operation.HISTOGRAM, {}, Window.days(30)),
+        AggregationPart(
+            "value", Operation.APPROX_PERCENTILE, {"percentiles": [0.25, 0.5, 0.95]}, Window.days(30)
+        ),
+        AggregationPart("value", Operation.SKEW, {}, Window.days(30)),
+        AggregationPart("value", Operation.KURTOSIS, {}, Window.days(30)),
+    ]
+    got = compute_asof_features(ev, q, parts)
+    want = naive_asof_features(ev, q, parts)
+    for p in parts:
+        assert_matches(got[p.output_column], want[p.output_column], p.output_column)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_bucketed_ops_match_naive(seed):
+    rng = np.random.default_rng(seed)
+    ev = make_events(rng, 300)
+    q = make_queries(rng, 40)
+    parts = [
+        AggregationPart("value", Operation.SUM, {}, Window.days(14), "category"),
+        AggregationPart("value", Operation.COUNT, {}, None, "category"),
+        AggregationPart("value", Operation.LAST, {}, Window.days(7), "category"),
+    ]
+    got = compute_asof_features(ev, q, parts)
+    want = naive_asof_features(ev, q, parts)
+    for p in parts:
+        assert_matches(got[p.output_column], want[p.output_column], p.output_column)
+
+
+def test_zero_temporal_leakage():
+    """Perturbing any event with ts > query_ts leaves features unchanged."""
+    rng = np.random.default_rng(7)
+    ev = make_events(rng, 200, null_rate=0.0)
+    q = make_queries(rng, 30)
+    parts = [
+        AggregationPart("value", Operation.SUM, {}, Window.days(7)),
+        AggregationPart("value", Operation.LAST, {}, None),
+        AggregationPart("value", Operation.COUNT, {}, Window.days(30)),
+    ]
+    base = compute_asof_features(ev, q, parts)
+
+    max_q = int(q.max())
+    ev2 = ev.copy()
+    future = ev2["ts"] > max_q
+    if not future.any():
+        extra = ev.iloc[:5].copy()
+        extra["ts"] = max_q + DAY
+        ev2 = pd.concat([ev2, extra], ignore_index=True)
+        future = ev2["ts"] > max_q
+    ev2.loc[future, "value"] = 1e12  # poison future events
+    got = compute_asof_features(ev2, q, parts)
+    for p in parts:
+        assert got[p.output_column] == base[p.output_column], p.output_column
+
+
+def test_empty_events():
+    parts = [AggregationPart("value", Operation.SUM, {}, Window.days(7))]
+    got = compute_asof_features(pd.DataFrame({"ts": [], "value": []}), np.array([1, 2]), parts)
+    assert got["value_sum_7d"] == [None, None]
+
+
+def test_aggregation_unpack_naming():
+    agg = Aggregation(
+        "price", Operation.LAST_K, {"k": 10}, (Window.days(7), Window.days(30)), ("cat",)
+    )
+    names = [p.output_column for p in agg.unpack()]
+    assert names == ["price_last10_7d_by_cat", "price_last10_30d_by_cat"]
+    assert AggregationPart("v", Operation.SUM).output_column == "v_sum"
+    assert AggregationPart("v", Operation.SUM, {}, Window.hours(12)).output_column == "v_sum_12h"
