@@ -1,0 +1,225 @@
+"""Point-in-time ("as-of") GroupBy and Join operators.
+
+This is the engine's flagship — the reference's skew-free UnionJoin
+(spark/src/main/scala/ai/chronon/spark/join/UnionJoin.scala:28-198,
+kernel join/SawtoothUdf.scala:82-139) re-expressed Spark-first:
+
+reference (RDD)                         this engine (DataFrame/Arrow)
+--------------------------------------  --------------------------------------
+null-pad structs + union + groupBy      cogrouped ``applyInPandas`` — queries
+  (collect_list) + array_sort             and events shuffle once on the key
+                                          and stream into the kernel as Arrow
+                                          batches (no collect_list blowup)
+mapPartitions + per-row JVM aggregators numpy-vectorized kernel
+                                          (chronon_spark.kernel.sawtooth)
+
+Scale properties:
+- ONE shuffle per side, hash-partitioned on the entity key; Catalyst plans
+  the cogroup as ``FlatMapCoGroupsInPandas`` over two sorted children.
+- Narrow projection before the shuffle: only keys + ts + aggregation input
+  columns move (reference does the same, UnionJoin.scala:124-132).
+- Window-derived scan range: events outside [min_query_ts - max_window,
+  max_query_ts] are filtered at the scan (GroupBy.scala:616-663) so the
+  parquet/Iceberg reader prunes partitions.
+- Skew: hot keys are handled by two-phase salted hop pre-aggregation for
+  subtractable ops (chronon_spark.operators.salted) and by explicit skew-key
+  exclusion on the Join (reference JoinUtils.scala:330-382).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chronon_spark.api.types import (
+    AggregationPart,
+    GroupBy,
+    Join,
+    Operation,
+    validate_identifier,
+)
+from chronon_spark.kernel.sawtooth import compute_asof_features
+from chronon_spark.sources.scan import TS, scan_source
+
+_DOUBLE_OPS = {
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+    Operation.MIN,
+    Operation.MAX,
+}
+_LONG_OPS = {Operation.COUNT, Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT}
+_MAP_LONG_OPS = {
+    Operation.HISTOGRAM,
+    Operation.APPROX_FREQUENT_K,
+    Operation.APPROX_HEAVY_HITTERS_K,
+}
+
+
+def part_value_type(part: AggregationPart, input_type: T.DataType) -> T.DataType:
+    """Spark type of one part's (unbucketed) output value."""
+    op = part.operation
+    if op in _LONG_OPS:
+        return T.LongType()
+    if op in _DOUBLE_OPS:
+        return T.DoubleType()
+    if op in (Operation.FIRST, Operation.LAST):
+        return input_type
+    if op in (Operation.FIRST_K, Operation.LAST_K):
+        return T.ArrayType(input_type)
+    if op in (Operation.TOP_K, Operation.BOTTOM_K, Operation.UNIQUE_TOP_K):
+        return T.ArrayType(T.DoubleType())
+    if op is Operation.APPROX_PERCENTILE:
+        return T.ArrayType(T.DoubleType())
+    if op in _MAP_LONG_OPS:
+        return T.MapType(T.StringType(), T.LongType())
+    raise NotImplementedError(op)
+
+
+def part_output_field(part: AggregationPart, events_schema: T.StructType) -> T.StructField:
+    input_type = events_schema[part.input_column].dataType
+    vtype = part_value_type(part, input_type)
+    if part.bucket is not None:
+        vtype = T.MapType(T.StringType(), vtype)
+    return T.StructField(part.output_column, vtype, True)
+
+
+def events_df_for_group_by(
+    spark: SparkSession,
+    group_by: GroupBy,
+    min_ts: Optional[int] = None,
+    max_ts: Optional[int] = None,
+) -> DataFrame:
+    """Scan + union all sources, narrow-project to keys + ts + inputs."""
+    parts = group_by.unpack()
+    need = list(
+        dict.fromkeys(
+            list(group_by.key_columns)
+            + [TS]
+            + [p.input_column for p in parts]
+            + [p.bucket for p in parts if p.bucket]
+        )
+    )
+    # Window-derived scan narrowing (reference GroupBy.scala:616-663).
+    scan_min = None
+    if min_ts is not None:
+        mw = group_by.max_window_millis
+        scan_min = (min_ts - mw) if mw is not None else None
+    dfs = [scan_source(spark, s, min_ts=scan_min, max_ts=max_ts).select(*need) for s in group_by.sources]
+    df = dfs[0]
+    for other in dfs[1:]:
+        df = df.unionByName(other)
+    # Null-key filter: keep rows where at least one key is non-null
+    # (reference GroupBy.scala:516-517).
+    cond = None
+    for k in group_by.key_columns:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond | c)
+    return df.where(cond)
+
+
+def group_by_asof(
+    spark: SparkSession,
+    group_by: GroupBy,
+    queries: DataFrame,
+    tail_hop_ms: Optional[int] = None,
+    query_range: Optional[tuple] = None,
+) -> DataFrame:
+    """Compute all of ``group_by``'s features at each distinct (keys, ts)
+    row of ``queries``.
+
+    ``queries`` must contain the GroupBy's key columns and a ``ts`` epoch-
+    millis LONG column. Returns one row per distinct (keys, ts) with one
+    feature column per AggregationPart.
+    """
+    keys = [validate_identifier(k) for k in group_by.key_columns]
+    parts = group_by.unpack()
+    min_ts, max_ts = query_range if query_range else (None, None)
+
+    events = events_df_for_group_by(spark, group_by, min_ts, max_ts)
+    q = queries.select(*keys, TS).dropna(subset=keys).distinct()
+
+    out_schema = T.StructType(
+        [queries.schema[k] for k in keys]
+        + [T.StructField(TS, T.LongType(), False)]
+        + [part_output_field(p, events.schema) for p in parts]
+    )
+    part_cols = [p.output_column for p in parts]
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        q_ts = left[TS].to_numpy(dtype=np.int64)
+        feats = compute_asof_features(right, q_ts, parts, tail_hop_ms)
+        out = left[keys + [TS]].copy()
+        for c in part_cols:
+            out[c] = pd.Series(feats.get(c, [None] * len(left)), index=out.index, dtype=object)
+        return out
+
+    return (
+        q.groupby(*keys)
+        .cogroup(events.groupby(*keys))
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def join_asof(
+    spark: SparkSession,
+    join_conf: Join,
+    tail_hop_ms: Optional[int] = None,
+) -> DataFrame:
+    """Full point-in-time Join: left query rows x many GroupBys.
+
+    Reproduces the reference Join lifecycle (JoinBase.computeJoinOpt,
+    SURVEY.md §3) in one Spark plan: scan left, apply skew-key exclusion,
+    compute each join part at the left's distinct (mapped-keys, ts), then
+    fold the part outputs back with broadcast-aware left joins on
+    (keys, ts).
+    """
+    left = scan_source(spark, join_conf.left)
+
+    # Skew-key exclusion (reference JoinUtils.scala:330-382).
+    if join_conf.skew_keys:
+        for col, hot in join_conf.skew_keys.items():
+            if col in left.columns:
+                left = left.where(~F.col(col).isin(list(hot)) | F.col(col).isNull())
+
+    result = left
+    for jp in join_conf.join_parts:
+        gb = jp.group_by
+        mapping = jp.key_mapping or {k: k for k in gb.key_columns}
+        # left col -> right key rename for the part computation
+        sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
+        part_queries = left.select(*sel)
+        if join_conf.skew_keys:
+            for col, hot in join_conf.skew_keys.items():
+                mapped = mapping.get(col, col)
+                if mapped in part_queries.columns:
+                    part_queries = part_queries.where(
+                        ~F.col(mapped).isin(list(hot)) | F.col(mapped).isNull()
+                    )
+        feats = group_by_asof(spark, gb, part_queries, tail_hop_ms)
+        prefix = jp.full_prefix()
+        right_keys = list(gb.key_columns)
+        renames = {p.output_column: f"{prefix}_{p.output_column}" for p in gb.unpack()}
+        for old, new in renames.items():
+            feats = feats.withColumnRenamed(old, new)
+        # rename right keys back to left names for the merge join
+        inv = {rk: lc for lc, rk in mapping.items()}
+        for rk, lc in inv.items():
+            if rk != lc:
+                feats = feats.withColumnRenamed(rk, lc)
+        join_keys = list(mapping.keys()) + [TS]
+        result = result.join(feats, on=join_keys, how="left")
+
+    if join_conf.derivations:
+        exprs = [f"{e} AS {a}" for a, e in join_conf.derivations.items()]
+        result = result.selectExpr("*", *exprs)
+    return result

@@ -89,6 +89,8 @@ def millis_expr(timestamp_col: str) -> str:
     """SQL expr converting a TIMESTAMP column to epoch millis LONG.
 
     Integer division (``div``) so sub-millisecond precision truncates
-    identically to DuckDB's ``epoch_ms``.
+    identically to DuckDB's ``epoch_ms``. The TIMESTAMP cast handles
+    TIMESTAMP_NTZ parquet columns (naive treated as UTC — sessions must set
+    spark.sql.session.timeZone=UTC, as chronon_spark.session does).
     """
-    return f"unix_micros({timestamp_col}) div 1000"
+    return f"unix_micros(CAST({timestamp_col} AS TIMESTAMP)) div 1000"

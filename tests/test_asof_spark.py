@@ -1,0 +1,154 @@
+"""End-to-end as-of GroupBy/Join on Spark vs a DuckDB cross-join oracle.
+
+Oracle pattern from the reference's GroupByTest.scala:150-191 — expected
+values computed by an independent SQL engine with the window predicate
+written literally.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.asof_join import group_by_asof, join_asof
+from chronon_spark.sources.scan import millis_expr
+
+DAY_MS = 86_400_000
+
+
+def events_source(sf_dir):
+    return EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"user_id": "user_id", "value": "value", "event_type": "event_type"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW ev AS SELECT user_id, value, event_type, epoch_ms(ts) AS ts "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    return con
+
+
+def test_group_by_asof_vs_duckdb(spark, sf_dir, oracle):
+    gb = GroupBy(
+        sources=(events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.AVERAGE),
+            Aggregation("value", Operation.MIN, windows=(Window.days(30),)),
+            Aggregation("value", Operation.LAST),
+        ),
+        name="user_value",
+    )
+    queries = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", f"{millis_expr('ts')} AS ts")
+    )
+    got = group_by_asof(spark, gb, queries).toPandas()
+    got = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    expected = oracle.sql(
+        f"""
+        WITH q AS (SELECT DISTINCT user_id, ts FROM ev)
+        SELECT q.user_id, q.ts,
+               count(CASE WHEN e.ts > q.ts - {7*DAY_MS} THEN e.value END) AS value_count_7d,
+               CAST(sum(CASE WHEN e.ts > q.ts - {7*DAY_MS} THEN e.value END) AS DOUBLE) AS value_sum_7d,
+               avg(e.value) AS value_average,
+               min(CASE WHEN e.ts > q.ts - {30*DAY_MS} THEN e.value END) AS value_min_30d,
+               arg_max(e.value, e.ts) AS value_last
+        FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+        GROUP BY q.user_id, q.ts
+        ORDER BY q.user_id, q.ts
+        """
+    ).df()
+
+    # DuckDB's LIMIT 300 on distinct rows isn't deterministic; join on keys.
+    merged = got.merge(expected, on=["user_id", "ts"], suffixes=("", "_exp"))
+    assert len(merged) == len(got)
+    for col in ["value_count_7d", "value_sum_7d", "value_average", "value_min_30d", "value_last"]:
+        g, e = merged[col], merged[f"{col}_exp"]
+        for i in range(len(merged)):
+            gv, ev_ = g.iloc[i], e.iloc[i]
+            if ev_ is None or (isinstance(ev_, float) and ev_ != ev_):
+                assert gv is None or (isinstance(gv, float) and gv != gv), (col, i)
+            else:
+                assert gv == pytest.approx(ev_, rel=1e-9), (col, i, gv, ev_)
+
+
+def test_join_asof_multipart(spark, sf_dir):
+    src = events_source(sf_dir)
+    gb1 = GroupBy(
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="v7",
+    )
+    gb2 = GroupBy(
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.COUNT),),
+        name="cnt",
+    )
+    j = Join(
+        left=src,
+        join_parts=(JoinPart(gb1), JoinPart(gb2)),
+        name="test_join",
+        derivations={"sum_per_event": "v7_value_sum_7d / cnt_value_count"},
+    )
+    out = join_asof(spark, j)
+    rows = out.count()
+    left_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert rows == left_rows
+    cols = set(out.columns)
+    assert {"v7_value_sum_7d", "cnt_value_count", "sum_per_event"} <= cols
+    # every left row has itself as an event: count >= 1, never null
+    assert out.where(F.col("cnt_value_count").isNull()).count() == 0
+
+
+def test_parallelism_invariance(spark, sf_dir):
+    """local shuffle-partition count must not change results (mode-consistency,
+    reference UnionJoinTest-style metamorphic check)."""
+    gb = GroupBy(
+        sources=(events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.LAST_K, {"k": 3}),
+        ),
+        name="inv",
+    )
+    queries = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", f"{millis_expr('ts')} AS ts")
+    )
+
+    def run(nparts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        try:
+            df = group_by_asof(spark, gb, queries).toPandas()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        df["value_last3"] = df["value_last3"].map(lambda x: tuple(x) if x is not None else None)
+        return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    a, b = run(2), run(16)
+    assert a.equals(b)
