@@ -40,12 +40,15 @@ def extract_text_bytes(html: bytes) -> str:
     return _WS.sub(" ", s).strip()
 
 
-@pandas_udf("string")
-def _extract_udf(html: pd.Series) -> pd.Series:
+def _extract_series(html: pd.Series) -> pd.Series:
     return html.map(extract_text_bytes)
 
 
 def extract_text(html_col: str | Column = "html") -> Column:
-    """Column expression: deterministic text extracted from html binary."""
+    """Column expression: deterministic text extracted from html binary.
+
+    The pandas UDF is built lazily (schema parsing needs an active session).
+    """
+    udf = pandas_udf(_extract_series, "string")
     col = F.col(html_col) if isinstance(html_col, str) else html_col
-    return _extract_udf(col)
+    return udf(col)
