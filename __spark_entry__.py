@@ -478,15 +478,29 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6("jaccard").alias("jaccard"))
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle() -> str:
+    from chronon_spark.operators.dedup import minhash_params
+
+    mixes = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(({a} * (h & 1073741823)"
+        f" + (({a} * (h >> 30)) & 1073741823) * 1073741824)"
+        f" & 1152921504606846975, {c}::BIGINT)))"
+        for a, c in minhash_params(16)
+    )
+    return f"""
 WITH s AS ({_DUCK_SHINGLES}),
-sig AS (
+hashed AS (
   SELECT doc_id, sh,
-     [list_min(list_transform(sh,
-          x -> CAST('0x' || substr(md5(seed::VARCHAR || ':' || x), 1, 15) AS BIGINT)))
-      for seed in range(0, 16)] AS sg
+     list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
   FROM s
 ),
+sig AS (
+  SELECT doc_id, sh, [{mixes}] AS sg
+  FROM hashed
+),""" + _MINHASH_ORACLE_TAIL
+
+
+_MINHASH_ORACLE_TAIL = f"""
 banded AS (
   SELECT doc_id, sh,
          unnest(range(0, 4)) AS band,
@@ -701,7 +715,7 @@ def _raw_oracles() -> dict[str, str]:
         "sessionize": _SESSIONIZE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "minhash_lsh": _MINHASH_ORACLE,
+        "minhash_lsh": _minhash_oracle(),
         "doc_stats": _doc_stats_oracle(),
         "embedding_topk": _TOPK_ORACLE,
     }

@@ -1,0 +1,222 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>, "webtext": {...rows/sec...}}
+
+Queries are forced with a ``noop`` write (full computation, no driver
+collect). The flagship is the north-rule job: point-in-time multi-part
+as-of join (per-url + per-domain windowed features) over the deterministic
+Common-Crawl-style webtext table, reported as rows/sec.
+
+``python bench.py --scaling`` additionally runs the flagship at N and 4N
+local cores on the same input and reports throughput scaling efficiency
+(the sandbox proxy for the north rule's N vs 4N executors criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# webtext rows scale with sf: sf0.1 -> 300k crawl records
+WEBTEXT_ROWS_PER_SF = 3_000_000
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def force(df) -> int:
+    """Fully execute a DataFrame without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def build(master: str, shuffle_partitions: int):
+    from chronon_spark.session import build_session
+
+    return build_session(
+        master=master,
+        app_name="chronon_spark-bench",
+        shuffle_partitions=shuffle_partitions,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.sql.files.maxPartitionBytes": "64m",
+        },
+    )
+
+
+def webtext_parquet(spark, n_rows: int, out_dir: str) -> str:
+    from chronon_spark.sources.webtext import generate_webtext
+
+    path = os.path.join(out_dir, f"webtext_{n_rows}.parquet")
+    if not os.path.exists(path):
+        generate_webtext(
+            spark, n_rows, seed=42, n_domains=500, partitions=max(CPUS * 2, 16)
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship_join(spark, path: str):
+    """North-rule flagship: per-url + per-domain PIT features at each crawl."""
+    from chronon_spark.api.types import (
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.asof_join import join_asof
+
+    def src(selects):
+        return EventSource(
+            table=path,
+            query=Query(
+                selects=selects,
+                time_column="unix_micros(CAST(warc_ts AS TIMESTAMP)) div 1000",
+            ),
+        )
+
+    url_src = src({"url": "url", "text_len": "length(text)"})
+    dom_src = src({"domain": "parse_url(url, 'HOST')", "text_len": "length(text)"})
+    left = src(
+        {
+            "url": "url",
+            "domain": "parse_url(url, 'HOST')",
+            "lang": "lang",
+            "text_len": "length(text)",
+        }
+    )
+    url_gb = GroupBy(
+        sources=(url_src,),
+        key_columns=("url",),
+        aggregations=(
+            Aggregation("text_len", Operation.COUNT),
+            Aggregation("text_len", Operation.AVERAGE, windows=(Window.days(30),)),
+            Aggregation("text_len", Operation.LAST),
+        ),
+        name="url",
+    )
+    dom_gb = GroupBy(
+        sources=(dom_src,),
+        key_columns=("domain",),
+        aggregations=(
+            Aggregation("text_len", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("text_len", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        name="dom",
+    )
+    join = Join(left=left, join_parts=(JoinPart(url_gb), JoinPart(dom_gb)), name="flagship")
+    return join_asof(spark, join)
+
+
+def headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    names = [
+        "asof_groupby",
+        "asof_join_multipart",
+        "snapshot_groupby",
+        "sessionize",
+        "lag_lead",
+        "exact_dedup",
+        "minhash_lsh",
+        "doc_stats",
+        "embedding_topk",
+    ]
+    qs = E.queries()
+    times = {}
+    for name in names:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_flagship(master: str, cores: int, path: str, rows: int) -> dict:
+    spark = build(master, shuffle_partitions=max(cores * 2, 8))
+    try:
+        t0 = time.time()
+        force(flagship_join(spark, path))
+        wall = time.time() - t0
+    finally:
+        spark.stop()
+    return {"cores": cores, "wall_sec": round(wall, 3), "rows_per_sec": round(rows / wall, 1)}
+
+
+def main() -> None:
+    scaling_mode = "--scaling" in sys.argv
+    sf = sf_of(SF_DIR)
+    n_webtext = max(int(WEBTEXT_ROWS_PER_SF * sf), 10_000)
+    tmp = tempfile.mkdtemp(prefix="chronon_bench_")
+    result: dict = {"sf": sf}
+    try:
+        spark = build(f"local[{CPUS}]", shuffle_partitions=max(CPUS * 2, 8))
+        try:
+            path = webtext_parquet(spark, n_webtext, tmp)
+            t0 = time.time()
+            force(flagship_join(spark, path))
+            flagship_wall = time.time() - t0
+            times = {"webtext_flagship": round(flagship_wall, 3)}
+            times.update(headline_queries(spark, SF_DIR))
+        finally:
+            spark.stop()
+
+        result.update(
+            {
+                "metric": "asof-join+windowed-feature backfill wall (headline suite)",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "webtext": {
+                    "rows": n_webtext,
+                    "wall_sec": round(flagship_wall, 3),
+                    "rows_per_sec": round(n_webtext / flagship_wall, 1),
+                },
+            }
+        )
+
+        if scaling_mode:
+            n_small, n_large = max(CPUS // 4, 2), CPUS
+            # regenerate input once with a neutral session
+            spark = build(f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+            try:
+                path = webtext_parquet(spark, n_webtext, tmp)
+            finally:
+                spark.stop()
+            lo = run_flagship(f"local[{n_small}]", n_small, path, n_webtext)
+            hi = run_flagship(f"local[{n_large}]", n_large, path, n_webtext)
+            eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (n_large / n_small)
+            result["scaling"] = {
+                "n_cores": lo,
+                "four_n_cores": hi,
+                "efficiency": round(eff, 3),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

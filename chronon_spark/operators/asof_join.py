@@ -131,6 +131,7 @@ def group_by_asof(
     queries: DataFrame,
     tail_hop_ms: Optional[int] = None,
     query_range: Optional[tuple] = None,
+    num_groups: Optional[int] = None,
 ) -> DataFrame:
     """Compute all of ``group_by``'s features at each distinct (keys, ts)
     row of ``queries``.
@@ -138,6 +139,22 @@ def group_by_asof(
     ``queries`` must contain the GroupBy's key columns and a ``ts`` epoch-
     millis LONG column. Returns one row per distinct (keys, ts) with one
     feature column per AggregationPart.
+
+    Plan shape (the reference's skew-free UnionJoin, UnionJoin.scala:28-198,
+    with the per-key mapPartitions kernel replaced by a MULTI-key Arrow
+    kernel):
+
+    1. null-pad queries/events to a common narrow schema and ``unionByName``
+       (reference UnionJoin.scala:61-83),
+    2. ONE hash shuffle on ``pmod(hash(keys), G)`` — G bounded groups, each
+       holding many keys, so per-key Python/Arrow invocation overhead is
+       amortized G-fold (a per-KEY cogroup spends ~ms of Arrow round-trip
+       per key; at millions of url keys that dominates wall time),
+    3. inside each group: pandas groupby(keys) → vectorized sawtooth kernel
+       per key (chronon_spark.kernel.sawtooth).
+
+    ``num_groups`` bounds per-group memory at scale: a group materializes
+    |events+queries|/G rows in pandas. Default 4× default parallelism.
     """
     keys = [validate_identifier(k) for k in group_by.key_columns]
     parts = group_by.unpack()
@@ -146,28 +163,51 @@ def group_by_asof(
     events = events_df_for_group_by(spark, group_by, min_ts, max_ts)
     q = queries.select(*keys, TS).dropna(subset=keys).distinct()
 
+    input_cols = [c for c in events.columns if c not in keys + [TS]]
+    ev_u = events.select(
+        *keys, F.col(TS).cast("long").alias(TS), F.lit(1).alias("__side"), *input_cols
+    )
+    q_u = q.select(
+        *keys,
+        F.col(TS).cast("long").alias(TS),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in input_cols],
+    )
+    unioned = ev_u.unionByName(q_u)
+
+    G = num_groups or spark.sparkContext.defaultParallelism * 4
+    unioned = unioned.withColumn("__g", F.pmod(F.hash(*keys), F.lit(G)))
+
     out_schema = T.StructType(
         [queries.schema[k] for k in keys]
         + [T.StructField(TS, T.LongType(), False)]
         + [part_output_field(p, events.schema) for p in parts]
     )
     part_cols = [p.output_column for p in parts]
+    key_cols = list(keys)
 
-    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0:
-            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
-        q_ts = left[TS].to_numpy(dtype=np.int64)
-        feats = compute_asof_features(right, q_ts, parts, tail_hop_ms)
-        out = left[keys + [TS]].copy()
-        for c in part_cols:
-            out[c] = pd.Series(feats.get(c, [None] * len(left)), index=out.index, dtype=object)
-        return out
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        empty = pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        for _, grp in pdf.groupby(key_cols, sort=False, dropna=False):
+            side = grp["__side"].to_numpy()
+            q_rows = grp[side == 0]
+            if len(q_rows) == 0:
+                continue
+            ev_rows = grp[side == 1]
+            q_ts = q_rows[TS].to_numpy(dtype=np.int64)
+            feats = compute_asof_features(ev_rows, q_ts, parts, tail_hop_ms)
+            out = q_rows[key_cols + [TS]].reset_index(drop=True)
+            for c in part_cols:
+                out[c] = pd.Series(
+                    feats.get(c, [None] * len(q_ts)), index=out.index, dtype=object
+                )
+            outs.append(out)
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
-    return (
-        q.groupby(*keys)
-        .cogroup(events.groupby(*keys))
-        .applyInPandas(kernel, schema=out_schema)
-    )
+    return unioned.groupBy("__g").applyInPandas(kernel, schema=out_schema)
 
 
 def join_asof(

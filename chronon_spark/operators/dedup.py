@@ -72,22 +72,49 @@ def portable_hash64(col: Column, seed: int) -> Column:
     )
 
 
+def _splitmix64(i: int) -> int:
+    x = (i * 0x9E3779B97F4A7C15) & (2**64 - 1)
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+    return x ^ (x >> 31)
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """(A_i, C_i) per hash: odd 30-bit multiplier + 60-bit xor constant.
+    Deterministic (splitmix64 of the index) and shared with the SQL oracle."""
+    return [
+        ((_splitmix64(2 * i + 1) & ((1 << 30) - 1)) | 1, _splitmix64(2 * i + 2) & ((1 << 60) - 1))
+        for i in range(n_hashes)
+    ]
+
+
+def _mix60(h: Column, a: int, c: int) -> Column:
+    """(a*h mod 2^60) xor c — computed on 30-bit halves so every
+    intermediate stays < 2^61 (DuckDB BIGINT overflow *errors*, so the
+    expression must be overflow-free in both engines, not wrap-around)."""
+    lo_mask, full_mask = (1 << 30) - 1, (1 << 60) - 1
+    h0 = h.bitwiseAND(F.lit(lo_mask))
+    h1 = F.shiftright(h, 30)
+    prod = (F.lit(a) * h0 + (F.lit(a) * h1).bitwiseAND(F.lit(lo_mask)) * F.lit(1 << 30))
+    return prod.bitwiseAND(F.lit(full_mask)).bitwiseXOR(F.lit(c))
+
+
 def minhash_signature(text_col: str = "text", n_hashes: int = 16, k: int = 3) -> Column:
-    """array<long> of n portable min-hashes over the shingle set."""
-    sh = shingles(text_col, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(seed.cast("string"), F.lit(":"), s)), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ),
+    """array<long> of n portable min-hashes over the shingle set.
+
+    ONE md5 per shingle (the expensive part), then n cheap integer mixes —
+    a multiplicative family g_i(h) = (A_i*h mod 2^60) xor C_i. Bit-exact
+    mirror in DuckDB (see __spark_entry__._MINHASH_ORACLE).
+    """
+    hs = F.transform(
+        shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
+    sig = [
+        F.array_min(F.transform(hs, lambda h: _mix60(h, a, c)))
+        for a, c in minhash_params(n_hashes)
+    ]
+    return F.array(*sig)
 
 
 def minhash_lsh_pairs(
@@ -133,6 +160,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # Persist: the banded signatures feed the bucket-size aggregate AND both
+    # sides of the self-join; without a materialization boundary Catalyst
+    # re-evaluates the (md5-heavy) signature expression per consumer (~6x).
+    # At warehouse scale this stage is a checkpointed signatures table.
+    banded = banded.persist()
 
     # cap degenerate buckets before the quadratic join
     bucket_sizes = banded.groupBy("band", "bucket").count()
@@ -188,7 +221,7 @@ def ngram_jaccard_pairs(
     O(sum bucket^2) via inverted index on shingles — exact but only for
     modest corpora / verification; LSH is the scale path.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s")).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -275,6 +308,9 @@ def simhash_near_dups(
             )
         ).alias("ck"),
     ).select(id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    # simhash64 is an expensive expression tree; materialize once for the
+    # self-join's two branches instead of recomputing per side.
+    chunks = chunks.persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
