@@ -1,0 +1,147 @@
+"""Streaming GroupBy: tiled (hopping-tail) partial aggregates + sessions.
+
+Reference semantics re-expressed in Structured Streaming:
+
+- **Tiled window agg**: the reference's Flink job emits, per (key, tile),
+  a running partial-aggregate IR where tile size = the smallest tail hop of
+  the GroupBy's windows (flink/.../FlinkGroupByStreamingJob.scala:125-204;
+  tile sizing aggregator/.../windowing/Resolution.scala:65-86). Spark:
+  ``groupBy(window(ts, hop), keys).agg(partial IRs)`` in update mode. The
+  tiles are MERGEABLE IRs — the batch sawtooth kernel consumes the same
+  shapes (sum/count pairs, min/max, sets), which is what makes the
+  batch ⊕ streaming lambda merge sound (SawtoothOnlineAggregator.scala:84-165).
+- **Watermark / late data**: bounded out-of-orderness, late rows dropped by
+  the engine and observable via ``observe`` metrics
+  (flink/.../FlinkJob.scala:95-121 uses 5 min / side-output counter).
+- **Sessionization**: ``F.session_window(ts, gap)`` — the streaming
+  equivalent of the batch gap+cumsum operator
+  (chronon_spark.operators.analytic.sessionize).
+
+All IR columns are plain Catalyst aggregates — stateful, incremental,
+and restartable from the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import GroupBy, Operation, tail_hop_millis
+
+DEFAULT_WATERMARK = "5 minutes"  # reference FlinkJob.scala:95-113
+
+
+def smallest_tail_hop_ms(group_by: GroupBy) -> int:
+    """Tile size = smallest tail hop across the GroupBy's windows
+    (Resolution.scala:65-86); unbounded windows tile at 1 day."""
+    hops = [tail_hop_millis(p.window) for p in group_by.unpack() if p.window is not None]
+    return min(hops) if hops else 86_400_000
+
+
+def partial_ir_aggs(group_by: GroupBy) -> list:
+    """Mergeable partial-IR aggregate columns for every input column.
+
+    IR shapes (SURVEY.md §1.4): COUNT/SUM -> long/double sums, AVERAGE ->
+    (sum, count), MIN/MAX -> value, UNIQUE_COUNT -> collect_set,
+    LAST/FIRST -> (max_by/min_by ts). Sketch ops use Spark's mergeable HLL.
+    """
+    out: list[Column] = []
+    seen: set = set()
+
+    def add(name: str, col: Column):
+        if name not in seen:
+            seen.add(name)
+            out.append(col.alias(name))
+
+    for p in group_by.unpack():
+        c = p.input_column
+        op = p.operation
+        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+            add(f"ir_cnt_{c}", F.count(c))
+            add(f"ir_sum_{c}", F.sum(F.col(c).cast("double")))
+            if op is Operation.VARIANCE:
+                add(f"ir_ssq_{c}", F.sum(F.pow(F.col(c).cast("double"), 2)))
+        elif op is Operation.MIN:
+            add(f"ir_min_{c}", F.min(c))
+        elif op is Operation.MAX:
+            add(f"ir_max_{c}", F.max(c))
+        elif op is Operation.LAST:
+            add(f"ir_last_{c}", F.max_by(c, "ts"))
+        elif op is Operation.FIRST:
+            add(f"ir_first_{c}", F.min_by(c, "ts"))
+        elif op in (Operation.UNIQUE_COUNT,):
+            add(f"ir_set_{c}", F.collect_set(c))
+        elif op is Operation.APPROX_UNIQUE_COUNT:
+            add(f"ir_hll_{c}", F.hll_sketch_agg(c))
+        else:
+            raise NotImplementedError(f"streaming partial IR for {op}")
+    return out
+
+
+def stream_tile_aggregate(
+    events: DataFrame,
+    group_by: GroupBy,
+    hop_ms: Optional[int] = None,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """(key, tile_start, tile_end, partial IRs...) from a streaming events DF.
+
+    ``events`` needs the GroupBy's key columns, a ``ts`` epoch-millis LONG
+    column, and the aggregation inputs. Works identically on a batch DF
+    (used by tests to pin stream==batch tile equality).
+    """
+    hop = hop_ms or smallest_tail_hop_ms(group_by)
+    keys = list(group_by.key_columns)
+    with_event_time = events.withColumn("__event_time", F.timestamp_millis(F.col("ts")))
+    if events.isStreaming:
+        with_event_time = with_event_time.withWatermark("__event_time", watermark)
+    tiled = with_event_time.groupBy(
+        F.window("__event_time", f"{hop} milliseconds").alias("__w"), *keys
+    ).agg(*partial_ir_aggs(group_by))
+    return tiled.select(
+        *keys,
+        F.unix_millis(F.col("__w.start")).alias("tile_start"),
+        F.unix_millis(F.col("__w.end")).alias("tile_end"),
+        *[c for c in tiled.columns if c.startswith("ir_")],
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    keys: list,
+    gap_ms: int,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """One row per (keys, session): start/end ts, duration, event count —
+    the streaming twin of analytic.session_stats (same output columns)."""
+    with_event_time = events.withColumn("__event_time", F.timestamp_millis(F.col("ts")))
+    if events.isStreaming:
+        with_event_time = with_event_time.withWatermark("__event_time", watermark)
+    agg = with_event_time.groupBy(
+        F.session_window("__event_time", f"{gap_ms} milliseconds").alias("__s"), *keys
+    ).agg(
+        F.min("ts").alias("session_start_ts"),
+        F.max("ts").alias("session_end_ts"),
+        (F.max("ts") - F.min("ts")).alias("session_duration_ms"),
+        F.count(F.lit(1)).alias("session_events"),
+    )
+    return agg.select(
+        *keys, "session_start_ts", "session_end_ts", "session_duration_ms", "session_events"
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, table_name: str):
+    """Drain all available input into an in-memory sink (complete mode) and
+    return the result DF — the test/bench harness for streaming operators."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)

@@ -1,0 +1,114 @@
+"""Backfill orchestration: partition math, checkpoint/resume, lineage."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.plans.backfill import (
+    backfill,
+    existing_partitions,
+    lineage_path,
+    read_lineage,
+)
+from chronon_spark.plans.partition_range import PartitionRange, missing_ranges, shift_ds
+
+
+def test_partition_range_math():
+    r = PartitionRange("2024-01-01", "2024-01-10")
+    assert r.days == 10
+    assert list(r.partitions())[0] == "2024-01-01"
+    assert list(r.partitions())[-1] == "2024-01-10"
+    assert r.shift(-2).start == "2023-12-30"
+    assert shift_ds("2024-02-28", 2) == "2024-03-01"  # leap year
+    steps = r.steps(4)
+    assert [(s.start, s.end) for s in steps] == [
+        ("2024-01-01", "2024-01-04"),
+        ("2024-01-05", "2024-01-08"),
+        ("2024-01-09", "2024-01-10"),
+    ]
+    assert r.intersect(PartitionRange("2024-01-08", "2024-02-01")) == PartitionRange(
+        "2024-01-08", "2024-01-10"
+    )
+    assert r.intersect(PartitionRange("2024-02-01", "2024-02-02")) is None
+
+
+def test_missing_ranges():
+    r = PartitionRange("2024-01-01", "2024-01-06")
+    have = {"2024-01-02", "2024-01-03", "2024-01-05"}
+    holes = missing_ranges(r, have)
+    assert [(h.start, h.end) for h in holes] == [
+        ("2024-01-01", "2024-01-01"),
+        ("2024-01-04", "2024-01-04"),
+        ("2024-01-06", "2024-01-06"),
+    ]
+    assert missing_ranges(r, set(r.partitions())) == []
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "features")
+
+
+def _compute_factory(spark, sf_dir, calls):
+    """Daily per-user event counts for the requested range."""
+
+    def compute(spark_, rng):
+        calls.append((rng.start, rng.end))
+        ev = spark_.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+            .where((F.col("ds") >= rng.start) & (F.col("ds") <= rng.end))
+            .groupBy("user_id", "ds")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return compute
+
+
+def test_backfill_resume_and_lineage(spark, sf_dir, out_dir):
+    rng = PartitionRange("2024-01-02", "2024-01-09")
+    calls = []
+    compute = _compute_factory(spark, sf_dir, calls)
+
+    res = backfill(spark, compute, out_dir, rng, step_days=4, conf="confA", job_name="t")
+    assert res.skipped_partitions == 0
+    assert len(calls) == 2  # two 4-day steps
+    assert existing_partitions(spark, out_dir) == set(rng.partitions())
+
+    lin = read_lineage(spark, out_dir).toPandas()
+    assert len(lin) == 8
+    assert (lin["rows"] > 0).all() and (lin["bytes"] > 0).all()
+
+    # resume: nothing to do
+    calls.clear()
+    res2 = backfill(spark, compute, out_dir, rng, step_days=4, conf="confA", job_name="t")
+    assert calls == [] and res2.skipped_partitions == 8
+
+    # knock out two partitions -> only the holes recompute
+    for ds in ("2024-01-04", "2024-01-07"):
+        shutil.rmtree(f"{out_dir}/ds={ds}")
+    calls.clear()
+    res3 = backfill(spark, compute, out_dir, rng, step_days=4, conf="confA", job_name="t")
+    assert [(s.start, s.end) for s in res3.computed] == [
+        ("2024-01-04", "2024-01-04"),
+        ("2024-01-07", "2024-01-07"),
+    ]
+    assert existing_partitions(spark, out_dir) == set(rng.partitions())
+    # untouched partitions kept their data (dynamic overwrite, not truncate)
+    total = spark.read.parquet(out_dir).groupBy().sum("n").first()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    )
+    expected = ev.where((F.col("ds") >= rng.start) & (F.col("ds") <= rng.end)).count()
+    assert total == expected
+
+
+def test_backfill_conf_change_invalidates(spark, sf_dir, out_dir):
+    rng = PartitionRange("2024-01-02", "2024-01-04")
+    calls = []
+    compute = _compute_factory(spark, sf_dir, calls)
+    backfill(spark, compute, out_dir, rng, conf="confA")
+    calls.clear()
+    res = backfill(spark, compute, out_dir, rng, conf="confB")
+    assert res.skipped_partitions == 0 and len(calls) == 1
