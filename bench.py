@@ -127,7 +127,9 @@ def flagship_join(spark, path: str):
         name="dom",
     )
     join = Join(left=left, join_parts=(JoinPart(url_gb), JoinPart(dom_gb)), name="flagship")
-    return join_asof(spark, join)
+    # sawtooth mode: the reference's hopping-tail semantics; mergeable ops
+    # run on the pure-Catalyst hopped plan (skew-free, no Python)
+    return join_asof(spark, join, mode="sawtooth")
 
 
 def headline_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -153,15 +155,21 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_flagship(master: str, cores: int, path: str, rows: int) -> dict:
+def run_flagship(master: str, cores: int, path: str, rows: int, repeats: int = 2) -> dict:
+    """Best-of-N wall time: the host is shared, so min over repeats is the
+    contention-robust estimator for scaling comparisons."""
     spark = build(master, shuffle_partitions=max(cores * 2, 8))
+    walls = []
     try:
-        t0 = time.time()
-        force(flagship_join(spark, path))
-        wall = time.time() - t0
+        for _ in range(repeats):
+            t0 = time.time()
+            force(flagship_join(spark, path))
+            walls.append(time.time() - t0)
     finally:
         spark.stop()
-    return {"cores": cores, "wall_sec": round(wall, 3), "rows_per_sec": round(rows / wall, 1)}
+    wall = min(walls)
+    return {"cores": cores, "wall_sec": round(wall, 3), "walls": [round(w, 3) for w in walls],
+            "rows_per_sec": round(rows / wall, 1)}
 
 
 def main() -> None:
@@ -198,14 +206,16 @@ def main() -> None:
 
         if scaling_mode:
             n_small, n_large = max(CPUS // 4, 2), CPUS
-            # regenerate input once with a neutral session
+            # scaling input must be compute-bound: small inputs measure fixed
+            # overheads (python worker spin-up, planning), not scaling.
+            n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(max(n_webtext, 1_200_000))))
             spark = build(f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
             try:
-                path = webtext_parquet(spark, n_webtext, tmp)
+                path = webtext_parquet(spark, n_scale, tmp)
             finally:
                 spark.stop()
-            lo = run_flagship(f"local[{n_small}]", n_small, path, n_webtext)
-            hi = run_flagship(f"local[{n_large}]", n_large, path, n_webtext)
+            lo = run_flagship(f"local[{n_small}]", n_small, path, n_scale)
+            hi = run_flagship(f"local[{n_large}]", n_large, path, n_scale)
             eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (n_large / n_small)
             result["scaling"] = {
                 "n_cores": lo,

@@ -1,0 +1,268 @@
+"""Pure-Catalyst sawtooth as-of GroupBy for mergeable operations.
+
+The reference's classic temporal-events algorithm (GroupBy.scala:286-364:
+cogroup of queries × hop-IRs × head events on (key, headStart bucket);
+hop construction HopsAggregator.scala:150-159) re-expressed as DataFrame
+ops with whole-stage codegen end to end — no Python anywhere:
+
+1. **hop partials**: ``groupBy(keys, hop = ts div hop_ms)`` with partial
+   IRs (count/sum/ssq/min/max/(ts,v)-last/first, collect_set). The hot-key
+   problem dissolves here: a hot domain's events spread over its hops, and
+   Spark's map-side partial aggregation absorbs per-partition repeats —
+   this is "salting by time", the skew story the north rule asks for.
+2. **tail merge**: per key, a RANGE window frame over hop index merges the
+   ``w_hops`` hop IRs preceding the query's hop
+   (``rangeBetween(-w_hops, -1)``). Rows per key = #hops (bounded by
+   range/hop), so the per-key window partition is tiny regardless of how
+   hot the key is. Query hops with no events get rows via union
+   (null-padded), the same trick as the main union kernel.
+3. **exact head**: events of the query's own hop with ``e.ts <= q.ts``,
+   aggregated per query via a (keys, hop) equi-join — the join is balanced
+   because a single hop of even the hottest key is |key events|/#hops.
+4. **combine**: tail ⊕ head per op (sums add, min/max fold, last/first
+   compare (ts, v) structs).
+
+Window-boundary semantics = the kernel's sawtooth mode (pinned by tests
+against chronon_spark.kernel.sawtooth with ``tail_hop_ms`` set): head
+``e.ts <= q.ts`` inclusive, tail ``e.ts >= round_down(q.ts - W, hop)``
+(SawtoothMutationAggregator.scala:117-133, Resolution.scala:38-48).
+
+Supported ops: COUNT, SUM, AVERAGE, VARIANCE, MIN, MAX, LAST, FIRST,
+UNIQUE_COUNT (exact via set union), APPROX_UNIQUE_COUNT (HLL sketches).
+Non-mergeable ops (percentiles, *_K, histograms) use the Arrow kernel path
+(operators.asof_join.group_by_asof); ``supports_hopped`` reports the split.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from chronon_spark.api.types import (
+    AggregationPart,
+    GroupBy,
+    Operation,
+    validate_identifier,
+)
+from chronon_spark.operators.asof_join import events_df_for_group_by
+from chronon_spark.sources.scan import TS
+
+HOPPED_OPS = {
+    Operation.COUNT,
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.VARIANCE,
+    Operation.MIN,
+    Operation.MAX,
+    Operation.LAST,
+    Operation.FIRST,
+    Operation.UNIQUE_COUNT,
+    Operation.APPROX_UNIQUE_COUNT,
+}
+
+
+def supports_hopped(group_by: GroupBy, hop_ms: int) -> bool:
+    for p in group_by.unpack():
+        if p.operation not in HOPPED_OPS or p.bucket is not None:
+            return False
+        if p.window is not None and p.window.millis % hop_ms != 0:
+            return False
+    return True
+
+
+def _ir_aggs(parts: list) -> list:
+    """Partial-IR aggregate columns, deduped across parts."""
+    out: list[Column] = []
+    seen: set = set()
+
+    def add(name: str, col: Column):
+        if name not in seen:
+            seen.add(name)
+            out.append(col.alias(name))
+
+    for p in parts:
+        c = p.input_column
+        op = p.operation
+        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+            add(f"i_cnt_{c}", F.count(c))
+            add(f"i_sum_{c}", F.sum(F.col(c).cast("double")))
+            if op is Operation.VARIANCE:
+                add(f"i_ssq_{c}", F.sum(F.pow(F.col(c).cast("double"), 2)))
+        elif op is Operation.MIN:
+            add(f"i_min_{c}", F.min(F.col(c).cast("double")))
+        elif op is Operation.MAX:
+            add(f"i_max_{c}", F.max(F.col(c).cast("double")))
+        elif op is Operation.LAST:
+            add(f"i_last_{c}", F.max_by(F.struct(F.col(TS).alias("t"), F.col(c).alias("v")), F.when(F.col(c).isNotNull(), F.col(TS))))
+        elif op is Operation.FIRST:
+            add(f"i_first_{c}", F.min_by(F.struct(F.col(TS).alias("t"), F.col(c).alias("v")), F.when(F.col(c).isNotNull(), F.col(TS))))
+        elif op is Operation.UNIQUE_COUNT:
+            add(f"i_set_{c}", F.collect_set(c))
+        elif op is Operation.APPROX_UNIQUE_COUNT:
+            add(f"i_hll_{c}", F.hll_sketch_agg(c))
+        else:  # pragma: no cover
+            raise NotImplementedError(op)
+    return out
+
+
+def _frame(keys: list, w_hops: Optional[int]) -> W:
+    w = W.partitionBy(*keys).orderBy("__hop")
+    if w_hops is None:
+        return w.rangeBetween(W.unboundedPreceding, -1)
+    return w.rangeBetween(-w_hops, -1)
+
+
+def _tail_cols(parts: list, keys: list, hop_ms: int) -> list:
+    """Per-part tail-merged IR columns over the hop window frame."""
+    out: list[Column] = []
+    seen: set = set()
+
+    def add(name: str, col: Column):
+        if name not in seen:
+            seen.add(name)
+            out.append(col.alias(name))
+
+    for p in parts:
+        c = p.input_column
+        op = p.operation
+        w_hops = p.window.millis // hop_ms if p.window is not None else None
+        fr = _frame(keys, w_hops)
+        sfx = f"{c}_{p.output_column}"
+        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+            add(f"t_cnt_{sfx}", F.sum(f"i_cnt_{c}").over(fr))
+            add(f"t_sum_{sfx}", F.sum(f"i_sum_{c}").over(fr))
+            if op is Operation.VARIANCE:
+                add(f"t_ssq_{sfx}", F.sum(f"i_ssq_{c}").over(fr))
+        elif op is Operation.MIN:
+            add(f"t_min_{sfx}", F.min(f"i_min_{c}").over(fr))
+        elif op is Operation.MAX:
+            add(f"t_max_{sfx}", F.max(f"i_max_{c}").over(fr))
+        elif op is Operation.LAST:
+            add(f"t_last_{sfx}", F.max(f"i_last_{c}").over(fr))
+        elif op is Operation.FIRST:
+            add(f"t_first_{sfx}", F.min(f"i_first_{c}").over(fr))
+        elif op is Operation.UNIQUE_COUNT:
+            add(
+                f"t_set_{sfx}",
+                F.array_distinct(F.flatten(F.collect_list(f"i_set_{c}").over(fr))),
+            )
+        elif op is Operation.APPROX_UNIQUE_COUNT:
+            add(f"t_hll_{sfx}", F.hll_union_agg(F.col(f"i_hll_{c}")).over(fr))
+    return out
+
+
+def group_by_asof_hopped(
+    spark: SparkSession,
+    group_by: GroupBy,
+    queries: DataFrame,
+    hop_ms: int,
+    query_range: Optional[tuple] = None,
+) -> DataFrame:
+    """Sawtooth as-of features at each distinct (keys, ts) query row —
+    tail snapped to ``hop_ms`` boundaries, head exact (see module doc)."""
+    keys = [validate_identifier(k) for k in group_by.key_columns]
+    parts = group_by.unpack()
+    assert supports_hopped(group_by, hop_ms), "unsupported op/window for hopped path"
+    min_ts, max_ts = query_range if query_range else (None, None)
+
+    events = events_df_for_group_by(spark, group_by, min_ts, max_ts)
+    events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
+    q = (
+        queries.select(*keys, F.col(TS).cast("long").alias(TS))
+        .dropna(subset=keys)
+        .distinct()
+        .withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
+    )
+
+    # 1. hop partial IRs
+    hop_irs = events.groupBy(*keys, "__hop").agg(*_ir_aggs(parts))
+
+    # 2. union query hops (null IRs) so every query hop has a tail row,
+    #    then the per-key RANGE window merges preceding hops.
+    ir_cols = [c for c in hop_irs.columns if c.startswith("i_")]
+    q_hops = q.select(*keys, "__hop").distinct()
+    hop_grid = hop_irs.join(q_hops, on=keys + ["__hop"], how="full")
+    tails = hop_grid.select(*keys, "__hop", *_tail_cols(parts, keys, hop_ms))
+    # only query hops are needed downstream
+    tails = tails.join(q_hops, on=keys + ["__hop"], how="leftsemi")
+
+    # 3. exact head: events of the query's own hop with e.ts <= q.ts
+    head_needed = list(dict.fromkeys(p.input_column for p in parts))
+    ev_head = events.select(*keys, "__hop", F.col(TS).alias("__ets"), *head_needed)
+    qh = q.select(*keys, "__hop", TS)
+    head_join = qh.join(ev_head, on=keys + ["__hop"], how="inner").where(
+        F.col("__ets") <= F.col(TS)
+    )
+    head_agg_input = head_join.withColumnRenamed(TS, "__qts").withColumnRenamed(
+        "__ets", TS
+    )
+    heads = head_agg_input.groupBy(*keys, "__qts").agg(*_ir_aggs(parts))
+    heads = heads.select(
+        *keys, F.col("__qts").alias(TS), *[F.col(c).alias("h" + c[1:]) for c in ir_cols]
+    )
+
+    # 4. combine tail ⊕ head per part
+    joined = (
+        q.join(tails, on=keys + ["__hop"], how="left")
+        .join(heads, on=keys + [TS], how="left")
+    )
+
+    out_cols: list[Column] = []
+    for p in parts:
+        c = p.input_column
+        op = p.operation
+        sfx = f"{c}_{p.output_column}"
+        name = p.output_column
+        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+            cnt = F.coalesce(F.col(f"t_cnt_{sfx}"), F.lit(0)) + F.coalesce(
+                F.col(f"h_cnt_{c}"), F.lit(0)
+            )
+            s = F.when(
+                cnt > 0,
+                F.coalesce(F.col(f"t_sum_{sfx}"), F.lit(0.0))
+                + F.coalesce(F.col(f"h_sum_{c}"), F.lit(0.0)),
+            )
+            if op is Operation.COUNT:
+                out_cols.append(cnt.alias(name))
+            elif op is Operation.SUM:
+                out_cols.append(s.alias(name))
+            elif op is Operation.AVERAGE:
+                out_cols.append((s / cnt).alias(name))
+            else:  # VARIANCE (population)
+                ssq = F.when(
+                    cnt > 0,
+                    F.coalesce(F.col(f"t_ssq_{sfx}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"h_ssq_{c}"), F.lit(0.0)),
+                )
+                var = ssq / cnt - F.pow(s / cnt, 2)
+                out_cols.append(F.when(cnt > 0, F.greatest(var, F.lit(0.0))).alias(name))
+        elif op is Operation.MIN:
+            out_cols.append(F.least(f"t_min_{sfx}", f"h_min_{c}").alias(name))
+        elif op is Operation.MAX:
+            out_cols.append(F.greatest(f"t_max_{sfx}", f"h_max_{c}").alias(name))
+        elif op is Operation.LAST:
+            st = F.greatest(F.col(f"t_last_{sfx}"), F.col(f"h_last_{c}"))
+            out_cols.append(st["v"].alias(name))
+        elif op is Operation.FIRST:
+            st = F.least(F.col(f"t_first_{sfx}"), F.col(f"h_first_{c}"))
+            out_cols.append(st["v"].alias(name))
+        elif op is Operation.UNIQUE_COUNT:
+            t_set, h_set = F.col(f"t_set_{sfx}"), F.col(f"h_set_{c}")
+            merged = F.array_distinct(
+                F.array_union(F.coalesce(t_set, h_set), F.coalesce(h_set, t_set))
+            )
+            out_cols.append(
+                F.when(t_set.isNull() & h_set.isNull(), F.lit(0))
+                .otherwise(F.size(merged))
+                .cast("long")
+                .alias(name)
+            )
+        elif op is Operation.APPROX_UNIQUE_COUNT:
+            est = F.hll_sketch_estimate(
+                F.hll_union(F.col(f"t_hll_{sfx}"), F.col(f"h_hll_{c}"), True)
+            )
+            out_cols.append(est.alias(name))
+    return joined.select(*keys, TS, *out_cols)

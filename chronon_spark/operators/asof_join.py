@@ -210,10 +210,41 @@ def group_by_asof(
     return unioned.groupBy("__g").applyInPandas(kernel, schema=out_schema)
 
 
+def compute_join_part(
+    spark: SparkSession,
+    gb: GroupBy,
+    part_queries: DataFrame,
+    mode: str = "exact",
+    tail_hop_ms: Optional[int] = None,
+) -> DataFrame:
+    """Dispatch one GroupBy's as-of computation to the best physical plan.
+
+    - ``mode="sawtooth"`` (the reference's semantics, Resolution.scala:38-48
+      auto hop): if every op is mergeable, the pure-Catalyst hopped plan
+      (operators.asof_hopped — no Python, skew-free via time-hop spreading);
+      otherwise the Arrow kernel with the hopping tail.
+    - ``mode="exact"``: exact sliding windows via the Arrow kernel.
+    """
+    from chronon_spark.api.types import tail_hop_millis
+    from chronon_spark.operators.asof_hopped import group_by_asof_hopped, supports_hopped
+
+    if mode == "sawtooth":
+        parts = gb.unpack()
+        windows = [p.window for p in parts if p.window is not None]
+        hop = tail_hop_ms or (min(tail_hop_millis(w) for w in windows) if windows else 86_400_000)
+        if supports_hopped(gb, hop):
+            return group_by_asof_hopped(spark, gb, part_queries, hop)
+        return group_by_asof(spark, gb, part_queries, tail_hop_ms=hop)
+    # exact mode; an explicit tail_hop_ms still selects the kernel's
+    # sawtooth rounding (backward-compatible escape hatch)
+    return group_by_asof(spark, gb, part_queries, tail_hop_ms=tail_hop_ms)
+
+
 def join_asof(
     spark: SparkSession,
     join_conf: Join,
     tail_hop_ms: Optional[int] = None,
+    mode: str = "exact",
 ) -> DataFrame:
     """Full point-in-time Join: left query rows x many GroupBys.
 
@@ -245,7 +276,7 @@ def join_asof(
                     part_queries = part_queries.where(
                         ~F.col(mapped).isin(list(hot)) | F.col(mapped).isNull()
                     )
-        feats = group_by_asof(spark, gb, part_queries, tail_hop_ms)
+        feats = compute_join_part(spark, gb, part_queries, mode=mode, tail_hop_ms=tail_hop_ms)
         prefix = jp.full_prefix()
         right_keys = list(gb.key_columns)
         renames = {p.output_column: f"{prefix}_{p.output_column}" for p in gb.unpack()}

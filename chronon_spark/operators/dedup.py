@@ -134,20 +134,36 @@ def minhash_lsh_pairs(
     pass None to return raw candidates (with estimated jaccard from
     signature agreement).
 
-    Scale: signature computation is a narrow map; bucketing shuffles
-    O(n*bands) rows; ``max_bucket`` caps degenerate buckets (boilerplate)
-    before the quadratic within-bucket join.
+    Scale plan (the shape that survives 100 TB):
+    1. shingle sets computed ONCE per doc (HOF projection) and persisted —
+       both the signature path and the verify path read it,
+    2. signatures via explode + plain-expression md5 + 16 ``min`` aggregates
+       with map-side partial aggregation — NO higher-order functions in the
+       hot path (HOFs disable whole-stage codegen AND get re-inlined per
+       consumer by CollapseProject, which made the one-expression
+       formulation ~16x slower),
+    3. banding shuffles O(n*bands) tiny rows; ``max_bucket`` caps
+       degenerate buckets (boilerplate) before the quadratic bucket join,
+    4. shingle arrays are re-attached only to the surviving candidate
+       pairs for the exact-jaccard verification.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(text_col, n_hashes, shingle_k).alias("sig"),
-        shingles(text_col, shingle_k).alias("sh"),
+    base = df.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh")).persist()
+
+    exploded = base.select(id_col, F.explode("sh").alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    hashed = exploded.select(id_col, h.alias("h"))
+    mins = [
+        F.min(_mix60(F.col("h"), a, c)).alias(f"m{i}")
+        for i, (a, c) in enumerate(minhash_params(n_hashes))
+    ]
+    sig = hashed.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
     )
+
     banded = sig.select(
         id_col,
         "sig",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -159,12 +175,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # Persist: the banded signatures feed the bucket-size aggregate AND both
-    # sides of the self-join; without a materialization boundary Catalyst
-    # re-evaluates the (md5-heavy) signature expression per consumer (~6x).
-    # At warehouse scale this stage is a checkpointed signatures table.
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = banded.persist()
 
     # cap degenerate buckets before the quadratic join
@@ -180,33 +191,37 @@ def minhash_lsh_pairs(
     pairs = (
         a.join(
             b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    if verify_threshold is None:
+        est = (
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+            ).cast("double")
+            / F.size("sig_a")
+        ).alias("jaccard")
+        return pairs.select("id_a", "id_b", est)
+
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = pairs.select("id_a", "id_b").join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     exact_j = (inter / union).alias("jaccard")
-    if verify_threshold is not None:
-        return pairs.select("id_a", "id_b", exact_j).where(F.col("jaccard") >= verify_threshold)
-    est = (
-        F.size(
-            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-        ).cast("double")
-        / F.size("sig_a")
-    ).alias("jaccard")
-    return pairs.select("id_a", "id_b", est)
+    return verified.select("id_a", "id_b", exact_j).where(
+        F.col("jaccard") >= verify_threshold
+    )
 
 
 def ngram_jaccard_pairs(

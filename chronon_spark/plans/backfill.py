@@ -149,6 +149,18 @@ def backfill(
                 .parquet(output_path)
             )
             wall = time.time() - t0
+            # Checkpoint marker for EMPTY partitions: dynamic overwrite only
+            # creates directories for days that had rows, so a day with no
+            # data would look "missing" forever and be recomputed on every
+            # resume. An empty ds=... directory is the parquet-dir analogue
+            # of a warehouse's empty-but-registered partition.
+            fs, _, jvm = _hadoop_fs(spark, output_path)
+            for ds in step.partitions():
+                pdir = jvm.org.apache.hadoop.fs.Path(
+                    f"{output_path}/{partition_col}={ds}"
+                )
+                if not fs.exists(pdir):
+                    fs.mkdirs(pdir)
             # per-partition metrics from the files just written (footer-only
             # count; bytes from the filesystem) — emitted even for empty
             # partitions inside the step range.

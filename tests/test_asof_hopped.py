@@ -1,0 +1,113 @@
+"""Pure-Catalyst hopped sawtooth path == Arrow kernel in sawtooth mode.
+
+Mode-consistency (metamorphic) testing, the reference's own strategy
+(UnionJoin vs classic temporalEvents, UnionJoinTest.scala:11-278): two
+independent implementations of the same semantics must agree exactly.
+"""
+
+import pandas as pd
+import pytest
+
+from chronon_spark.api.types import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.asof_hopped import group_by_asof_hopped, supports_hopped
+from chronon_spark.operators.asof_join import group_by_asof
+from chronon_spark.sources.scan import millis_expr
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+
+def _gb(sf_dir, aggs):
+    return GroupBy(
+        sources=(
+            EventSource(
+                table=f"{sf_dir}/events.parquet",
+                query=Query(
+                    # cents quantization -> sums exact, engines/implementations agree bitwise
+                    selects={"user_id": "user_id", "value": "floor(value*100 + 0.5)"},
+                    time_column=millis_expr("ts"),
+                ),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=aggs,
+        name="hopped",
+    )
+
+
+AGGS = (
+    Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+    Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+    Aggregation("value", Operation.AVERAGE, windows=(Window.days(14),)),
+    Aggregation("value", Operation.VARIANCE, windows=(Window.days(14),)),
+    Aggregation("value", Operation.MIN, windows=(Window.days(7),)),
+    Aggregation("value", Operation.MAX),
+    Aggregation("value", Operation.LAST),
+    Aggregation("value", Operation.FIRST, windows=(Window.days(7),)),
+    Aggregation("value", Operation.UNIQUE_COUNT, windows=(Window.days(7),)),
+)
+
+
+def _queries(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", f"{millis_expr('ts')} AS ts"
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("hop_ms", [DAY_MS, HOUR_MS])
+def test_hopped_equals_kernel_sawtooth(spark, sf_dir, hop_ms):
+    gb = _gb(sf_dir, AGGS)
+    assert supports_hopped(gb, hop_ms)
+    q = _queries(spark, sf_dir)
+    got = _norm(group_by_asof_hopped(spark, gb, q, hop_ms).toPandas())
+    exp = _norm(group_by_asof(spark, gb, q, tail_hop_ms=hop_ms).toPandas())
+    assert len(got) == len(exp) > 0
+    assert list(got.columns) == list(exp.columns)
+    for col in got.columns:
+        g, e = got[col], exp[col]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
+        else:
+            assert g.equals(e), col
+
+
+def test_supports_hopped_gates():
+    gb_bad_op = _gb("/x", (Aggregation("value", Operation.LAST_K, {"k": 3}),))
+    assert not supports_hopped(gb_bad_op, DAY_MS)
+    gb_bad_window = _gb("/x", (Aggregation("value", Operation.SUM, windows=(Window.hours(5),)),))
+    assert not supports_hopped(gb_bad_window, DAY_MS)  # 5h not divisible by 1d
+    assert supports_hopped(gb_bad_window, HOUR_MS)
+
+
+def test_hopped_no_leakage(spark, sf_dir):
+    """Poison future events -> features at past query times unchanged."""
+    from pyspark.sql import functions as F
+
+    gb = _gb(sf_dir, (Aggregation("value", Operation.SUM, windows=(Window.days(7),)),))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cutoff = ev.selectExpr("percentile(unix_micros(CAST(ts AS TIMESTAMP)) div 1000, 0.5)").first()[0]
+    q = _queries(spark, sf_dir).where(F.col("ts") <= cutoff)
+    base = _norm(group_by_asof_hopped(spark, gb, q, DAY_MS).toPandas())
+
+    poisoned_path = None
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    poisoned_path = os.path.join(d, "events.parquet")
+    ev.withColumn(
+        "value",
+        F.when(F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div 1000 > {cutoff}"), F.lit(9.9e7)).otherwise(F.col("value")),
+    ).write.parquet(poisoned_path)
+    gb2 = _gb(d, (Aggregation("value", Operation.SUM, windows=(Window.days(7),)),))
+    poisoned = _norm(group_by_asof_hopped(spark, gb2, q, DAY_MS).toPandas())
+    assert base.equals(poisoned)

@@ -1,0 +1,144 @@
+"""SNAPSHOT-accuracy join (day-shift PIT rule), entity snapshots, staging
+query macros — vs DuckDB oracles."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Accuracy,
+    Aggregation,
+    EntitySource,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.snapshot_join import join_snapshot, snapshot_entities
+from chronon_spark.operators.staging_query import render, run_staging_query
+from chronon_spark.plans.partition_range import PartitionRange
+from chronon_spark.sources.scan import millis_expr
+
+DAY_MS = 86_400_000
+
+
+def test_join_snapshot_day_shift(spark, sf_dir):
+    """Each event row gets the 7d-window count/sum as of the PREVIOUS
+    midnight — verified against a DuckDB formulation of the same rule."""
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"event_id": "event_id", "user_id": "user_id",
+                     "value": "floor(value*100 + 0.5)"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+    gb = GroupBy(
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+        name="snap7",
+    )
+    j = Join(left=src, join_parts=(JoinPart(gb),), name="snapjoin")
+    got = (
+        join_snapshot(spark, j)
+        .select("event_id", "snap7_value_count_7d", "snap7_value_sum_7d")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        WITH ev AS (SELECT event_id, user_id, floor(value*100 + 0.5) AS c,
+                           epoch_ms(ts) AS ts FROM '{sf_dir}/events.parquet'),
+        q AS (SELECT event_id, user_id,
+                     epoch_ms(CAST(CAST(epoch_ms(ts // 1) AS TIMESTAMP) AS DATE)) AS midnight
+              FROM (SELECT event_id, user_id, ts FROM ev)),
+        f AS (
+          SELECT q.event_id,
+             count(CASE WHEN e.ts >= q.midnight - {7 * DAY_MS} THEN e.c END) AS cnt,
+             CAST(sum(CASE WHEN e.ts >= q.midnight - {7 * DAY_MS} THEN e.c END) AS DOUBLE) AS s
+          FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts < q.midnight
+          GROUP BY q.event_id
+        )
+        SELECT event_id, cnt, s FROM f ORDER BY event_id
+        """
+    ).df()
+    assert len(got) == len(exp)
+    # rows whose user had no events before midnight -> feature NULL (left join
+    # missed) on our side, cnt=0 on the oracle's; align both to pandas NaN/0
+    got_cnt = got["snap7_value_count_7d"].fillna(0).astype(int)
+    assert (got_cnt.to_numpy() == exp["cnt"].to_numpy()).all()
+    gs = got["snap7_value_sum_7d"].astype(float)
+    es = exp["s"].astype(float)
+    both_nan = gs.isna() & es.isna()
+    assert (both_nan | (abs(gs - es) < 1e-9)).all()
+
+
+def test_snapshot_entities(spark, sf_dir):
+    """Entity snapshots: customer as a single-ds snapshot table."""
+    src = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={"c_nationkey": "c_nationkey", "c_acctbal": "c_acctbal",
+                     "ds": "'2024-01-01'"},
+            partition_column="ds",
+        ),
+    )
+    gb = GroupBy(
+        sources=(src,),
+        key_columns=("c_nationkey",),
+        aggregations=(
+            Aggregation("c_acctbal", Operation.COUNT),
+            Aggregation("c_acctbal", Operation.AVERAGE),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+        name="nation_bal",
+    )
+    got = snapshot_entities(spark, gb).toPandas().sort_values("c_nationkey").reset_index(drop=True)
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT c_nationkey, count(c_acctbal) AS c, avg(c_acctbal) AS a
+            FROM '{sf_dir}/customer.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert (got["c_acctbal_count"].to_numpy() == exp["c"].to_numpy()).all()
+    assert (abs(got["c_acctbal_average"] - exp["a"]) < 1e-9).all()
+
+
+def test_staging_query_macros(spark, sf_dir):
+    sql = """
+      SELECT l_returnflag, date_format(l_shipdate, 'yyyy-MM-dd') AS ds,
+             count(*) AS n
+      FROM parquet.`{SF}/lineitem.parquet`
+      WHERE date_format(l_shipdate, 'yyyy-MM-dd') BETWEEN '{{ start_date }}' AND '{{ end_date }}'
+      GROUP BY 1, 2
+    """.replace("{SF}", sf_dir)
+    rendered = render(spark, sql, "1996-02-01", "1996-02-10")
+    assert "{{" not in rendered and "1996-02-01" in rendered
+    out = run_staging_query(spark, sql, "1996-02-01", "1996-02-10")
+    n = out.agg(F.sum("n")).first()[0]
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT count(*) FROM '{sf_dir}/lineitem.parquet'
+            WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1996-02-01' AND '1996-02-10'"""
+    ).fetchone()[0]
+    assert n == exp
+
+
+def test_staging_query_max_date_macro(spark, sf_dir, tmp_path):
+    # build a tiny partitioned table to probe max_date(table=...)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-05", 2)], "ds string, v int"
+    ).write.partitionBy("ds").parquet(p)
+    rendered = render(spark, f"SELECT '{{{{ max_date(table={p}) }}}}' AS m", "a", "b")
+    assert "2024-01-05" in rendered
