@@ -160,6 +160,7 @@ def group_by_asof_hopped(
     queries: DataFrame,
     hop_ms: int,
     query_range: Optional[tuple] = None,
+    prune_keys: bool = False,
 ) -> DataFrame:
     """Sawtooth as-of features at each distinct (keys, ts) query row —
     tail snapped to ``hop_ms`` boundaries, head exact (see module doc)."""
@@ -169,13 +170,17 @@ def group_by_asof_hopped(
     min_ts, max_ts = query_range if query_range else (None, None)
 
     events = events_df_for_group_by(spark, group_by, min_ts, max_ts)
-    events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
     q = (
         queries.select(*keys, F.col(TS).cast("long").alias(TS))
         .dropna(subset=keys)
         .distinct()
         .withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
     )
+    if prune_keys:
+        from chronon_spark.operators.join_utils import prune_events_by_keys
+
+        events = prune_events_by_keys(events, q, keys)
+    events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
 
     # 1. hop partial IRs
     hop_irs = events.groupBy(*keys, "__hop").agg(*_ir_aggs(parts))
@@ -265,4 +270,7 @@ def group_by_asof_hopped(
                 F.hll_union(F.col(f"t_hll_{sfx}"), F.col(f"h_hll_{c}"), True)
             )
             out_cols.append(est.alias(name))
-    return joined.select(*keys, TS, *out_cols)
+    out = joined.select(*keys, TS, *out_cols)
+    if group_by.derivations:
+        out = out.selectExpr("*", *[f"{e} AS {a}" for a, e in group_by.derivations.items()])
+    return out

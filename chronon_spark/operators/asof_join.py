@@ -132,6 +132,7 @@ def group_by_asof(
     tail_hop_ms: Optional[int] = None,
     query_range: Optional[tuple] = None,
     num_groups: Optional[int] = None,
+    prune_keys: bool = False,
 ) -> DataFrame:
     """Compute all of ``group_by``'s features at each distinct (keys, ts)
     row of ``queries``.
@@ -162,6 +163,10 @@ def group_by_asof(
 
     events = events_df_for_group_by(spark, group_by, min_ts, max_ts)
     q = queries.select(*keys, TS).dropna(subset=keys).distinct()
+    if prune_keys:
+        from chronon_spark.operators.join_utils import prune_events_by_keys
+
+        events = prune_events_by_keys(events, q, keys)
 
     input_cols = [c for c in events.columns if c not in keys + [TS]]
     ev_u = events.select(
@@ -207,7 +212,10 @@ def group_by_asof(
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    return unioned.groupBy("__g").applyInPandas(kernel, schema=out_schema)
+    out = unioned.groupBy("__g").applyInPandas(kernel, schema=out_schema)
+    if group_by.derivations:
+        out = out.selectExpr("*", *[f"{e} AS {a}" for a, e in group_by.derivations.items()])
+    return out
 
 
 def compute_join_part(
@@ -216,6 +224,7 @@ def compute_join_part(
     part_queries: DataFrame,
     mode: str = "exact",
     tail_hop_ms: Optional[int] = None,
+    prune_keys: bool = False,
 ) -> DataFrame:
     """Dispatch one GroupBy's as-of computation to the best physical plan.
 
@@ -233,11 +242,13 @@ def compute_join_part(
         windows = [p.window for p in parts if p.window is not None]
         hop = tail_hop_ms or (min(tail_hop_millis(w) for w in windows) if windows else 86_400_000)
         if supports_hopped(gb, hop):
-            return group_by_asof_hopped(spark, gb, part_queries, hop)
-        return group_by_asof(spark, gb, part_queries, tail_hop_ms=hop)
+            return group_by_asof_hopped(spark, gb, part_queries, hop, prune_keys=prune_keys)
+        return group_by_asof(spark, gb, part_queries, tail_hop_ms=hop, prune_keys=prune_keys)
     # exact mode; an explicit tail_hop_ms still selects the kernel's
     # sawtooth rounding (backward-compatible escape hatch)
-    return group_by_asof(spark, gb, part_queries, tail_hop_ms=tail_hop_ms)
+    return group_by_asof(
+        spark, gb, part_queries, tail_hop_ms=tail_hop_ms, prune_keys=prune_keys
+    )
 
 
 def join_asof(
@@ -245,6 +256,8 @@ def join_asof(
     join_conf: Join,
     tail_hop_ms: Optional[int] = None,
     mode: str = "exact",
+    bootstrap_df: Optional[DataFrame] = None,
+    prune_keys: bool = False,
 ) -> DataFrame:
     """Full point-in-time Join: left query rows x many GroupBys.
 
@@ -263,6 +276,13 @@ def join_asof(
                 left = left.where(~F.col(col).isin(list(hot)) | F.col(col).isNull())
 
     result = left
+    if bootstrap_df is not None:
+        from chronon_spark.operators.join_utils import bootstrap_join
+
+        row_ids = list(join_conf.row_ids or [])
+        assert row_ids, "bootstrap requires Join.row_ids"
+        result = bootstrap_join(result, bootstrap_df, row_ids)
+
     for jp in join_conf.join_parts:
         gb = jp.group_by
         mapping = jp.key_mapping or {k: k for k in gb.key_columns}
@@ -276,8 +296,18 @@ def join_asof(
                     part_queries = part_queries.where(
                         ~F.col(mapped).isin(list(hot)) | F.col(mapped).isNull()
                     )
-        feats = compute_join_part(spark, gb, part_queries, mode=mode, tail_hop_ms=tail_hop_ms)
         prefix = jp.full_prefix()
+        part_out_cols = [f"{prefix}_{p.output_column}" for p in gb.unpack()]
+        if bootstrap_df is not None:
+            # rows the bootstrap fully covers skip this part's computation
+            from chronon_spark.operators.join_utils import uncovered_rows
+
+            need = uncovered_rows(result, part_out_cols)
+            sel2 = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
+            part_queries = need.select(*sel2)
+        feats = compute_join_part(
+            spark, gb, part_queries, mode=mode, tail_hop_ms=tail_hop_ms, prune_keys=prune_keys
+        )
         right_keys = list(gb.key_columns)
         renames = {p.output_column: f"{prefix}_{p.output_column}" for p in gb.unpack()}
         for old, new in renames.items():
@@ -288,7 +318,12 @@ def join_asof(
             if rk != lc:
                 feats = feats.withColumnRenamed(rk, lc)
         join_keys = list(mapping.keys()) + [TS]
-        result = result.join(feats, on=join_keys, how="left")
+        if bootstrap_df is not None:
+            from chronon_spark.operators.join_utils import coalesced_join
+
+            result = coalesced_join(result, feats, join_keys)
+        else:
+            result = result.join(feats, on=join_keys, how="left")
 
     if join_conf.derivations:
         exprs = [f"{e} AS {a}" for a, e in join_conf.derivations.items()]
