@@ -673,6 +673,278 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sawtooth (hopped Catalyst) as-of path — the 100 TB scale plan
+# ---------------------------------------------------------------------------
+
+def q_asof_sawtooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_hopped import group_by_asof_hopped
+
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.AVERAGE, windows=(Window.days(14),)),
+            Aggregation("value", Operation.MIN, windows=(Window.days(7),)),
+            Aggregation("value", Operation.LAST),
+            Aggregation("value", Operation.UNIQUE_COUNT, windows=(Window.days(7),)),
+        ),
+        name="sawtooth",
+    )
+    out = group_by_asof_hopped(spark, gb, _event_queries(spark, sf_dir), hop_ms=DAY_MS)
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("value_count_7d"),
+        _r6(F.col("value_sum_7d") / 100).alias("value_sum_7d"),
+        _r6(F.col("value_average_14d") / 100).alias("value_average_14d"),
+        _r6(F.col("value_min_7d") / 100).alias("value_min_7d"),
+        _r6(F.col("value_last") / 100).alias("value_last"),
+        F.col("value_unique_count_7d"),
+    )
+
+
+# sawtooth tail: e.ts >= round_down(q.ts - W, 1d) (hopping tail); head e.ts <= q.ts
+_SAWTOOTH_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev)
+SELECT q.user_id, q.ts,
+   count(CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS value_count_7d,
+   round(CAST(sum(CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6) AS value_sum_7d,
+   round((CAST(sum(CASE WHEN e.ts >= ((q.ts - {14 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS DOUBLE)
+          / count(CASE WHEN e.ts >= ((q.ts - {14 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END)) / 100, 6) AS value_average_14d,
+   round(min(CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) / 100, 6) AS value_min_7d,
+   round(arg_max(e.c, e.ts) / 100, 6) AS value_last,
+   count(DISTINCT CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS value_unique_count_7d
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# SNAPSHOT-accuracy join + entity snapshots
+# ---------------------------------------------------------------------------
+
+def q_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Window,
+    )
+    from chronon_spark.operators.snapshot_join import join_snapshot
+
+    src = _events_source(sf_dir, cents=True)
+    gb = GroupBy(
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+        name="snap7",
+    )
+    out = join_snapshot(spark, Join(left=src, join_parts=(JoinPart(gb),), name="sj"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("snap7_value_count_7d"), F.lit(0)).alias("cnt_7d_prev_midnight"),
+        _r6(F.col("snap7_value_sum_7d") / 100).alias("sum_7d_prev_midnight"),
+    )
+
+
+_SNAPSHOT_JOIN_ORACLE = f"""
+WITH ev AS (SELECT event_id, user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT event_id, user_id, ts,
+             epoch_ms(CAST(CAST(to_timestamp(ts / 1000) AS DATE) AS TIMESTAMP)) AS midnight
+      FROM ev)
+SELECT q.event_id, q.user_id, q.ts,
+   count(CASE WHEN e.ts >= q.midnight - {7 * DAY_MS} THEN e.c END) AS cnt_7d_prev_midnight,
+   round(CAST(sum(CASE WHEN e.ts >= q.midnight - {7 * DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6)
+     AS sum_7d_prev_midnight
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts < q.midnight
+GROUP BY q.event_id, q.user_id, q.ts
+"""
+
+
+def q_entity_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.api.types import (
+        Accuracy,
+        Aggregation,
+        EntitySource,
+        GroupBy,
+        Operation,
+        Query,
+    )
+    from chronon_spark.operators.snapshot_join import snapshot_entities
+
+    src = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={
+                "c_nationkey": "c_nationkey",
+                "c_acctbal": "floor(c_acctbal * 100 + 0.5)",
+                "ds": "'2024-01-01'",
+            },
+            partition_column="ds",
+        ),
+    )
+    gb = GroupBy(
+        sources=(src,),
+        key_columns=("c_nationkey",),
+        aggregations=(
+            Aggregation("c_acctbal", Operation.COUNT),
+            Aggregation("c_acctbal", Operation.AVERAGE),
+            Aggregation("c_acctbal", Operation.MIN),
+            Aggregation("c_acctbal", Operation.MAX),
+        ),
+        accuracy=Accuracy.SNAPSHOT,
+        name="nb",
+    )
+    out = snapshot_entities(spark, gb)
+    return out.select(
+        "c_nationkey",
+        "ds",
+        F.col("c_acctbal_count"),
+        _r6(F.col("c_acctbal_average") / 100).alias("c_acctbal_average"),
+        _r6(F.col("c_acctbal_min") / 100).alias("c_acctbal_min"),
+        _r6(F.col("c_acctbal_max") / 100).alias("c_acctbal_max"),
+    )
+
+
+_ENTITY_SNAPSHOT_ORACLE = """
+WITH c AS (SELECT c_nationkey, floor(c_acctbal * 100 + 0.5) AS b FROM customer)
+SELECT c_nationkey, '2024-01-01' AS ds,
+   count(b) AS c_acctbal_count,
+   round((CAST(sum(b) AS DOUBLE) / count(b)) / 100, 6) AS c_acctbal_average,
+   round(min(b) / 100, 6) AS c_acctbal_min,
+   round(max(b) / 100, 6) AS c_acctbal_max
+FROM c GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# StagingQuery / classic analytics (scan-agg-join coverage)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+   floor((CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100) * 1000000 + 0.5) / 1000000 AS sum_base_price,
+   floor(((CAST(sum(floor(l_discount * 100 + 0.5)) AS DOUBLE) / count(*)) / 100) * 1000000 + 0.5) / 1000000 AS avg_disc,
+   count(*) AS count_order
+FROM {LINEITEM}
+WHERE {DS_EXPR} <= '{{ end_date }}' AND {DS_EXPR} >= '{{ start_date }}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_staging_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chronon_spark.operators.staging_query import run_staging_query
+
+    sql = _Q1_SQL.replace("{LINEITEM}", f"parquet.`{sf_dir}/lineitem.parquet`").replace(
+        "{DS_EXPR}", "date_format(l_shipdate, 'yyyy-MM-dd')"
+    )
+    return run_staging_query(spark, sql, "1995-01-01", "1998-09-02")
+
+
+_STAGING_Q1_ORACLE = _Q1_SQL.replace("{LINEITEM}", "lineitem").replace(
+    "{DS_EXPR}", "strftime(l_shipdate, '%Y-%m-%d')"
+).replace("{{ start_date }}", "1995-01-01").replace("{{ end_date }}", "1998-09-02")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style 3-way join; revenue in exact cents."""
+    for t in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(f"__{t}")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS orderkey,
+           floor((CAST(sum(floor(l.l_extendedprice * 100 + 0.5)
+                      * (100 - floor(l.l_discount * 100 + 0.5))) AS DOUBLE) / 10000)
+                 * 1000000 + 0.5) / 1000000 AS revenue,
+           date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+           o.o_orderpriority AS orderpriority
+        FROM __customer c JOIN __orders o ON c.c_custkey = o.o_custkey
+        JOIN __lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+        """
+    )
+
+
+_TPCH_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+   floor((CAST(sum(floor(l.l_extendedprice * 100 + 0.5)
+              * (100 - floor(l.l_discount * 100 + 0.5))) AS DOUBLE) / 10000)
+         * 1000000 + 0.5) / 1000000 AS revenue,
+   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+   o.o_orderpriority AS orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (drained via availableNow into a batch result)
+# ---------------------------------------------------------------------------
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window sessionization of the events table; result
+    must equal the batch gap+cumsum formulation (same oracle rows minus the
+    session index)."""
+    import tempfile
+
+    from chronon_spark.streaming.stream_groupby import run_available_now, stream_sessionize
+
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts")
+    )
+    ck = tempfile.mkdtemp(prefix="stream_ck_")
+    return run_available_now(
+        stream_sessionize(stream, ["user_id"], GAP_MS), ck, "drv_stream_sessions"
+    )
+
+
+_STREAM_SESSIONS_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+s AS (
+  SELECT user_id, ts,
+     CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {GAP_MS} THEN 1 ELSE 0 END AS st
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+t AS (
+  SELECT user_id, ts,
+     sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+   min(ts) AS session_start_ts, max(ts) AS session_end_ts,
+   max(ts) - min(ts) AS session_duration_ms,
+   count(*) AS session_events
+FROM t GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -697,6 +969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
+        "asof_sawtooth": q_asof_sawtooth,
+        "snapshot_join": q_snapshot_join,
+        "entity_snapshot": q_entity_snapshot,
+        "staging_q1": q_staging_q1,
+        "tpch_q3": q_tpch_q3,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -718,4 +996,10 @@ def _raw_oracles() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(),
         "doc_stats": _doc_stats_oracle(),
         "embedding_topk": _TOPK_ORACLE,
+        "asof_sawtooth": _SAWTOOTH_ORACLE,
+        "snapshot_join": _SNAPSHOT_JOIN_ORACLE,
+        "entity_snapshot": _ENTITY_SNAPSHOT_ORACLE,
+        "staging_q1": _STAGING_Q1_ORACLE,
+        "tpch_q3": _TPCH_Q3_ORACLE,
+        "stream_sessions": _STREAM_SESSIONS_ORACLE,
     }
