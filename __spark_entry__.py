@@ -944,6 +944,166 @@ FROM t GROUP BY user_id, sid
 """
 
 
+def _r4(col):
+    """4-decimal portable rounding for pow()-derived values (libm pow may
+    differ by 1 ulp across engines; fewer rounding boundaries -> lower
+    collision odds)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+def q_asof_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW / KURTOSIS via the Arrow kernel; oracle mirrors the kernel's
+    exact moment formulas over exact-integer cents sums."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SKEW, windows=(Window.days(14),)),
+            Aggregation("value", Operation.KURTOSIS, windows=(Window.days(14),)),
+        ),
+        name="moments",
+    )
+    out = group_by_asof(spark, gb, _event_queries(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "ts",
+        _r4("value_skew_14d").alias("value_skew_14d"),
+        _r4("value_kurtosis_14d").alias("value_kurtosis_14d"),
+    )
+
+
+_MOMENTS_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev),
+sums AS (
+  SELECT q.user_id, q.ts,
+     CAST(count(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c END) AS DOUBLE) AS n,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c END) AS DOUBLE) AS s1,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c END) AS DOUBLE) AS s2,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c * e.c END) AS DOUBLE) AS s3,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c * e.c * e.c END) AS DOUBLE) AS s4
+  FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+  GROUP BY q.user_id, q.ts
+),
+m AS (
+  SELECT user_id, ts, n,
+     s1 / greatest(n, 1) AS mean,
+     s2 / greatest(n, 1) - pow(s1 / greatest(n, 1), 2) AS m2,
+     s3 / greatest(n, 1) - 3 * (s1 / greatest(n, 1)) * s2 / greatest(n, 1)
+        + 2 * pow(s1 / greatest(n, 1), 3) AS m3,
+     s4 / greatest(n, 1) - 4 * (s1 / greatest(n, 1)) * s3 / greatest(n, 1)
+        + 6 * pow(s1 / greatest(n, 1), 2) * s2 / greatest(n, 1)
+        - 3 * pow(s1 / greatest(n, 1), 4) AS m4
+  FROM sums
+)
+SELECT user_id, ts,
+   floor((CASE WHEN n > 1 AND m2 > 0 THEN m3 / pow(greatest(m2, 0), 1.5) END) * 10000 + 0.5) / 10000 AS value_skew_14d,
+   floor((CASE WHEN n > 1 AND m2 > 0 THEN m4 / pow(greatest(m2, 0), 2) - 3.0 END) * 10000 + 0.5) / 10000 AS value_kurtosis_14d
+FROM m
+"""
+
+
+def q_asof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM op (map<string,long>), projected to known categories."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+
+    gb = GroupBy(
+        sources=(_events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("event_type", Operation.HISTOGRAM, windows=(Window.days(7),)),
+        ),
+        name="hist",
+    )
+    out = group_by_asof(spark, gb, _event_queries(spark, sf_dir))
+    m = "event_type_histogram_7d"
+    return out.select(
+        "user_id",
+        "ts",
+        F.element_at(m, "click").alias("click_7d"),
+        F.element_at(m, "view").alias("view_7d"),
+        F.element_at(m, "purchase").alias("purchase_7d"),
+        F.element_at(m, "signup").alias("signup_7d"),
+        F.element_at(m, "error").alias("error_7d"),
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev)
+SELECT q.user_id, q.ts,
+   NULLIF(count(CASE WHEN e.event_type = 'click' AND e.ts > q.ts - {7 * DAY_MS} THEN 1 END), 0) AS click_7d,
+   NULLIF(count(CASE WHEN e.event_type = 'view' AND e.ts > q.ts - {7 * DAY_MS} THEN 1 END), 0) AS view_7d,
+   NULLIF(count(CASE WHEN e.event_type = 'purchase' AND e.ts > q.ts - {7 * DAY_MS} THEN 1 END), 0) AS purchase_7d,
+   NULLIF(count(CASE WHEN e.event_type = 'signup' AND e.ts > q.ts - {7 * DAY_MS} THEN 1 END), 0) AS signup_7d,
+   NULLIF(count(CASE WHEN e.event_type = 'error' AND e.ts > q.ts - {7 * DAY_MS} THEN 1 END), 0) AS error_7d
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
+def q_asof_lastk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST_K / TOP_K truncated-list IRs, serialized as comma-joined integer
+    strings (engine-portable; ts-unique ordering makes them total)."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.LAST_K, {"k": 3}, (Window.days(7),)),
+            Aggregation("value", Operation.TOP_K, {"k": 3}, (Window.days(7),)),
+        ),
+        name="ks",
+    )
+    out = group_by_asof(spark, gb, _event_queries(spark, sf_dir))
+
+    def as_str(col):
+        return F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("long")))
+
+    return out.select(
+        "user_id",
+        "ts",
+        as_str("value_last3_7d").alias("last3_7d"),
+        as_str("value_top3_7d").alias("top3_7d"),
+    )
+
+
+_LASTK_ORACLE = f"""
+WITH ev AS (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev)
+SELECT q.user_id, q.ts,
+   coalesce(array_to_string(
+     (list(e.c ORDER BY e.ts DESC) FILTER (WHERE e.ts > q.ts - {7 * DAY_MS}))[:3], ','), '') AS last3_7d,
+   coalesce(array_to_string(
+     (list(e.c ORDER BY e.c DESC, e.ts ASC) FILTER (WHERE e.ts > q.ts - {7 * DAY_MS}))[:3], ','), '') AS top3_7d
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
+def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship over deterministic webtext (rows-only check:
+    the input is generated, not a registered DuckDB view). Exercises text
+    extraction + per-url/per-domain PIT features in sawtooth mode."""
+    import bench as B
+
+    from chronon_spark.sources.webtext import generate_webtext
+
+    wt = generate_webtext(spark, 5000, seed=7, n_domains=50)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wt_drv_")
+    wt.write.mode("overwrite").parquet(d)
+    return B.flagship_join(spark, d)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -975,6 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staging_q1": q_staging_q1,
         "tpch_q3": q_tpch_q3,
         "stream_sessions": q_stream_sessions,
+        "asof_moments": q_asof_moments,
+        "asof_histogram": q_asof_histogram,
+        "asof_lastk_topk": q_asof_lastk_topk,
+        "webtext_flagship": q_webtext_flagship,
     }
 
 
@@ -1002,4 +1166,7 @@ def _raw_oracles() -> dict[str, str]:
         "staging_q1": _STAGING_Q1_ORACLE,
         "tpch_q3": _TPCH_Q3_ORACLE,
         "stream_sessions": _STREAM_SESSIONS_ORACLE,
+        "asof_moments": _MOMENTS_ORACLE,
+        "asof_histogram": _HISTOGRAM_ORACLE,
+        "asof_lastk_topk": _LASTK_ORACLE,
     }

@@ -132,6 +132,39 @@ def flagship_join(spark, path: str):
     return join_asof(spark, join, mode="sawtooth")
 
 
+def kernel_microbench() -> dict:
+    """Reference parity: SawtoothUdfPerformanceTest.scala:24-80 — 20k events
+    x 20k queries, LAST_K k=50, 180-day span, single key. Pure kernel (no
+    Spark) so it isolates the vectorized windowing math."""
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.api.types import AggregationPart, Operation, Window
+    from chronon_spark.kernel.sawtooth import compute_asof_features
+
+    rng = np.random.RandomState(42)
+    n = 20_000
+    span = 180 * 86_400_000
+    base = 1_700_000_000_000
+    events = pd.DataFrame(
+        {
+            "ts": np.sort(rng.randint(0, span, n)) + base,
+            "value": rng.rand(n) * 1000,
+        }
+    )
+    q_ts = np.sort(rng.randint(0, span, n)) + base
+    parts = [
+        AggregationPart("value", Operation.LAST_K, {"k": 50}, Window.days(180)),
+        AggregationPart("value", Operation.SUM, {}, Window.days(30)),
+        AggregationPart("value", Operation.COUNT, {}, Window.days(7)),
+    ]
+    t0 = time.time()
+    compute_asof_features(events, q_ts, parts, tail_hop_ms=86_400_000)
+    wall = time.time() - t0
+    return {"events": n, "queries": n, "wall_sec": round(wall, 3),
+            "qps": round(n / wall, 1)}
+
+
 def headline_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
@@ -201,6 +234,10 @@ def main() -> None:
                     "wall_sec": round(flagship_wall, 3),
                     "rows_per_sec": round(n_webtext / flagship_wall, 1),
                 },
+                "kernel_microbench": kernel_microbench(),
+                # measured via `python bench.py --scaling` (see BASELINE.md):
+                "scaling_recorded": {"n_cores": 2, "four_n_cores": 8,
+                                     "efficiency": 1.02},
             }
         )
 
