@@ -1088,6 +1088,29 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs formulation)."""
+    from chronon_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.35)
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+     floor((list_sum(list_transform(range(1, len(a.embedding)+1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+       * 1000000 + 0.5) / 1000000 AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (rows-only check:
     the input is generated, not a registered DuckDB view). Exercises text
@@ -1139,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_histogram": q_asof_histogram,
         "asof_lastk_topk": q_asof_lastk_topk,
         "webtext_flagship": q_webtext_flagship,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1169,4 +1193,5 @@ def _raw_oracles() -> dict[str, str]:
         "asof_moments": _MOMENTS_ORACLE,
         "asof_histogram": _HISTOGRAM_ORACLE,
         "asof_lastk_topk": _LASTK_ORACLE,
+        "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
     }

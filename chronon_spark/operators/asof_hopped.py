@@ -272,5 +272,5 @@ def group_by_asof_hopped(
             out_cols.append(est.alias(name))
     out = joined.select(*keys, TS, *out_cols)
     if group_by.derivations:
-        out = out.selectExpr("*", *[f"{e} AS {a}" for a, e in group_by.derivations.items()])
+        out = apply_derivations(out, group_by.derivations, keys + [TS])
     return out

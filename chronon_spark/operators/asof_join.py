@@ -63,6 +63,17 @@ _MAP_LONG_OPS = {
 }
 
 
+def apply_derivations(df, derivations: dict, id_cols: list):
+    """Reference derivation semantics (Join.scala:401-462; thrift Derivation):
+    the derivation select list REPLACES the output columns; a "*" entry
+    passes the base columns through. Key/time columns always survive."""
+    exprs = [f"{e} AS {a}" for a, e in derivations.items() if a != "*"]
+    if "*" in derivations:
+        return df.selectExpr("*", *exprs)
+    keep = [c for c in id_cols if c in df.columns]
+    return df.selectExpr(*keep, *exprs)
+
+
 def part_value_type(part: AggregationPart, input_type: T.DataType) -> T.DataType:
     """Spark type of one part's (unbucketed) output value."""
     op = part.operation
@@ -214,7 +225,7 @@ def group_by_asof(
 
     out = unioned.groupBy("__g").applyInPandas(kernel, schema=out_schema)
     if group_by.derivations:
-        out = out.selectExpr("*", *[f"{e} AS {a}" for a, e in group_by.derivations.items()])
+        out = apply_derivations(out, group_by.derivations, keys + [TS])
     return out
 
 
@@ -326,6 +337,6 @@ def join_asof(
             result = result.join(feats, on=join_keys, how="left")
 
     if join_conf.derivations:
-        exprs = [f"{e} AS {a}" for a, e in join_conf.derivations.items()]
-        result = result.selectExpr("*", *exprs)
+        id_cols = list(join_conf.row_ids or []) + [TS]
+        result = apply_derivations(result, join_conf.derivations, id_cols)
     return result

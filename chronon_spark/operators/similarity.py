@@ -200,3 +200,47 @@ def ivf_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    dim: int = 0,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (id_a < id_b).
+
+    ``n_planes=0``: exact all-pairs (the oracle formulation — O(n^2) dot
+    products, fine for verification scale). ``n_planes>0``: candidates
+    restricted to matching random-hyperplane LSH buckets first — the scale
+    path; near-identical vectors collide in every bucket with high
+    probability, so recall loss concentrates exactly where threshold
+    tolerance lives.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(vec_col).alias("na")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(vec_col).alias("nb")
+    )
+    if n_planes > 0:
+        assert dim > 0, "dim required for LSH bucketing"
+        bucket = lsh_bucket(vec_col, dim, n_planes)
+        a = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            norm(vec_col).alias("na"), bucket.alias("bkt"),
+        )
+        b = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            norm(vec_col).alias("nb"), bucket.alias("bkt"),
+        )
+        pairs = a.join(b, (a.bkt == b.bkt) & (F.col("id_a") < F.col("id_b"))).drop("bkt")
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = F.floor((dot("va", "vb") / (F.col("na") * F.col("nb"))) * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

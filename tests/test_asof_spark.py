@@ -111,7 +111,7 @@ def test_join_asof_multipart(spark, sf_dir):
         left=src,
         join_parts=(JoinPart(gb1), JoinPart(gb2)),
         name="test_join",
-        derivations={"sum_per_event": "v7_value_sum_7d / cnt_value_count"},
+        derivations={"*": "*", "sum_per_event": "v7_value_sum_7d / cnt_value_count"},
     )
     out = join_asof(spark, j)
     rows = out.count()

@@ -110,7 +110,7 @@ def test_group_by_derivations(spark, sf_dir):
             Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
         ),
         name="g",
-        derivations={"avg7": "value_sum_7d / value_count_7d"},
+        derivations={"*": "*", "avg7": "value_sum_7d / value_count_7d"},
     )
     q = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "user_id", f"{millis_expr('ts')} AS ts"

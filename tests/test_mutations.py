@@ -1,0 +1,200 @@
+"""Temporal-entities mutation replay vs a version-interval DuckDB oracle.
+
+Fixture generated from ground-truth entity VERSIONS (valid_from, valid_to):
+snapshots and before/after mutation rows are *derived* from the versions
+(the reference's DataFrameGen mutation invariant: snapshots and mutations
+must be mutually consistent), and the oracle aggregates versions active at
+each query ts directly — a fully independent formulation.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import duckdb
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Aggregation,
+    EntitySource,
+    GroupBy,
+    Operation,
+    Query,
+)
+from chronon_spark.operators.mutations import temporal_entities
+
+DAY_MS = 86_400_000
+T0 = 1_704_067_200_000  # 2024-01-01 UTC
+N_DAYS = 10
+FAR = T0 + 10_000 * DAY_MS
+
+
+@pytest.fixture(scope="module")
+def fixture(spark, tmp_path_factory):
+    rng = np.random.RandomState(7)
+    rows = []
+    for item in range(200):
+        store = item % 20
+        n_v = rng.randint(1, 5)
+        # first version starts day 0; later versions at random times in days 1..9
+        starts = [T0] + sorted(
+            rng.randint(T0 + DAY_MS, T0 + N_DAYS * DAY_MS, n_v - 1).tolist()
+        )
+        for vi, vf in enumerate(starts):
+            vt = starts[vi + 1] if vi + 1 < len(starts) else FAR
+            rows.append((store, item, int(rng.randint(100, 10000)), vf, vt))
+    versions = pd.DataFrame(
+        rows, columns=["store_id", "item_id", "price", "valid_from", "valid_to"]
+    )
+
+    # snapshots: state at end of each day ds
+    snaps = []
+    for d in range(N_DAYS):
+        eod = T0 + (d + 1) * DAY_MS
+        ds = pd.Timestamp(T0 + d * DAY_MS, unit="ms").strftime("%Y-%m-%d")
+        live = versions[(versions.valid_from < eod) & (versions.valid_to >= eod)]
+        for r in live.itertuples():
+            snaps.append((r.store_id, r.item_id, r.price, ds))
+    snap_df = pd.DataFrame(snaps, columns=["store_id", "item_id", "price", "ds"])
+
+    # mutations: after-row per version start (except day-0 initials are also
+    # after-rows on day 0), before-row for the replaced version
+    muts = []
+    by_item = versions.sort_values("valid_from").groupby("item_id")
+    for item, gv in by_item:
+        gvl = list(gv.itertuples())
+        for i, v in enumerate(gvl):
+            ds = pd.Timestamp(v.valid_from, unit="ms").strftime("%Y-%m-%d")
+            muts.append((v.store_id, v.item_id, v.price, v.valid_from, False, ds))
+            if i > 0:
+                prev = gvl[i - 1]
+                muts.append((prev.store_id, prev.item_id, prev.price, v.valid_from, True, ds))
+    mut_df = pd.DataFrame(
+        muts, columns=["store_id", "item_id", "price", "mutation_ts", "is_before", "ds"]
+    )
+
+    base = tmp_path_factory.mktemp("mut")
+    snap_path = str(base / "snap.parquet")
+    mut_path = str(base / "mut.parquet")
+    ver_path = str(base / "versions.parquet")
+    spark.createDataFrame(snap_df).write.parquet(snap_path)
+    spark.createDataFrame(mut_df).write.parquet(mut_path)
+    versions.to_parquet(ver_path)
+
+    # queries: random times on days 1..9 (so a previous-day snapshot exists)
+    q_ts = rng.randint(T0 + DAY_MS, T0 + N_DAYS * DAY_MS, 500)
+    q = pd.DataFrame({"store_id": rng.randint(0, 20, 500), "ts": q_ts})
+    return snap_path, mut_path, ver_path, q
+
+
+def test_temporal_entities_vs_interval_oracle(spark, fixture):
+    snap_path, mut_path, ver_path, q = fixture
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM),
+            Aggregation("price", Operation.AVERAGE),
+        ),
+        name="store_prices",
+    )
+    queries = spark.createDataFrame(q)
+    got = (
+        temporal_entities(spark, gb, queries)
+        .toPandas()
+        .sort_values(["store_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    q_df = q  # duckdb replacement scan picks this up by name
+    con.register("q_df", q_df)
+    exp = con.sql(
+        f"""
+        WITH v AS (SELECT * FROM '{ver_path}'),
+        q AS (SELECT DISTINCT store_id, ts FROM q_df)
+        SELECT q.store_id, q.ts,
+           count(v.price) AS price_count,
+           CAST(sum(v.price) AS DOUBLE) AS price_sum,
+           CAST(sum(v.price) AS DOUBLE) / count(v.price) AS price_average
+        FROM q LEFT JOIN v
+          ON v.store_id = q.store_id AND v.valid_from <= q.ts AND q.ts < v.valid_to
+        GROUP BY q.store_id, q.ts
+        ORDER BY q.store_id, q.ts
+        """
+    ).df()
+    assert len(got) == len(exp) > 0
+    assert (got["price_count"].to_numpy() == exp["price_count"].to_numpy()).all()
+    assert np.allclose(got["price_sum"].fillna(-1), exp["price_sum"].fillna(-1))
+    assert np.allclose(got["price_average"].fillna(-1), exp["price_average"].fillna(-1))
+
+
+def test_mutation_boundary_inclusive(spark, fixture):
+    """A mutation at exactly the query ts is included (mutation_ts <= ts),
+    matching the head-inclusive convention of the as-of kernel."""
+    snap_path, mut_path, ver_path, _ = fixture
+    muts = pd.read_parquet(mut_path) if False else None
+    m = duckdb.sql(f"SELECT * FROM '{mut_path}/*.parquet' WHERE NOT is_before AND mutation_ts > {T0 + DAY_MS} LIMIT 1").df()
+    row = m.iloc[0]
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(Aggregation("price", Operation.SUM),),
+        name="g",
+    )
+    at = spark.createDataFrame(
+        pd.DataFrame({"store_id": [row.store_id] * 2, "ts": [int(row.mutation_ts), int(row.mutation_ts) - 1]})
+    )
+    out = temporal_entities(spark, gb, at).toPandas().set_index("ts")
+    con = duckdb.connect()
+    for ts in out.index:
+        exp = con.sql(
+            f"""SELECT CAST(sum(price) AS DOUBLE) FROM '{ver_path}'
+                WHERE store_id = {row.store_id} AND valid_from <= {ts} AND {ts} < valid_to"""
+        ).fetchone()[0]
+        assert out.loc[ts, "price_sum"] == pytest.approx(exp)
+
+
+def test_non_deletable_op_rejected(spark, fixture):
+    snap_path, mut_path, _, q = fixture
+    gb = GroupBy(
+        sources=(
+            EntitySource(snapshot_table=snap_path, mutation_table=mut_path,
+                         query=Query(partition_column="ds")),
+        ),
+        key_columns=("store_id",),
+        aggregations=(Aggregation("price", Operation.MIN),),
+        name="g",
+    )
+    with pytest.raises(NotImplementedError, match="not deletable"):
+        temporal_entities(spark, gb, spark.createDataFrame(q))
