@@ -215,6 +215,9 @@ class Query:
     time_column: Optional[str] = None
     setups: tuple = ()  # SQL statements (e.g. CREATE TEMPORARY FUNCTION)
     partition_column: str = "ds"
+    # non-default partition date format (reference partitionFormat override,
+    # thrift/api.thrift Query; e.g. "M/d/yy") — range predicates convert
+    partition_format: str = "yyyy-MM-dd"
 
 
 @dataclass(frozen=True)

@@ -154,6 +154,14 @@ def _tail_cols(parts: list, keys: list, hop_ms: int) -> list:
     return out
 
 
+def hop_irs_for(events: DataFrame, group_by: GroupBy, hop_ms: int) -> DataFrame:
+    """(keys, __hop, i_* partial IRs) — the batch-side upload shape of the
+    lambda architecture (reference GroupByUpload FinalBatchIr tail hops)."""
+    keys = list(group_by.key_columns)
+    ev = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
+    return ev.groupBy(*keys, "__hop").agg(*_ir_aggs(group_by.unpack()))
+
+
 def group_by_asof_hopped(
     spark: SparkSession,
     group_by: GroupBy,
@@ -161,15 +169,29 @@ def group_by_asof_hopped(
     hop_ms: int,
     query_range: Optional[tuple] = None,
     prune_keys: bool = False,
+    events_df: Optional[DataFrame] = None,
+    extra_hop_irs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Sawtooth as-of features at each distinct (keys, ts) query row —
-    tail snapped to ``hop_ms`` boundaries, head exact (see module doc)."""
+    tail snapped to ``hop_ms`` boundaries, head exact (see module doc).
+
+    Lambda merge (reference SawtoothOnlineAggregator.scala:84-165): pass
+    precomputed batch-side hop IRs as ``extra_hop_irs`` (shape of
+    ``hop_irs_for``) and only the fresh/streaming rows as ``events_df`` —
+    tails merge the batch IRs with the fresh tiles zero-copy. The two IR
+    sets must cover DISJOINT hop ranges (batch end aligned to a hop
+    boundary, the reference's batchEndTs-at-midnight rule).
+    """
     keys = [validate_identifier(k) for k in group_by.key_columns]
     parts = group_by.unpack()
     assert supports_hopped(group_by, hop_ms), "unsupported op/window for hopped path"
     min_ts, max_ts = query_range if query_range else (None, None)
 
-    events = events_df_for_group_by(spark, group_by, min_ts, max_ts)
+    events = (
+        events_df
+        if events_df is not None
+        else events_df_for_group_by(spark, group_by, min_ts, max_ts)
+    )
     q = (
         queries.select(*keys, F.col(TS).cast("long").alias(TS))
         .dropna(subset=keys)
@@ -182,8 +204,10 @@ def group_by_asof_hopped(
         events = prune_events_by_keys(events, q, keys)
     events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
 
-    # 1. hop partial IRs
+    # 1. hop partial IRs (+ precomputed batch IRs for the lambda merge)
     hop_irs = events.groupBy(*keys, "__hop").agg(*_ir_aggs(parts))
+    if extra_hop_irs is not None:
+        hop_irs = hop_irs.unionByName(extra_hop_irs)
 
     # 2. union query hops (null IRs) so every query hop has a tail row,
     #    then the per-key RANGE window merges preceding hops.

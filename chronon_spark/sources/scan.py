@@ -41,10 +41,20 @@ def apply_query(df: DataFrame, query: Query) -> DataFrame:
     for setup in query.setups:
         df.sparkSession.sql(setup)
 
-    if query.start_partition:
-        df = df.where(F.col(query.partition_column) >= query.start_partition)
-    if query.end_partition:
-        df = df.where(F.col(query.partition_column) <= query.end_partition)
+    pcol = F.col(query.partition_column)
+    if query.partition_format != "yyyy-MM-dd":
+        # canonical yyyy-MM-dd bounds compared against the table's native
+        # partition format (reference partitionFormat override)
+        pcol = F.to_date(pcol, query.partition_format)
+        if query.start_partition:
+            df = df.where(pcol >= F.to_date(F.lit(query.start_partition)))
+        if query.end_partition:
+            df = df.where(pcol <= F.to_date(F.lit(query.end_partition)))
+    else:
+        if query.start_partition:
+            df = df.where(pcol >= query.start_partition)
+        if query.end_partition:
+            df = df.where(pcol <= query.end_partition)
 
     for w in query.wheres:
         df = df.where(w)
@@ -59,6 +69,11 @@ def apply_query(df: DataFrame, query: Query) -> DataFrame:
     return df.selectExpr(*exprs)
 
 
+def latest_partition(spark: SparkSession, df: DataFrame, partition_col: str) -> Optional[str]:
+    row = df.agg(F.max(F.col(partition_col).cast("string"))).first()
+    return row[0] if row else None
+
+
 def scan_source(
     spark: SparkSession,
     source,
@@ -70,9 +85,20 @@ def scan_source(
     ``min_ts``/``max_ts`` (epoch millis, inclusive) come from the planner:
     query range minus the GroupBy's max window. They are plain ``ts``
     predicates so they push down to the scan.
+
+    Cumulative sources (``is_cumulative``, reference GroupBy.scala:633-645;
+    thrift/common.thrift:79-83) contain full history in every partition, so
+    only the LATEST available partition is scanned.
     """
     if isinstance(source, EventSource):
-        df = apply_query(load_table(spark, source.table), source.query)
+        raw = load_table(spark, source.table)
+        if source.is_cumulative:
+            pc = source.query.partition_column
+            if pc in raw.columns:
+                latest = latest_partition(spark, raw, pc)
+                if latest is not None:
+                    raw = raw.where(F.col(pc).cast("string") == latest)
+        df = apply_query(raw, source.query)
     elif isinstance(source, EntitySource):
         df = apply_query(load_table(spark, source.snapshot_table), source.query)
     else:

@@ -111,3 +111,39 @@ def test_hopped_no_leakage(spark, sf_dir):
     gb2 = _gb(d, (Aggregation("value", Operation.SUM, windows=(Window.days(7),)),))
     poisoned = _norm(group_by_asof_hopped(spark, gb2, q, DAY_MS).toPandas())
     assert base.equals(poisoned)
+
+
+def test_lambda_merge_batch_plus_stream(spark, sf_dir):
+    """Batch hop IRs ⊕ fresh streaming rows == full recompute — the lambda
+    architecture's offline/online consistency guarantee, in batch."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.asof_hopped import group_by_asof_hopped, hop_irs_for
+    from chronon_spark.operators.asof_join import events_df_for_group_by
+
+    gb = _gb(sf_dir, (
+        Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+        Aggregation("value", Operation.LAST),
+    ))
+    events = events_df_for_group_by(spark, gb, None, None)
+    boundary = 1_705_276_800_000  # 2024-01-15 midnight (hop-aligned)
+    batch = events.where(F.col("ts") < boundary)
+    fresh = events.where(F.col("ts") >= boundary)
+    batch_irs = hop_irs_for(batch, gb, DAY_MS)
+
+    # queries strictly after the boundary
+    q = _queries(spark, sf_dir).where(F.col("ts") >= boundary)
+    merged = _norm(
+        group_by_asof_hopped(
+            spark, gb, q, DAY_MS, events_df=fresh, extra_hop_irs=batch_irs
+        ).toPandas()
+    )
+    full = _norm(group_by_asof_hopped(spark, gb, q, DAY_MS).toPandas())
+    assert len(merged) == len(full) > 0
+    for col in merged.columns:
+        g, e = merged[col], full[col]
+        if g.dtype.kind == "f":
+            assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
+        else:
+            assert g.equals(e), col

@@ -158,3 +158,62 @@ def test_brute_force_topk_and_ann_recall(emb):
 
 def test_embedding_dim(emb):
     assert emb.selectExpr("size(embedding) AS d").distinct().first().d == 64
+
+
+def test_cumulative_source_scans_latest_partition(spark, tmp_path):
+    """is_cumulative: only the latest ds partition is read."""
+    from chronon_spark.api.types import EventSource, Query
+    from chronon_spark.sources.scan import scan_source
+
+    p = str(tmp_path / "cum")
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (1, "2024-01-02"), (2, "2024-01-02")], "v int, ds string"
+    ).write.partitionBy("ds").parquet(p)
+    src = EventSource(table=p, query=Query(), is_cumulative=True)
+    rows = scan_source(spark, src).collect()
+    assert len(rows) == 2 and all(str(r["ds"]) == "2024-01-02" for r in rows)
+
+
+def test_partition_format_override(spark, tmp_path):
+    """Range predicates convert canonical dates to the table's format."""
+    from chronon_spark.api.types import EventSource, Query
+    from chronon_spark.sources.scan import scan_source
+
+    p = str(tmp_path / "fmt")
+    spark.createDataFrame(
+        [(1, "1/5/24"), (2, "1/15/24"), (3, "2/1/24")], "v int, new_ds string"
+    ).write.parquet(p)
+    src = EventSource(
+        table=p,
+        query=Query(
+            start_partition="2024-01-10",
+            end_partition="2024-01-31",
+            partition_column="new_ds",
+            partition_format="M/d/yy",
+        ),
+    )
+    rows = scan_source(spark, src).collect()
+    assert [r["v"] for r in rows] == [2]
+
+
+def test_setups_udf_registration(spark, sf_dir):
+    """Query.setups DDL runs before the scan (reference thrift setups)."""
+    from chronon_spark.api.types import EventSource, Query
+    from chronon_spark.sources.scan import scan_source
+
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"user_id": "user_id", "v2": "double_it(value)"},
+            setups=(
+                "CREATE OR REPLACE TEMPORARY VIEW __noop AS SELECT 1",
+                # Spark 4 SQL UDF DDL (the reference's setups mechanism)
+                "CREATE OR REPLACE TEMPORARY FUNCTION double_it(v DOUBLE) "
+                "RETURNS DOUBLE RETURN v * 2",
+            ),
+        ),
+    )
+    df = scan_source(spark, src)
+    row = spark.read.parquet(f"{sf_dir}/events.parquet").first()
+    got = df.where(F.col("user_id") == row["user_id"]).first()
+    assert got["v2"] is not None
