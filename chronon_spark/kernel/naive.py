@@ -76,6 +76,14 @@ def _agg(values: list, op: Operation, part: AggregationPart):
         c = Counter(str(v) for v in vals)
         trunc = part.arg_map.get("k")
         return dict(c.most_common(int(trunc))) if trunc else dict(c)
+    if op is Operation.APPROX_FREQUENT_K:
+        return dict(Counter(str(v) for v in vals).most_common(k))
+    if op is Operation.APPROX_HEAVY_HITTERS_K:
+        c = Counter(str(v) for v in vals)
+        thresh = len(vals) / (k + 1)
+        return {s_: n for s_, n in c.most_common(k) if n > thresh}
+    if op is Operation.UNIQUE_TOP_K:
+        return [float(x) for x in np.unique([float(v) for v in vals])[::-1][:k]]
     raise NotImplementedError(op)
 
 

@@ -207,6 +207,17 @@ def group_by_asof_hopped(
     # 1. hop partial IRs (+ precomputed batch IRs for the lambda merge)
     hop_irs = events.groupBy(*keys, "__hop").agg(*_ir_aggs(parts))
     if extra_hop_irs is not None:
+        # enforce the disjointness contract loudly: overlapping hop ranges
+        # would double-count (each (key, hop) must come from exactly one
+        # side). Cheap driver-side check on the hop boundaries.
+        max_extra = extra_hop_irs.agg(F.max("__hop")).first()[0]
+        min_fresh = events.agg(F.min("__hop")).first()[0]
+        if max_extra is not None and min_fresh is not None and max_extra >= min_fresh:
+            raise ValueError(
+                f"extra_hop_irs hops (max {max_extra}) overlap fresh events "
+                f"(min hop {min_fresh}); batch end must align to a hop "
+                "boundary with fresh rows strictly after it"
+            )
         hop_irs = hop_irs.unionByName(extra_hop_irs)
 
     # 2. union query hops (null IRs) so every query hop has a tail row,

