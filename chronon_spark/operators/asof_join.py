@@ -262,6 +262,86 @@ def compute_join_part(
     )
 
 
+def _agg_identity(agg) -> tuple:
+    return (
+        agg.input_column,
+        agg.operation,
+        tuple(sorted((k, repr(v)) for k, v in agg.arg_map.items())),
+        agg.windows,
+        agg.buckets,
+    )
+
+
+def _fuse_join_parts(join_conf: Join, fusable: bool) -> list:
+    """Group join parts that can share ONE as-of computation: identical key
+    mapping, sources, and accuracy (reference computes each part separately,
+    JoinPartJob per part; fusing halves the shuffle count for the common
+    same-entity multi-part case). Parts with GroupBy derivations or with
+    output-column collisions under different aggregation identities stay
+    solo; bootstrap mode disables fusion (per-part covering-set filters
+    differ)."""
+    if not fusable:
+        return [[jp] for jp in join_conf.join_parts]
+    groups: list[list] = []
+    index: dict = {}
+    outcols: dict = {}
+    for jp in join_conf.join_parts:
+        gb = jp.group_by
+        mapping = jp.key_mapping or {k: k for k in gb.key_columns}
+        key = (tuple(sorted(mapping.items())), repr(gb.sources), gb.accuracy)
+        if gb.derivations:
+            groups.append([jp])
+            continue
+        if key in index:
+            gi = index[key]
+            collision = any(
+                outcols[gi].get(p.output_column) not in (None, _agg_identity(a))
+                for a in gb.aggregations
+                for p in a.unpack()
+            )
+            if not collision:
+                groups[gi].append(jp)
+                for a in gb.aggregations:
+                    for p in a.unpack():
+                        outcols[gi][p.output_column] = _agg_identity(a)
+                continue
+        groups.append([jp])
+        index[key] = len(groups) - 1
+        outcols[len(groups) - 1] = {
+            p.output_column: _agg_identity(a) for a in gb.aggregations for p in a.unpack()
+        }
+    return groups
+
+
+def _jp_out_cols(jp) -> list:
+    """Unprefixed output column names a join part contributes (accounting
+    for GroupBy derivations replace/passthrough semantics)."""
+    gb = jp.group_by
+    base = [p.output_column for p in gb.unpack()]
+    if not gb.derivations:
+        return base
+    derived = [a for a in gb.derivations if a != "*"]
+    return (base + derived) if "*" in gb.derivations else derived
+
+
+def _merged_group_by(jps: list) -> GroupBy:
+    """One GroupBy holding the deduped union of the fused parts' aggs."""
+    gb0 = jps[0].group_by
+    if len(jps) == 1:
+        return gb0
+    merged: dict = {}
+    for jp in jps:
+        for a in jp.group_by.aggregations:
+            merged.setdefault(_agg_identity(a), a)
+    return GroupBy(
+        sources=gb0.sources,
+        key_columns=gb0.key_columns,
+        aggregations=tuple(merged.values()),
+        accuracy=gb0.accuracy,
+        name="+".join(jp.group_by.name for jp in jps),
+    )
+
+
 def join_asof(
     spark: SparkSession,
     join_conf: Join,
@@ -294,9 +374,9 @@ def join_asof(
         assert row_ids, "bootstrap requires Join.row_ids"
         result = bootstrap_join(result, bootstrap_df, row_ids)
 
-    for jp in join_conf.join_parts:
-        gb = jp.group_by
-        mapping = jp.key_mapping or {k: k for k in gb.key_columns}
+    for jps in _fuse_join_parts(join_conf, fusable=bootstrap_df is None):
+        gb0 = jps[0].group_by
+        mapping = jps[0].key_mapping or {k: k for k in gb0.key_columns}
         # left col -> right key rename for the part computation
         sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
         part_queries = left.select(*sel)
@@ -307,27 +387,35 @@ def join_asof(
                     part_queries = part_queries.where(
                         ~F.col(mapped).isin(list(hot)) | F.col(mapped).isNull()
                     )
-        prefix = jp.full_prefix()
-        part_out_cols = [f"{prefix}_{p.output_column}" for p in gb.unpack()]
         if bootstrap_df is not None:
             # rows the bootstrap fully covers skip this part's computation
             from chronon_spark.operators.join_utils import uncovered_rows
 
+            part_out_cols = [
+                f"{jps[0].full_prefix()}_{c}" for c in _jp_out_cols(jps[0])
+            ]
             need = uncovered_rows(result, part_out_cols)
             sel2 = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
             part_queries = need.select(*sel2)
+
+        merged_gb = _merged_group_by(jps)
         feats = compute_join_part(
-            spark, gb, part_queries, mode=mode, tail_hop_ms=tail_hop_ms, prune_keys=prune_keys
+            spark,
+            merged_gb,
+            part_queries,
+            mode=mode,
+            tail_hop_ms=tail_hop_ms,
+            prune_keys=prune_keys,
         )
-        right_keys = list(gb.key_columns)
-        renames = {p.output_column: f"{prefix}_{p.output_column}" for p in gb.unpack()}
-        for old, new in renames.items():
-            feats = feats.withColumnRenamed(old, new)
-        # rename right keys back to left names for the merge join
+        # one select projects every fused part's columns with its prefix
         inv = {rk: lc for lc, rk in mapping.items()}
-        for rk, lc in inv.items():
-            if rk != lc:
-                feats = feats.withColumnRenamed(rk, lc)
+        key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in merged_gb.key_columns]
+        out_cols = [
+            F.col(c).alias(f"{jp.full_prefix()}_{c}")
+            for jp in jps
+            for c in _jp_out_cols(jp)
+        ]
+        feats = feats.select(*key_cols, F.col(TS), *out_cols)
         join_keys = list(mapping.keys()) + [TS]
         if bootstrap_df is not None:
             from chronon_spark.operators.join_utils import coalesced_join

@@ -124,3 +124,21 @@ def test_embedding_topk_broadcasts_queries(spark, sf_dir):
 
     plan = plan_of(E.queries()["embedding_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_multipart_same_keys_fuses_to_one_kernel(spark, sf_dir):
+    """Two join parts with identical keys/source must share ONE as-of
+    computation (one FlatMapGroupsInPandas) and one merge join."""
+    gb1 = GroupBy(
+        sources=(_src(sf_dir),), key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="a",
+    )
+    gb2 = GroupBy(
+        sources=(_src(sf_dir),), key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.LAST_K, {"k": 2}),),
+        name="b",
+    )
+    j = Join(left=_src(sf_dir), join_parts=(JoinPart(gb1), JoinPart(gb2)), name="f")
+    plan = plan_of(join_asof(spark, j, mode="exact"))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
