@@ -1133,10 +1133,28 @@ def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-part point-in-time join at sf0.001."""
-    return q_asof_join_multipart(spark, "/root/testdata/sf0.001")
+    return _with_utc(q_asof_join_multipart)(spark, "/root/testdata/sf0.001")
+
+
+def _with_utc(fn: Callable) -> Callable:
+    """Timestamps in the testdata are naive (TIMESTAMP_NTZ); all oracles
+    treat them as UTC (DuckDB epoch_ms semantics). The driver's session may
+    not set spark.sql.session.timeZone, so every query pins it itself —
+    it's a runtime-settable conf."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _with_utc(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_groupby": q_asof_groupby,
         "asof_join_multipart": q_asof_join_multipart,
