@@ -1,0 +1,80 @@
+"""Analyzer: derived schemas must equal the actually-computed schemas."""
+
+from pyspark.sql import types as T
+
+from chronon_spark.api.types import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.asof_join import group_by_asof, join_asof
+from chronon_spark.plans.analyzer import analyze_group_by, analyze_join, create_table_ddl
+from chronon_spark.sources.scan import millis_expr
+
+
+def _src(sf_dir):
+    return EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"event_id": "event_id", "user_id": "user_id",
+                     "value": "value", "event_type": "event_type"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+
+
+def test_analyze_group_by_matches_execution(spark, sf_dir):
+    gb = GroupBy(
+        sources=(_src(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.LAST_K, {"k": 3}),
+            Aggregation("value", Operation.COUNT, buckets=("event_type",)),
+        ),
+        name="an",
+        derivations={"*": "*", "dbl": "value_sum_7d * 2"},
+    )
+    derived = analyze_group_by(spark, gb)
+    q = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", f"{millis_expr('ts')} AS ts"
+    )
+    actual = group_by_asof(spark, gb, q).schema
+    assert [f.name for f in derived.fields] == [f.name for f in actual.fields]
+    assert [f.dataType for f in derived.fields] == [f.dataType for f in actual.fields]
+
+
+def test_analyze_join_matches_execution(spark, sf_dir):
+    gb = GroupBy(
+        sources=(_src(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="g",
+    )
+    j = Join(left=_src(sf_dir), join_parts=(JoinPart(gb),), name="aj")
+    derived = analyze_join(spark, j)
+    actual = join_asof(spark, j).schema
+    assert sorted(f.name for f in derived.fields) == sorted(f.name for f in actual.fields)
+
+
+def test_create_table_ddl():
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value_sum_7d", T.DoubleType()),
+            T.StructField("ds", T.StringType()),
+        ]
+    )
+    ddl = create_table_ddl(
+        "features.user_value", schema, ("ds",), fmt="iceberg",
+        table_properties={"conf_hash": "abc"},
+    )
+    assert "USING iceberg" in ddl and "PARTITIONED BY (ds)" in ddl
+    assert "user_id bigint" in ddl and "'conf_hash'='abc'" in ddl
+    ddl_pq = create_table_ddl("t", schema, ("ds",))
+    assert "USING parquet" in ddl_pq and "ds string" in ddl_pq
