@@ -117,3 +117,62 @@ def test_incremental_checkpoint_resume(spark, sf_dir, tmp_path):
     m = r2.sort_values(["user_id", "tile_start"]).reset_index(drop=True)[sorted(r2.columns)]
     e = exp.sort_values(["user_id", "tile_start"]).reset_index(drop=True)[sorted(exp.columns)]
     assert m.equals(e)
+
+
+def test_stateful_last_k_across_restarts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState LAST_K: state survives a checkpointed restart
+    and the final answer equals the batch kernel's last_k."""
+    import numpy as np
+
+    from chronon_spark.api.types import AggregationPart, Operation
+    from chronon_spark.kernel.sawtooth import compute_asof_features
+    from chronon_spark.streaming.stateful import stream_last_k
+
+    ev = _events_batch(spark, sf_dir).limit(1000).cache()
+    half1 = ev.where(F.col("ts") % 2 == 0)
+    half2 = ev.where(F.col("ts") % 2 == 1)
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    half1.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out_dir = str(tmp_path / "updates")
+
+    def drain(batch_tag):
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, batch_id):
+            (batch_df.withColumn("tag", F.lit(batch_tag))
+             .write.mode("append").parquet(out_dir))
+
+        q = (
+            stream_last_k(stream, ["user_id"], k=3)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .where(F.col("tag") == batch_tag)
+            .toPandas()
+        )
+
+    drain("a")
+    half2.write.mode("append").parquet(src)
+    r2 = drain("b")
+    assert r2["n_events_seen"].sum() == ev.count()  # state restored, not reset
+
+    # batch truth per key via the kernel at ts = +inf
+    full = ev.toPandas()
+    for uid, grp in full.groupby("user_id"):
+        got = r2[r2.user_id == uid]["last_k"].iloc[0]
+        feats = compute_asof_features(
+            grp.rename(columns={"value": "value"}),
+            np.array([2**62], dtype=np.int64),
+            [AggregationPart("value", Operation.LAST_K, {"k": 3})],
+        )
+        exp = feats["value_last3"][0]
+        assert [round(x, 6) for x in got] == [round(float(v), 6) for v in exp], uid
