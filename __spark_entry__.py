@@ -1111,6 +1111,44 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: JSON extraction inside Query.selects (the
+    reference hands select exprs to Spark SQL verbatim, SURVEY.md S2.8) +
+    aggregation over the extracted field."""
+    from chronon_spark.api.types import EventSource, Query
+    from chronon_spark.sources.scan import millis_expr, scan_source
+
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={
+                "user_id": "user_id",
+                "k": "CAST(get_json_object(props, '$.k') AS BIGINT)",
+            },
+            wheres=("event_type IN ('click', 'view')",),
+            time_column=millis_expr("ts"),
+        ),
+    )
+    df = scan_source(spark, src)
+    return df.groupBy("user_id").agg(
+        F.count("k").alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT user_id,
+   count(k) AS n, CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+FROM (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type IN ('click', 'view')
+)
+GROUP BY user_id
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (rows-only check:
     the input is generated, not a registered DuckDB view). Exercises text
@@ -1181,6 +1219,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_lastk_topk": q_asof_lastk_topk,
         "webtext_flagship": q_webtext_flagship,
         "embedding_near_dup": q_embedding_near_dup,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1212,4 +1251,5 @@ def _raw_oracles() -> dict[str, str]:
         "asof_histogram": _HISTOGRAM_ORACLE,
         "asof_lastk_topk": _LASTK_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "json_extract": _JSON_ORACLE,
     }
