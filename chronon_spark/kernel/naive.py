@@ -99,7 +99,10 @@ def naive_asof_features(
         col_out = []
         w = p.window.millis if p.window else None
         for q in np.asarray(query_ts, dtype=np.int64):
-            rows = ev[[_qualifies(t, q, w, tail_hop_ms) for t in ev["ts"]]]
+            if len(ev) == 0:
+                rows = ev
+            else:
+                rows = ev[[_qualifies(t, q, w, tail_hop_ms) for t in ev["ts"]]]
             if p.bucket is not None:
                 m = {}
                 zero_is_empty = p.operation in (

@@ -354,7 +354,20 @@ def compute_asof_features(
     if nq == 0:
         return {}
     if events is None or len(events) == 0:
-        return {p.output_column: [None] * nq for p in parts}
+        # must match the empty-WINDOW semantics of the non-empty path:
+        # counts are 0, everything else null (reference count IR starts at 0)
+        def empty_value(p):
+            if p.bucket is not None:
+                return None
+            if p.operation in (
+                Operation.COUNT,
+                Operation.UNIQUE_COUNT,
+                Operation.APPROX_UNIQUE_COUNT,
+            ):
+                return 0
+            return None
+
+        return {p.output_column: [empty_value(p)] * nq for p in parts}
 
     ev = events.sort_values("ts", kind="stable").reset_index(drop=True)
     q_ts = np.asarray(query_ts, dtype=np.int64)
