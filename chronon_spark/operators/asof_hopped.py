@@ -202,6 +202,9 @@ def group_by_asof_hopped(
         from chronon_spark.operators.join_utils import prune_events_by_keys
 
         events = prune_events_by_keys(events, q, keys)
+    from chronon_spark.operators.asof_join import null_out_nans
+
+    events = null_out_nans(events, list({p.input_column for p in parts}))
     events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
 
     # 1. hop partial IRs (+ precomputed batch IRs for the lambda merge)

@@ -63,6 +63,18 @@ _MAP_LONG_OPS = {
 }
 
 
+def null_out_nans(df: DataFrame, cols: list) -> DataFrame:
+    """Engine-wide convention: NaN inputs are treated as null (skipped by
+    every aggregation). Rationale: Arrow float batches deliver nulls AS NaN
+    to the Python kernel (indistinguishable), and the reference finalizes
+    NaN to null anyway (DirectColumnAggregator.scala:75,85-89) — so the
+    only consistent cross-plan semantics is NaN == null at the input."""
+    for c in cols:
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            df = df.withColumn(c, F.when(~F.isnan(F.col(c)), F.col(c)))
+    return df
+
+
 def apply_derivations(df, derivations: dict, id_cols: list):
     """Reference derivation semantics (Join.scala:401-462; thrift Derivation):
     the derivation select list REPLACES the output columns; a "*" entry

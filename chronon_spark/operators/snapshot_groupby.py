@@ -73,6 +73,9 @@ def snapshot_group_by(
         start_day_ms = F.unix_date(F.lit(start_ds).cast("date")).cast("long") * DAY_MS
         events = events.where(F.col(TS) >= start_day_ms - max_w * DAY_MS)
 
+    from chronon_spark.operators.asof_join import null_out_nans
+
+    events = null_out_nans(events, list({p.input_column for p in parts}))
     ev = events.withColumn("day_num", (F.col(TS) / DAY_MS).cast("long"))
 
     # ---- level 1: daily partial IRs -------------------------------------

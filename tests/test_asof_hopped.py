@@ -147,3 +147,34 @@ def test_lambda_merge_batch_plus_stream(spark, sf_dir):
             assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
         else:
             assert g.equals(e), col
+
+
+def test_hopped_null_values_match_kernel(spark, tmp_path):
+    """Null inputs never update IRs (reference DirectColumnAggregator):
+    LAST/FIRST skip null values; all-null keys finalize to null; counts 0."""
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "ts": [1000, 2000, 3000, 1500, 2500],
+         "v": [None, 5.0, None, None, None]}
+    )
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(ev).write.parquet(d)
+    src = EventSource(table=d, query=Query(selects={"k": "k", "v": "v"}, time_column="ts"))
+    gb = GroupBy(
+        (src,), ("k",),
+        (Aggregation("v", Operation.LAST), Aggregation("v", Operation.FIRST),
+         Aggregation("v", Operation.COUNT), Aggregation("v", Operation.MIN),
+         Aggregation("v", Operation.UNIQUE_COUNT)),
+        name="nulls",
+    )
+    q = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 2], "ts": [2500, 3500, 3000]}))
+    a = _norm2(group_by_asof_hopped(spark, gb, q, hop_ms=1000).toPandas())
+    b = _norm2(group_by_asof(spark, gb, q, tail_hop_ms=1000).toPandas())
+    assert a.equals(b)
+    assert a[a.k == 2]["v_count"].iloc[0] == 0
+    assert pd.isna(a[a.k == 2]["v_last"].iloc[0])
+
+
+def _norm2(df):
+    return df.sort_values(["k", "ts"]).reset_index(drop=True)
