@@ -256,9 +256,15 @@ def compute_join_part(
       (operators.asof_hopped — no Python, skew-free via time-hop spreading);
       otherwise the Arrow kernel with the hopping tail.
     - ``mode="exact"``: exact sliding windows via the Arrow kernel.
+    - SNAPSHOT-accuracy GroupBys (regardless of mode) get the day-shift
+      rule: features as of the previous midnight (JoinBase.scala:66-125),
+      via the daily snapshot table joined on (keys, date(ts)-1).
     """
-    from chronon_spark.api.types import tail_hop_millis
+    from chronon_spark.api.types import Accuracy, tail_hop_millis
     from chronon_spark.operators.asof_hopped import group_by_asof_hopped, supports_hopped
+
+    if gb.accuracy is Accuracy.SNAPSHOT:
+        return _snapshot_part(spark, gb, part_queries)
 
     if mode == "sawtooth":
         parts = gb.unpack()
@@ -352,6 +358,27 @@ def _merged_group_by(jps: list) -> GroupBy:
         accuracy=gb0.accuracy,
         name="+".join(jp.group_by.name for jp in jps),
     )
+
+
+def _snapshot_part(spark: SparkSession, gb: GroupBy, part_queries: DataFrame) -> DataFrame:
+    """SNAPSHOT-accuracy part: (keys, ts) -> features of the previous day's
+    snapshot (PIT-at-midnight; reference MergeJob.scala:174-229)."""
+    from chronon_spark.operators.snapshot_groupby import snapshot_group_by
+    from chronon_spark.plans.partition_range import shift_ds
+
+    keys = list(gb.key_columns)
+    q = part_queries.select(*keys, F.col(TS).cast("long").alias(TS)).dropna(
+        subset=keys
+    ).distinct()
+    q = q.withColumn(
+        "__prev_ds",
+        F.date_format(F.date_sub(F.timestamp_millis(F.col(TS)).cast("date"), 1), "yyyy-MM-dd"),
+    )
+    bounds = q.agg(F.min("__prev_ds"), F.max("__prev_ds")).first()
+    snap = snapshot_group_by(spark, gb, bounds[0], bounds[1]).withColumnRenamed(
+        "ds", "__prev_ds"
+    )
+    return q.join(snap, on=keys + ["__prev_ds"], how="left").drop("__prev_ds")
 
 
 def join_asof(

@@ -142,3 +142,36 @@ def test_staging_query_max_date_macro(spark, sf_dir, tmp_path):
     ).write.partitionBy("ds").parquet(p)
     rendered = render(spark, f"SELECT '{{{{ max_date(table={p}) }}}}' AS m", "a", "b")
     assert "2024-01-05" in rendered
+
+
+def test_mixed_accuracy_join(spark, sf_dir):
+    """One TEMPORAL part + one SNAPSHOT part in the same Join: the snapshot
+    part's values equal the dedicated join_snapshot path."""
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"event_id": "event_id", "user_id": "user_id",
+                     "value": "floor(value*100 + 0.5)"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+    from chronon_spark.operators.asof_join import join_asof
+
+    gb_t = GroupBy((src,), ("user_id",),
+                   (Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+                   name="t")
+    gb_s = GroupBy((src,), ("user_id",),
+                   (Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),),
+                   accuracy=Accuracy.SNAPSHOT, name="s")
+    j = Join(left=src, join_parts=(JoinPart(gb_t), JoinPart(gb_s)), name="mixed")
+    out = join_asof(spark, j).select("event_id", "t_value_sum_7d", "s_value_count_7d")
+    ref = join_snapshot(
+        spark, Join(left=src, join_parts=(JoinPart(gb_s),), name="ref")
+    ).select("event_id", "s_value_count_7d")
+    m = (
+        out.toPandas().merge(ref.toPandas(), on="event_id", suffixes=("", "_ref"))
+        .fillna(-1)
+    )
+    assert len(m) == out.count()
+    assert (m["s_value_count_7d"] == m["s_value_count_7d_ref"]).all()
+    assert (m["t_value_sum_7d"] != -1).any()  # temporal part also computed
