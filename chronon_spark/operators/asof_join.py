@@ -21,9 +21,9 @@ Scale properties:
 - Window-derived scan range: events outside [min_query_ts - max_window,
   max_query_ts] are filtered at the scan (GroupBy.scala:616-663) so the
   parquet/Iceberg reader prunes partitions.
-- Skew: hot keys are handled by two-phase salted hop pre-aggregation for
-  subtractable ops (chronon_spark.operators.salted) and by explicit skew-key
-  exclusion on the Join (reference JoinUtils.scala:330-382).
+- Skew: hot keys route to the time-hop plan (chronon_spark.operators.
+  asof_hopped — per-task work bounded by (key, hop)) and/or explicit
+  skew-key exclusion on the Join (reference JoinUtils.scala:330-382).
 """
 
 from __future__ import annotations
