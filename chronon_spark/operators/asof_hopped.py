@@ -66,7 +66,7 @@ HOPPED_OPS = {
 
 def supports_hopped(group_by: GroupBy, hop_ms: int) -> bool:
     for p in group_by.unpack():
-        if p.operation not in HOPPED_OPS or p.bucket is not None:
+        if p.operation not in HOPPED_OPS:
             return False
         if p.window is not None and p.window.millis % hop_ms != 0:
             return False
@@ -154,6 +154,85 @@ def _tail_cols(parts: list, keys: list, hop_ms: int) -> list:
     return out
 
 
+_ZERO_IS_EMPTY = {
+    Operation.COUNT,
+    Operation.UNIQUE_COUNT,
+    Operation.APPROX_UNIQUE_COUNT,
+}
+
+
+def _bucketed_maps(spark, group_by, queries, hop_ms, query_range, prune_keys):
+    """Bucketed parts as map<bucket, value> columns, computed by RECURSION:
+    the bucket column joins the key set, the unbucketed sub-plan runs, and
+    the per-(key, bucket, ts) values pivot back to maps (reference
+    BucketedColumnAggregator semantics: null values and zero counts leave
+    no entry; an empty map finalizes to null). One extra narrow shuffle per
+    bucket column — still zero Python."""
+    from dataclasses import replace as _rp
+
+    from chronon_spark.api.types import Aggregation
+
+    keys = list(group_by.key_columns)
+    q = (
+        queries.select(*keys, F.col(TS).cast("long").alias(TS))
+        .dropna(subset=keys)
+        .distinct()
+    )
+
+    by_bcol: dict = {}
+    for a in group_by.aggregations:
+        if a.buckets:
+            for b in a.buckets:
+                by_bcol.setdefault(b, []).append(a)
+
+    maps_df = None
+    for bcol, aggs in by_bcol.items():
+        sub_aggs = tuple(
+            Aggregation(a.input_column, a.operation, dict(a.arg_map), a.windows, None)
+            for a in aggs
+        )
+        sub_gb = _rp(
+            group_by,
+            key_columns=tuple(keys) + (bcol,),
+            aggregations=sub_aggs,
+            derivations=None,
+        )
+        ev = events_df_for_group_by(spark, sub_gb, *(query_range or (None, None))).where(
+            F.col(bcol).isNotNull()
+        )
+        # queries per (key, bucket): every bucket the key has seen
+        key_buckets = ev.select(*keys, bcol).distinct()
+        q_b = q.join(key_buckets, on=keys, how="inner")
+        sub_out = group_by_asof_hopped(
+            spark, sub_gb, q_b, hop_ms, query_range, prune_keys, events_df=ev
+        )
+
+        entries = []
+        for a, sub_a in zip(aggs, sub_aggs):
+            for sp in sub_a.unpack():  # unbucketed sub part: the VALUE column
+                # the original bucketed part name: the output MAP column
+                orig = AggregationPart(
+                    a.input_column, a.operation, dict(a.arg_map), sp.window, bcol
+                )
+                val = F.col(sp.output_column)
+                valid = val.isNotNull()
+                if a.operation in _ZERO_IS_EMPTY:
+                    valid = valid & (val != 0)
+                entry = F.when(valid, F.struct(F.col(bcol).cast("string"), val))
+                entries.append((orig.output_column, entry))
+        agg_cols = [
+            F.map_from_entries(F.collect_list(e)).alias(name) for name, e in entries
+        ]
+        piv = sub_out.groupBy(*keys, TS).agg(*agg_cols)
+        # empty maps -> null (kernel semantics)
+        for name, _ in entries:
+            piv = piv.withColumn(
+                name, F.when(F.size(F.col(name)) > 0, F.col(name))
+            )
+        maps_df = piv if maps_df is None else maps_df.join(piv, on=keys + [TS], how="outer")
+    return maps_df
+
+
 def hop_irs_for(events: DataFrame, group_by: GroupBy, hop_ms: int) -> DataFrame:
     """(keys, __hop, i_* partial IRs) — the batch-side upload shape of the
     lambda architecture (reference GroupByUpload FinalBatchIr tail hops)."""
@@ -183,9 +262,38 @@ def group_by_asof_hopped(
     boundary, the reference's batchEndTs-at-midnight rule).
     """
     keys = [validate_identifier(k) for k in group_by.key_columns]
-    parts = group_by.unpack()
+    all_parts = group_by.unpack()
     assert supports_hopped(group_by, hop_ms), "unsupported op/window for hopped path"
     min_ts, max_ts = query_range if query_range else (None, None)
+
+    bucketed = [p for p in all_parts if p.bucket is not None]
+    parts = [p for p in all_parts if p.bucket is None]
+    if bucketed:
+        assert events_df is None and extra_hop_irs is None, (
+            "bucketed parts not supported with events_df/extra_hop_irs overrides"
+        )
+        if parts:
+            from dataclasses import replace as _rp
+
+            plain_gb = _rp(group_by, aggregations=tuple(
+                a for a in group_by.aggregations if not a.buckets
+            ), derivations=None)
+            base = group_by_asof_hopped(
+                spark, plain_gb, queries, hop_ms, query_range, prune_keys
+            )
+        else:
+            base = (
+                queries.select(*keys, F.col(TS).cast("long").alias(TS))
+                .dropna(subset=keys)
+                .distinct()
+            )
+        maps = _bucketed_maps(spark, group_by, queries, hop_ms, query_range, prune_keys)
+        out = base.join(maps, on=keys + [TS], how="left")
+        # keep the conf's declared column order
+        out = out.select(*keys, TS, *[p.output_column for p in all_parts])
+        if group_by.derivations:
+            out = apply_derivations(out, group_by.derivations, keys + [TS])
+        return out
 
     events = (
         events_df

@@ -178,3 +178,41 @@ def test_hopped_null_values_match_kernel(spark, tmp_path):
 
 def _norm2(df):
     return df.sort_values(["k", "ts"]).reset_index(drop=True)
+
+
+def test_hopped_bucketed_matches_kernel(spark, sf_dir):
+    """Bucketed sum/count maps on the Catalyst path == Arrow kernel."""
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"user_id": "user_id", "value": "floor(value*100 + 0.5)",
+                     "event_type": "event_type"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+    gb = GroupBy(
+        (src,), ("user_id",),
+        (Aggregation("value", Operation.SUM, windows=(Window.days(7),), buckets=("event_type",)),
+         Aggregation("value", Operation.COUNT, buckets=("event_type",)),
+         Aggregation("value", Operation.SUM, windows=(Window.days(7),))),
+        name="bk",
+    )
+    q = _queries(spark, sf_dir)
+    a = _norm(group_by_asof_hopped(spark, gb, q, DAY_MS).toPandas())
+    b = _norm(group_by_asof(spark, gb, q, tail_hop_ms=DAY_MS).toPandas())
+    assert len(a) == len(b) > 0
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        if a[col].dtype == object:  # map columns arrive as dicts
+            for i in range(len(a)):
+                ga, gb_ = a[col].iloc[i], b[col].iloc[i]
+                if gb_ is None:
+                    assert ga is None, (col, i, ga)
+                else:
+                    assert ga is not None and dict(ga) == dict(gb_), (col, i, ga, gb_)
+        else:
+            g, e = a[col], b[col]
+            if g.dtype.kind == "f":
+                assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
+            else:
+                assert g.equals(e), col
