@@ -216,3 +216,43 @@ def test_hopped_bucketed_matches_kernel(spark, sf_dir):
                 assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
             else:
                 assert g.equals(e), col
+
+
+def test_group_by_upload_serves_lambda_queries(spark, sf_dir, tmp_path):
+    """FinalBatchIr upload (collapsed + tail hops) ⊕ fresh rows == full
+    recompute — offline/online consistency through the upload table."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.asof_hopped import group_by_asof_hopped
+    from chronon_spark.operators.asof_join import events_df_for_group_by
+    from chronon_spark.plans.upload import COLLAPSED_HOP, upload_group_by
+
+    gb = _gb(sf_dir, (
+        Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        Aggregation("value", Operation.COUNT),          # unbounded -> reads collapsed
+        Aggregation("value", Operation.MIN),            # unbounded, mergeable
+    ))
+    boundary = 1_705_276_800_000  # 2024-01-15 midnight
+    up_path = str(tmp_path / "upload")
+    upload = upload_group_by(spark, gb, boundary, DAY_MS, output_path=up_path)
+    # collapsed rows exist and tail hops span only the last 7 days
+    assert upload.where(F.col("__hop") == COLLAPSED_HOP).count() > 0
+    real_hops = upload.where(F.col("__hop") != COLLAPSED_HOP)
+    assert real_hops.agg(F.min("__hop")).first()[0] >= (boundary - 7 * DAY_MS) // DAY_MS
+
+    events = events_df_for_group_by(spark, gb, None, None)
+    fresh = events.where(F.col("ts") >= boundary)
+    q = _queries(spark, sf_dir).where(F.col("ts") >= boundary)
+    served = _norm(
+        group_by_asof_hopped(
+            spark, gb, q, DAY_MS, events_df=fresh, extra_hop_irs=upload
+        ).toPandas()
+    )
+    full = _norm(group_by_asof_hopped(spark, gb, q, DAY_MS).toPandas())
+    assert len(served) == len(full) > 0
+    for col in served.columns:
+        g, e = served[col], full[col]
+        if g.dtype.kind == "f":
+            assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
+        else:
+            assert g.equals(e), col
