@@ -1149,6 +1149,58 @@ GROUP BY user_id
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer-style pre-flight profile of the events table (one agg pass)."""
+    from chronon_spark.plans.profile import profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = profile(ev, exact_distinct=True)
+    return out.select(
+        "column", "n_rows", "null_count", "distinct",
+        _r6(F.col("min")).alias("min"), _r6(F.col("max")).alias("max"),
+        _r6(F.col("mean")).alias("mean"),
+    )
+
+
+_PROFILE_ORACLE = """
+WITH base AS (SELECT event_id, user_id, event_type, value FROM events),
+n AS (SELECT count(*) AS n_rows FROM base)
+SELECT * FROM (
+  SELECT 'event_id' AS column, n.n_rows,
+     (SELECT count(*) FROM base WHERE event_id IS NULL) AS null_count,
+     (SELECT count(DISTINCT event_id) FROM base) AS distinct,
+     round(CAST((SELECT min(event_id) FROM base) AS DOUBLE), 6) AS min,
+     round(CAST((SELECT max(event_id) FROM base) AS DOUBLE), 6) AS max,
+     round((SELECT CAST(sum(event_id) AS DOUBLE) / count(event_id) FROM base), 6) AS mean
+  FROM n
+  UNION ALL
+  SELECT 'user_id', n.n_rows,
+     (SELECT count(*) FROM base WHERE user_id IS NULL),
+     (SELECT count(DISTINCT user_id) FROM base),
+     round(CAST((SELECT min(user_id) FROM base) AS DOUBLE), 6),
+     round(CAST((SELECT max(user_id) FROM base) AS DOUBLE), 6),
+     round((SELECT CAST(sum(user_id) AS DOUBLE) / count(user_id) FROM base), 6)
+  FROM n
+  UNION ALL
+  SELECT 'event_type', n.n_rows,
+     (SELECT count(*) FROM base WHERE event_type IS NULL),
+     (SELECT count(DISTINCT event_type) FROM base),
+     NULL, NULL, NULL
+  FROM n
+  UNION ALL
+  SELECT 'value', n.n_rows,
+     (SELECT count(*) FROM base WHERE value IS NULL),
+     (SELECT count(DISTINCT value) FROM base),
+     round((SELECT min(value) FROM base), 6),
+     round((SELECT max(value) FROM base), 6),
+     round((SELECT sum(floor(value * 100 + 0.5)) / count(value) / 100 FROM base), 6)
+  FROM n
+)
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (rows-only check:
     the input is generated, not a registered DuckDB view). Exercises text
@@ -1220,6 +1272,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_flagship": q_webtext_flagship,
         "embedding_near_dup": q_embedding_near_dup,
         "json_extract": q_json_extract,
+        "profile": q_profile,
     }
 
 
@@ -1252,4 +1305,5 @@ def _raw_oracles() -> dict[str, str]:
         "asof_lastk_topk": _LASTK_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "json_extract": _JSON_ORACLE,
+        "profile": _PROFILE_ORACLE,
     }
