@@ -52,6 +52,12 @@ def main(argv=None) -> int:
     bs.add_argument("--end", required=True)
     bs.add_argument("--step-days", type=int, default=30)
 
+    up = sub.add_parser("upload-groupby", help="build the FinalBatchIr (KV upload) table")
+    up.add_argument("--conf", required=True, help="python file defining get_group_by()")
+    up.add_argument("--output", required=True)
+    up.add_argument("--batch-end-ms", type=int, required=True)
+    up.add_argument("--hop-ms", type=int, default=86_400_000)
+
     sq = sub.add_parser("staging-query", help="incremental macro-templated SQL fill")
     sq.add_argument("--sql-file", required=True)
     sq.add_argument("--output", required=True)
@@ -65,6 +71,15 @@ def main(argv=None) -> int:
     from chronon_spark.plans.partition_range import PartitionRange
 
     spark = build_session(master=args.master or "local[*]")
+
+    if args.cmd == "upload-groupby":
+        from chronon_spark.plans.upload import upload_group_by
+
+        gb = _load_conf(args.conf).get_group_by()
+        up_df = upload_group_by(spark, gb, args.batch_end_ms, args.hop_ms, args.output)
+        print(json.dumps({"rows": up_df.count(), "output": args.output}))
+        return 0
+
     rng = PartitionRange(args.start, args.end)
 
     if args.cmd == "backfill-join":
