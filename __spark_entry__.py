@@ -1201,6 +1201,53 @@ SELECT * FROM (
 """
 
 
+def q_asof_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source GroupBy: two disjoint event sources (split by type)
+    union by name before aggregation (reference GroupBy.scala:499-503) —
+    must equal a single-source scan of the whole table."""
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Query, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+    from chronon_spark.sources.scan import millis_expr
+
+    def half(pred):
+        return EventSource(
+            table=f"{sf_dir}/events.parquet",
+            query=Query(
+                selects={"user_id": "user_id", "value": "floor(value*100 + 0.5)"},
+                wheres=(pred,),
+                time_column=millis_expr("ts"),
+            ),
+        )
+
+    gb = GroupBy(
+        sources=(half("event_type IN ('click', 'view')"),
+                 half("event_type NOT IN ('click', 'view')")),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        name="ms",
+    )
+    out = group_by_asof(spark, gb, _event_queries(spark, sf_dir))
+    return out.select(
+        "user_id", "ts",
+        F.col("value_count_7d"),
+        _r6(F.col("value_sum_7d") / 100).alias("value_sum_7d"),
+    )
+
+
+_MULTISOURCE_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev)
+SELECT q.user_id, q.ts,
+   count(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS value_count_7d,
+   round(CAST(sum(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6) AS value_sum_7d
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (rows-only check:
     the input is generated, not a registered DuckDB view). Exercises text
@@ -1273,6 +1320,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "json_extract": q_json_extract,
         "profile": q_profile,
+        "asof_multisource": q_asof_multisource,
     }
 
 
@@ -1306,4 +1354,5 @@ def _raw_oracles() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
+        "asof_multisource": _MULTISOURCE_ORACLE,
     }
