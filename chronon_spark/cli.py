@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     bj.add_argument("--step-days", type=int, default=30)
     bj.add_argument("--mode", choices=["sawtooth", "exact"], default="sawtooth")
     bj.add_argument("--prune-keys", action="store_true")
+    bj.add_argument("--modular", action="store_true",
+                    help="materialize source/part/merge as separate resumable tables")
 
     bs = sub.add_parser("backfill-groupby-snapshot", help="daily feature-table backfill")
     bs.add_argument("--conf", required=True, help="python file defining get_group_by()")
@@ -83,13 +85,21 @@ def main(argv=None) -> int:
     rng = PartitionRange(args.start, args.end)
 
     if args.cmd == "backfill-join":
-        from chronon_spark.plans.backfill_join import backfill_join
-
         join_conf = _load_conf(args.conf).get_join()
-        res = backfill_join(
-            spark, join_conf, args.output, rng,
-            step_days=args.step_days, mode=args.mode, prune_keys=args.prune_keys,
-        )
+        if args.modular:
+            from chronon_spark.plans.modular import backfill_join_modular
+
+            res = backfill_join_modular(
+                spark, join_conf, args.output, rng,
+                step_days=args.step_days, mode=args.mode,
+            )
+        else:
+            from chronon_spark.plans.backfill_join import backfill_join
+
+            res = backfill_join(
+                spark, join_conf, args.output, rng,
+                step_days=args.step_days, mode=args.mode, prune_keys=args.prune_keys,
+            )
     elif args.cmd == "backfill-groupby-snapshot":
         from chronon_spark.operators.snapshot_groupby import snapshot_group_by
         from chronon_spark.plans.backfill import backfill
