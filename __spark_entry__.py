@@ -1248,6 +1248,155 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_asof_firstk_uniquetopk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_K / BOTTOM_K / UNIQUE_TOP_K truncated-list IRs as portable
+    integer strings."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.FIRST_K, {"k": 3}, (Window.days(7),)),
+            Aggregation("value", Operation.BOTTOM_K, {"k": 3}, (Window.days(7),)),
+            Aggregation("value", Operation.UNIQUE_TOP_K, {"k": 3}, (Window.days(7),)),
+        ),
+        name="ks2",
+    )
+    out = group_by_asof(spark, gb, _event_queries(spark, sf_dir))
+
+    def as_str(col):
+        return F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("long")))
+
+    return out.select(
+        "user_id",
+        "ts",
+        as_str("value_first3_7d").alias("first3_7d"),
+        as_str("value_bottom3_7d").alias("bottom3_7d"),
+        as_str("value_unique_top_k_7d").alias("unique_top3_7d"),
+    )
+
+
+_FIRSTK_ORACLE = f"""
+WITH ev AS (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev)
+SELECT q.user_id, q.ts,
+   coalesce(array_to_string(
+     (list(e.c ORDER BY e.ts ASC) FILTER (WHERE e.ts > q.ts - {7 * DAY_MS}))[:3], ','), '') AS first3_7d,
+   coalesce(array_to_string(
+     (list(e.c ORDER BY e.c ASC, e.ts ASC) FILTER (WHERE e.ts > q.ts - {7 * DAY_MS}))[:3], ','), '') AS bottom3_7d,
+   coalesce(array_to_string(
+     (list_sort(list(DISTINCT e.c) FILTER (WHERE e.ts > q.ts - {7 * DAY_MS}), 'DESC'))[:3], ','), '') AS unique_top3_7d
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
+def q_keymapped_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with key_mapping: orders (o_custkey) against a GroupBy keyed by
+    c_custkey-style renamed key — exercises left->right key renaming."""
+    from chronon_spark.api.types import (
+        Aggregation, EventSource, GroupBy, Join, JoinPart, Operation, Query, Window,
+    )
+    from chronon_spark.operators.asof_join import join_asof
+    from chronon_spark.sources.scan import millis_expr
+
+    left = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_orderkey": "o_orderkey", "o_custkey": "o_custkey"},
+            time_column=millis_expr("o_orderdate"),
+        ),
+    )
+    right = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"cust": "o_custkey", "price": "floor(o_totalprice * 100 + 0.5)"},
+            time_column=millis_expr("o_orderdate"),
+        ),
+    )
+    gb = GroupBy(
+        sources=(right,), key_columns=("cust",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM, windows=(Window.days(90),)),
+        ),
+        name="cust_orders",
+    )
+    j = Join(left=left, join_parts=(JoinPart(gb, key_mapping={"o_custkey": "cust"}),), name="km")
+    out = join_asof(spark, j)
+    return out.select(
+        "o_orderkey", "o_custkey", "ts",
+        F.col("cust_orders_price_count"),
+        _r6(F.col("cust_orders_price_sum_90d") / 100).alias("cust_orders_price_sum_90d"),
+    )
+
+
+_KEYMAPPED_ORACLE = f"""
+WITH o AS (SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5) AS c,
+                  epoch_ms(o_orderdate) AS ts FROM orders)
+SELECT q.o_orderkey, q.o_custkey, q.ts,
+   count(e.c) AS cust_orders_price_count,
+   round(CAST(sum(CASE WHEN e.ts > q.ts - {90 * DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6)
+     AS cust_orders_price_sum_90d
+FROM o q LEFT JOIN o e ON e.o_custkey = q.o_custkey AND e.ts <= q.ts
+GROUP BY q.o_orderkey, q.o_custkey, q.ts
+"""
+
+
+def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tiled partial-IR aggregation drained via availableNow;
+    tiles are plain GROUP BY day buckets in SQL (the mergeable IR shapes)."""
+    import tempfile
+
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Query, Window
+    from chronon_spark.streaming.stream_groupby import run_available_now, stream_tile_aggregate
+
+    gb = GroupBy(
+        sources=(EventSource("unused", Query()),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(14),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(14),)),
+            Aggregation("value", Operation.MIN, windows=(Window.days(14),)),
+        ),
+        name="tiles",
+    )
+    d = tempfile.mkdtemp(prefix="tiles_src_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+            "floor(value*100 + 0.5) AS value",
+        )
+    )
+    ck = tempfile.mkdtemp(prefix="tiles_ck_")
+    out = run_available_now(stream_tile_aggregate(stream, gb), ck, "drv_tiles")
+    return out.select(
+        "user_id", "tile_start", "tile_end",
+        F.col("ir_cnt_value"),
+        _r6(F.col("ir_sum_value") / 100).alias("ir_sum_value"),
+        _r6(F.col("ir_min_value") / 100).alias("ir_min_value"),
+    )
+
+
+_STREAM_TILES_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events)
+SELECT user_id,
+   (ts // {DAY_MS}) * {DAY_MS} AS tile_start,
+   (ts // {DAY_MS}) * {DAY_MS} + {DAY_MS} AS tile_end,
+   count(c) AS ir_cnt_value,
+   round(CAST(sum(c) AS DOUBLE) / 100, 6) AS ir_sum_value,
+   round(min(c) / 100, 6) AS ir_min_value
+FROM ev GROUP BY user_id, ts // {DAY_MS}
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (rows-only check:
     the input is generated, not a registered DuckDB view). Exercises text
@@ -1321,6 +1470,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "profile": q_profile,
         "asof_multisource": q_asof_multisource,
+        "asof_firstk_uniquetopk": q_asof_firstk_uniquetopk,
+        "keymapped_join": q_keymapped_join,
+        "stream_tiles": q_stream_tiles,
     }
 
 
@@ -1355,4 +1507,7 @@ def _raw_oracles() -> dict[str, str]:
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
         "asof_multisource": _MULTISOURCE_ORACLE,
+        "asof_firstk_uniquetopk": _FIRSTK_ORACLE,
+        "keymapped_join": _KEYMAPPED_ORACLE,
+        "stream_tiles": _STREAM_TILES_ORACLE,
     }
