@@ -260,11 +260,19 @@ def compute_join_part(
       rule: features as of the previous midnight (JoinBase.scala:66-125),
       via the daily snapshot table joined on (keys, date(ts)-1).
     """
-    from chronon_spark.api.types import Accuracy, tail_hop_millis
+    from chronon_spark.api.types import Accuracy, EntitySource, tail_hop_millis
     from chronon_spark.operators.asof_hopped import group_by_asof_hopped, supports_hopped
 
     if gb.accuracy is Accuracy.SNAPSHOT:
         return _snapshot_part(spark, gb, part_queries)
+
+    # EVENTS x ENTITIES TEMPORAL: mutating dimension -> deletable-IR replay
+    # (reference JoinPartJob dispatch, batch/JoinPartJob.scala:216-246)
+    src0 = gb.sources[0]
+    if isinstance(src0, EntitySource) and src0.mutation_table:
+        from chronon_spark.operators.mutations import temporal_entities
+
+        return temporal_entities(spark, gb, part_queries)
 
     if mode == "sawtooth":
         parts = gb.unpack()

@@ -198,3 +198,47 @@ def test_non_deletable_op_rejected(spark, fixture):
     )
     with pytest.raises(NotImplementedError, match="not deletable"):
         temporal_entities(spark, gb, spark.createDataFrame(q))
+
+
+def test_temporal_entities_through_join(spark, fixture):
+    """EVENTS x ENTITIES TEMPORAL dispatch inside join_asof."""
+    import pandas as pd
+    from chronon_spark.api.types import EventSource, Join, JoinPart
+    from chronon_spark.operators.asof_join import join_asof
+
+    snap_path, mut_path, ver_path, q = fixture
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(
+                    selects={"store_id": "store_id", "price": "price", "ds": "ds",
+                             "mutation_ts": "mutation_ts", "is_before": "is_before"},
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(Aggregation("price", Operation.SUM),),
+        name="sp",
+    )
+    # left: a tiny parquet of (query_id, store_id, ts) event rows
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    left_pd = q.head(50).copy()
+    left_pd["query_id"] = range(len(left_pd))
+    spark.createDataFrame(left_pd).write.parquet(d + "/left.parquet")
+    left = EventSource(
+        table=d + "/left.parquet",
+        query=Query(selects={"query_id": "query_id", "store_id": "store_id"},
+                    time_column="ts"),
+    )
+    j = Join(left=left, join_parts=(JoinPart(gb),), name="tej")
+    out = join_asof(spark, j).toPandas()
+    assert len(out) == 50 and "sp_price_sum" in out.columns
+
+    from chronon_spark.operators.mutations import temporal_entities
+    direct = temporal_entities(spark, gb, spark.createDataFrame(left_pd[["store_id", "ts"]]))
+    m = out.merge(direct.toPandas(), on=["store_id", "ts"])
+    assert (m["sp_price_sum"].fillna(-1) == m["price_sum"].fillna(-1)).all()
