@@ -256,3 +256,34 @@ def test_group_by_upload_serves_lambda_queries(spark, sf_dir, tmp_path):
             assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
         else:
             assert g.equals(e), col
+
+
+def test_hopped_bucketed_parallelism_invariance(spark, sf_dir):
+    """Bucketed hopped results identical across shuffle-partition counts."""
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"user_id": "user_id", "value": "floor(value*100 + 0.5)",
+                     "event_type": "event_type"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+    gb = GroupBy(
+        (src,), ("user_id",),
+        (Aggregation("value", Operation.SUM, windows=(Window.days(7),), buckets=("event_type",)),),
+        name="inv",
+    )
+    q = _queries(spark, sf_dir)
+
+    def run(n):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            df = group_by_asof_hopped(spark, gb, q, DAY_MS).toPandas()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        col = "value_sum_7d_by_event_type"
+        df[col] = df[col].map(lambda m: None if m is None else tuple(sorted(m.items())))
+        return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    assert run(3).equals(run(17))

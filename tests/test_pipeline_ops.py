@@ -217,3 +217,18 @@ def test_setups_udf_registration(spark, sf_dir):
     row = spark.read.parquet(f"{sf_dir}/events.parquet").first()
     got = df.where(F.col("user_id") == row["user_id"]).first()
     assert got["v2"] is not None
+
+
+def test_quickstart_example(spark):
+    """The reference-quickstart-equivalent conf runs end to end."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("qs", "/root/repo/examples/quickstart.py")
+    qs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qs)
+    from chronon_spark.operators.asof_join import join_asof
+
+    df = join_asof(spark, qs.get_join(), mode="exact")
+    assert df.count() == 1000
+    assert "purchases_purchase_price_sum_14d" in df.columns
+    assert "purchases_purchase_price_last10" in df.columns
