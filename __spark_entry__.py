@@ -1397,6 +1397,41 @@ FROM ev GROUP BY user_id, ts // {DAY_MS}
 """
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-key exclusion (reference JoinUtils.scala:330-382): hot keys are
+    dropped from the left AND from part computation — their rows vanish
+    from the output entirely."""
+    from chronon_spark.api.types import (
+        Aggregation, GroupBy, Join, JoinPart, Operation, Window,
+    )
+    from chronon_spark.operators.asof_join import join_asof
+
+    src = _events_source(sf_dir, cents=True)
+    gb = GroupBy(
+        sources=(src,), key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="sk",
+    )
+    j = Join(left=src, join_parts=(JoinPart(gb),), name="skewed",
+             skew_keys={"user_id": [0, 1, 2]})
+    out = join_asof(spark, j)
+    return out.select(
+        "event_id", "user_id", "ts",
+        _r6(F.col("sk_value_sum_7d") / 100).alias("sk_value_sum_7d"),
+    )
+
+
+_SKEW_ORACLE = f"""
+WITH ev AS (SELECT event_id, user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts
+            FROM events WHERE user_id NOT IN (0, 1, 2))
+SELECT q.event_id, q.user_id, q.ts,
+   round(CAST(sum(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6)
+     AS sk_value_sum_7d
+FROM ev q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.event_id, q.user_id, q.ts
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (rows-only check:
     the input is generated, not a registered DuckDB view). Exercises text
@@ -1473,6 +1508,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_firstk_uniquetopk": q_asof_firstk_uniquetopk,
         "keymapped_join": q_keymapped_join,
         "stream_tiles": q_stream_tiles,
+        "skew_join": q_skew_join,
     }
 
 
@@ -1510,4 +1546,5 @@ def _raw_oracles() -> dict[str, str]:
         "asof_firstk_uniquetopk": _FIRSTK_ORACLE,
         "keymapped_join": _KEYMAPPED_ORACLE,
         "stream_tiles": _STREAM_TILES_ORACLE,
+        "skew_join": _SKEW_ORACLE,
     }

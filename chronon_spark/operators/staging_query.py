@@ -80,6 +80,7 @@ def backfill_staging_query(
     step_days: int = 30,
     partition_col: str = "ds",
     setups: tuple = (),
+    recompute_days: int = 0,
 ) -> BackfillResult:
     """Incremental fill: each missing step range renders & runs the SQL
     with that step's start/end dates (reference fill-what's-missing)."""
@@ -96,4 +97,5 @@ def backfill_staging_query(
         partition_col=partition_col,
         job_name="staging_query",
         conf=sql,
+        recompute_days=recompute_days,
     )

@@ -108,6 +108,7 @@ def backfill(
     job_name: str = "backfill",
     conf=None,
     repartition_by_range: bool = True,
+    recompute_days: int = 0,
 ) -> BackfillResult:
     """Fill ``output_path`` for ``date_range``, skipping checkpointed
     partitions; each step-range computes, writes with dynamic partition
@@ -128,6 +129,17 @@ def backfill(
         if stored is not None and stored != chash:
             # conf changed -> checkpoint state is invalid; recompute all
             existing = set()
+
+    if recompute_days > 0:
+        # label-recompute semantics (reference StagingQuery recomputeDays,
+        # thrift/api.thrift:66-107): the trailing N partitions of the range
+        # are always recomputed even if checkpointed - labels/late data
+        # near the range end may have changed.
+        tail = set()
+        ds_list = list(date_range.partitions())
+        for ds in ds_list[-recompute_days:]:
+            tail.add(ds)
+        existing = existing - tail
 
     holes = missing_ranges(date_range, existing)
     skipped = date_range.days - sum(h.days for h in holes)

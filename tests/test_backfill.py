@@ -112,3 +112,15 @@ def test_backfill_conf_change_invalidates(spark, sf_dir, out_dir):
     calls.clear()
     res = backfill(spark, compute, out_dir, rng, conf="confB")
     assert res.skipped_partitions == 0 and len(calls) == 1
+
+
+def test_recompute_days(spark, sf_dir, out_dir):
+    """Trailing partitions always recompute (label-recompute semantics)."""
+    rng = PartitionRange("2024-01-02", "2024-01-08")
+    calls = []
+    compute = _compute_factory(spark, sf_dir, calls)
+    backfill(spark, compute, out_dir, rng, conf="A")
+    calls.clear()
+    res = backfill(spark, compute, out_dir, rng, conf="A", recompute_days=2)
+    assert [(s.start, s.end) for s in res.computed] == [("2024-01-07", "2024-01-08")]
+    assert res.skipped_partitions == 5
