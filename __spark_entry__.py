@@ -139,7 +139,10 @@ def q_asof_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASOF_ORACLE = f"""
-WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+WITH ev0 AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+k AS (SELECT user_id, min(c) AS kv FROM ev0 GROUP BY user_id),
+ev AS (SELECT ev0.user_id, ev0.c, ev0.c - k.kv AS csh, ev0.ts
+       FROM ev0 JOIN k ON ev0.user_id = k.user_id),
 q AS (SELECT DISTINCT user_id, ts FROM ev),
 agg AS (
   SELECT q.user_id, q.ts,
@@ -148,8 +151,8 @@ agg AS (
      CAST(sum(e.c) AS DOUBLE) AS sum_all, CAST(count(e.c) AS DOUBLE) AS cnt_all,
      min(CASE WHEN e.ts > q.ts - {30 * DAY_MS} THEN e.c END) AS min30,
      max(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS max7,
-     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c END) AS DOUBLE) AS ssq14,
-     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c END) AS DOUBLE) AS sum14,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.csh * e.csh END) AS DOUBLE) AS ssq14,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.csh END) AS DOUBLE) AS sum14,
      CAST(count(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c END) AS DOUBLE) AS cnt14,
      arg_max(e.c, e.ts) AS last_c,
      count(DISTINCT CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS uniq7
@@ -409,7 +412,7 @@ s AS (
 ),
 t AS (
   SELECT user_id, ts,
-     sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+     CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM s
 )
 SELECT user_id, session_id,
@@ -977,15 +980,18 @@ def q_asof_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MOMENTS_ORACLE = f"""
-WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+WITH ev0 AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+k AS (SELECT user_id, min(c) AS kv FROM ev0 GROUP BY user_id),
+ev AS (SELECT ev0.user_id, ev0.c, ev0.c - k.kv AS csh, ev0.ts
+       FROM ev0 JOIN k ON ev0.user_id = k.user_id),
 q AS (SELECT DISTINCT user_id, ts FROM ev),
 sums AS (
   SELECT q.user_id, q.ts,
      CAST(count(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c END) AS DOUBLE) AS n,
-     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c END) AS DOUBLE) AS s1,
-     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c END) AS DOUBLE) AS s2,
-     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c * e.c END) AS DOUBLE) AS s3,
-     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.c * e.c * e.c * e.c END) AS DOUBLE) AS s4
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.csh END) AS DOUBLE) AS s1,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.csh * e.csh END) AS DOUBLE) AS s2,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.csh * e.csh * e.csh END) AS DOUBLE) AS s3,
+     CAST(sum(CASE WHEN e.ts > q.ts - {14 * DAY_MS} THEN e.csh * e.csh * e.csh * e.csh END) AS DOUBLE) AS s4
   FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
   GROUP BY q.user_id, q.ts
 ),

@@ -132,6 +132,7 @@ class _EventIndex:
         self._sparse_cache: dict = {}
         self._valid_cache: dict = {}
         self._moment_cache: dict = {}
+        self._shift_cache: dict = {}
 
     def numeric(self, col: str) -> np.ndarray:
         if col not in self._numeric_cache:
@@ -143,10 +144,24 @@ class _EventIndex:
             self._prefix_cache[col] = _prefix(self.numeric(col))
         return self._prefix_cache[col]
 
+    def shift(self, col: str) -> float:
+        """Per-group offset for moment computations: the column's minimum
+        finite value. Central/standardized moments (variance, skew,
+        kurtosis) are shift-invariant, and subtracting the minimum before
+        powering avoids the catastrophic cancellation of sum(x^p) at
+        mu >> sigma magnitudes. An integer offset (e.g. cents-quantized
+        inputs) keeps shifted power sums exact in doubles."""
+        if col not in self._shift_cache:
+            v = self.numeric(col)
+            m = np.nanmin(v) if (~np.isnan(v)).any() else 0.0
+            self._shift_cache[col] = float(m)
+        return self._shift_cache[col]
+
     def moments(self, col: str, power: int) -> np.ndarray:
+        """Prefix sums of (x - shift)^power over non-null values."""
         key = (col, power)
         if key not in self._moment_cache:
-            v = self.numeric(col)
+            v = self.numeric(col) - self.shift(col)
             notnull = ~np.isnan(v)
             self._moment_cache[key] = np.concatenate(
                 [[0.0], np.cumsum(np.where(notnull, v, 0.0) ** power)]
@@ -189,20 +204,27 @@ def _compute_unbucketed(
         if op is Operation.AVERAGE:
             with np.errstate(invalid="ignore", divide="ignore"):
                 return _nan_to_none(np.where(c > 0, s / np.maximum(c, 1), np.nan))
-        # VARIANCE (population, matches Spark var_pop / reference Welford)
+        # VARIANCE (population, matches Spark var_pop / reference Welford).
+        # Shift-invariant: computed over (x - min) power sums (see
+        # _EventIndex.moments) so large-magnitude low-variance columns
+        # don't cancel catastrophically.
+        p1 = idx.moments(col, 1)
         psq = idx.moments(col, 2)
+        s_sh = p1[hi] - p1[lo]
         ssq = psq[hi] - psq[lo]
         with np.errstate(invalid="ignore", divide="ignore"):
             cc = np.maximum(c, 1)
-            var = ssq / cc - (s / cc) ** 2
+            var = ssq / cc - (s_sh / cc) ** 2
             var = np.maximum(var, 0.0)  # clamp fp negatives
             return _nan_to_none(np.where(c > 0, var, np.nan))
 
     if op in (Operation.SKEW, Operation.KURTOSIS):
-        psum, pcnt = idx.prefix(col)
-        p2, p3 = idx.moments(col, 2), idx.moments(col, 3)
+        # standardized central moments are shift-invariant — use the
+        # shifted power sums throughout (same offset for s1..s4)
+        _, pcnt = idx.prefix(col)
+        p1, p2, p3 = idx.moments(col, 1), idx.moments(col, 2), idx.moments(col, 3)
         c = (pcnt[hi] - pcnt[lo]).astype(np.float64)
-        s1 = psum[hi] - psum[lo]
+        s1 = p1[hi] - p1[lo]
         s2 = p2[hi] - p2[lo]
         s3 = p3[hi] - p3[lo]
         with np.errstate(invalid="ignore", divide="ignore"):

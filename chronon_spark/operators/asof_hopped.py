@@ -90,7 +90,13 @@ def _ir_aggs(parts: list) -> list:
             add(f"i_cnt_{c}", F.count(c))
             add(f"i_sum_{c}", F.sum(F.col(c).cast("double")))
             if op is Operation.VARIANCE:
-                add(f"i_ssq_{c}", F.sum(F.pow(F.col(c).cast("double"), 2)))
+                # m2 = sum of squared deviations about the GROUP's own mean
+                # (var_pop is Welford-based in Catalyst — numerically stable,
+                # unlike raw sum(x^2) which cancels catastrophically for
+                # large-magnitude low-variance columns). Merged across hops
+                # with the shifted-moments / Chan formula in _tail_cols +
+                # finalize (reference uses a moments-based aggregator too).
+                add(f"i_m2_{c}", F.var_pop(F.col(c).cast("double")) * F.count(c))
         elif op is Operation.MIN:
             add(f"i_min_{c}", F.min(F.col(c).cast("double")))
         elif op is Operation.MAX:
@@ -135,7 +141,19 @@ def _tail_cols(parts: list, keys: list, hop_ms: int) -> list:
             add(f"t_cnt_{sfx}", F.sum(f"i_cnt_{c}").over(fr))
             add(f"t_sum_{sfx}", F.sum(f"i_sum_{c}").over(fr))
             if op is Operation.VARIANCE:
-                add(f"t_ssq_{sfx}", F.sum(f"i_ssq_{c}").over(fr))
+                # shifted-moments tail terms about the per-key offset
+                # __k_{c} (added in group_by_asof_hopped): within-hop m2
+                # plus each hop's n_h * (mean_h - K)^2 contribution — every
+                # term is O(n * sigma^2), no mu^2-scale cancellation.
+                add(f"t_m2_{sfx}", F.sum(f"i_m2_{c}").over(fr))
+                k = F.col(f"__k_{c}")
+                b_hop = F.when(
+                    F.col(f"i_cnt_{c}") > 0,
+                    F.pow(F.col(f"i_sum_{c}") - F.col(f"i_cnt_{c}") * k, 2)
+                    / F.col(f"i_cnt_{c}"),
+                )
+                add(f"t_b_{sfx}", F.sum(b_hop).over(fr))
+                add(f"__k_{c}", k)
         elif op is Operation.MIN:
             add(f"t_min_{sfx}", F.min(f"i_min_{c}").over(fr))
         elif op is Operation.MAX:
@@ -336,6 +354,19 @@ def group_by_asof_hopped(
     ir_cols = [c for c in hop_irs.columns if c.startswith("i_")]
     q_hops = q.select(*keys, "__hop").distinct()
     hop_grid = hop_irs.join(q_hops, on=keys + ["__hop"], how="full")
+    # per-key variance offset K = overall mean of the key's events, computed
+    # from the hop IRs themselves (full-partition window — same shuffle as
+    # the tail window, no extra pass over raw events)
+    var_inputs = sorted({p.input_column for p in parts
+                         if p.operation is Operation.VARIANCE})
+    if var_inputs:
+        wk = W.partitionBy(*keys).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        for c in var_inputs:
+            hop_grid = hop_grid.withColumn(
+                f"__k_{c}", F.sum(f"i_sum_{c}").over(wk) / F.sum(f"i_cnt_{c}").over(wk)
+            )
     tails = hop_grid.select(*keys, "__hop", *_tail_cols(parts, keys, hop_ms))
     # only query hops are needed downstream
     tails = tails.join(q_hops, on=keys + ["__hop"], how="leftsemi")
@@ -382,13 +413,25 @@ def group_by_asof_hopped(
                 out_cols.append(s.alias(name))
             elif op is Operation.AVERAGE:
                 out_cols.append((s / cnt).alias(name))
-            else:  # VARIANCE (population)
-                ssq = F.when(
-                    cnt > 0,
-                    F.coalesce(F.col(f"t_ssq_{sfx}"), F.lit(0.0))
-                    + F.coalesce(F.col(f"h_ssq_{c}"), F.lit(0.0)),
+            else:  # VARIANCE (population) — shifted-moments merge:
+                # M2_total = sum(m2_g) + sum(n_g*(mean_g-K)^2) - A^2/N,
+                # A = S - N*K (Chan's parallel variance about a per-key
+                # offset K; all terms O(N*sigma^2), so no catastrophic
+                # cancellation at mu >> sigma production magnitudes)
+                k = F.col(f"__k_{c}")
+                m2 = F.coalesce(F.col(f"t_m2_{sfx}"), F.lit(0.0)) + F.coalesce(
+                    F.col(f"h_m2_{c}"), F.lit(0.0)
                 )
-                var = ssq / cnt - F.pow(s / cnt, 2)
+                h_b = F.when(
+                    F.col(f"h_cnt_{c}") > 0,
+                    F.pow(F.col(f"h_sum_{c}") - F.col(f"h_cnt_{c}") * k, 2)
+                    / F.col(f"h_cnt_{c}"),
+                )
+                b = F.coalesce(F.col(f"t_b_{sfx}"), F.lit(0.0)) + F.coalesce(
+                    h_b, F.lit(0.0)
+                )
+                a = s - cnt * k
+                var = (m2 + b - F.pow(a, 2) / cnt) / cnt
                 out_cols.append(F.when(cnt > 0, F.greatest(var, F.lit(0.0))).alias(name))
         elif op is Operation.MIN:
             out_cols.append(F.least(f"t_min_{sfx}", f"h_min_{c}").alias(name))

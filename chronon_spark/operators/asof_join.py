@@ -75,14 +75,19 @@ def null_out_nans(df: DataFrame, cols: list) -> DataFrame:
     return df
 
 
-def apply_derivations(df, derivations: dict, id_cols: list):
-    """Reference derivation semantics (Join.scala:401-462; thrift Derivation):
-    the derivation select list REPLACES the output columns; a "*" entry
-    passes the base columns through. Key/time columns always survive."""
+def apply_derivations(df, derivations: dict, base_cols: list):
+    """Reference derivation semantics (Join.scala:401-462, derivationProjection;
+    thrift Derivation): the derivation select list REPLACES the *value*
+    columns; a "*" entry passes everything through. All non-value base
+    columns (keys, left selects, ts) always survive — pass them as
+    ``base_cols``. At GroupBy level that is keys+ts; at Join level it is
+    every left/base column (the reference's derivationProjection retains
+    baseValueNames' complement plus ensureKeys)."""
     exprs = [f"{e} AS {a}" for a, e in derivations.items() if a != "*"]
     if "*" in derivations:
         return df.selectExpr("*", *exprs)
-    keep = [c for c in id_cols if c in df.columns]
+    named = set(derivations)
+    keep = [c for c in base_cols if c in df.columns and c not in named]
     return df.selectExpr(*keep, *exprs)
 
 
@@ -248,6 +253,7 @@ def compute_join_part(
     mode: str = "exact",
     tail_hop_ms: Optional[int] = None,
     prune_keys: bool = False,
+    query_range: Optional[tuple] = None,
 ) -> DataFrame:
     """Dispatch one GroupBy's as-of computation to the best physical plan.
 
@@ -279,12 +285,19 @@ def compute_join_part(
         windows = [p.window for p in parts if p.window is not None]
         hop = tail_hop_ms or (min(tail_hop_millis(w) for w in windows) if windows else 86_400_000)
         if supports_hopped(gb, hop):
-            return group_by_asof_hopped(spark, gb, part_queries, hop, prune_keys=prune_keys)
-        return group_by_asof(spark, gb, part_queries, tail_hop_ms=hop, prune_keys=prune_keys)
+            return group_by_asof_hopped(
+                spark, gb, part_queries, hop,
+                query_range=query_range, prune_keys=prune_keys,
+            )
+        return group_by_asof(
+            spark, gb, part_queries, tail_hop_ms=hop,
+            query_range=query_range, prune_keys=prune_keys,
+        )
     # exact mode; an explicit tail_hop_ms still selects the kernel's
     # sawtooth rounding (backward-compatible escape hatch)
     return group_by_asof(
-        spark, gb, part_queries, tail_hop_ms=tail_hop_ms, prune_keys=prune_keys
+        spark, gb, part_queries, tail_hop_ms=tail_hop_ms,
+        query_range=query_range, prune_keys=prune_keys,
     )
 
 
@@ -396,6 +409,7 @@ def join_asof(
     mode: str = "exact",
     bootstrap_df: Optional[DataFrame] = None,
     prune_keys: bool = False,
+    left_ts_range: Optional[tuple] = None,
 ) -> DataFrame:
     """Full point-in-time Join: left query rows x many GroupBys.
 
@@ -404,8 +418,19 @@ def join_asof(
     compute each join part at the left's distinct (mapped-keys, ts), then
     fold the part outputs back with broadcast-aware left joins on
     (keys, ts).
+
+    ``left_ts_range`` (min_ts, max_ts inclusive epoch millis) bounds the
+    LEFT scan — a step-chunked backfill passes its step range so each step
+    does only its own share of as-of work (the part event scans then apply
+    the window lookback below the range's min, reference JoinBase step
+    semantics). Without it an N-step backfill would redo the full-range
+    join N times.
     """
-    left = scan_source(spark, join_conf.left)
+    left = scan_source(
+        spark, join_conf.left,
+        min_ts=left_ts_range[0] if left_ts_range else None,
+        max_ts=left_ts_range[1] if left_ts_range else None,
+    )
 
     # Skew-key exclusion (reference JoinUtils.scala:330-382).
     if join_conf.skew_keys:
@@ -414,6 +439,7 @@ def join_asof(
                 left = left.where(~F.col(col).isin(list(hot)) | F.col(col).isNull())
 
     result = left
+    part_value_cols: list = []  # prefixed part outputs — the join's "value" columns
     if bootstrap_df is not None:
         from chronon_spark.operators.join_utils import bootstrap_join
 
@@ -453,10 +479,14 @@ def join_asof(
             mode=mode,
             tail_hop_ms=tail_hop_ms,
             prune_keys=prune_keys,
+            query_range=left_ts_range,
         )
         # one select projects every fused part's columns with its prefix
         inv = {rk: lc for lc, rk in mapping.items()}
         key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in merged_gb.key_columns]
+        part_value_cols += [
+            f"{jp.full_prefix()}_{c}" for jp in jps for c in _jp_out_cols(jp)
+        ]
         out_cols = [
             F.col(c).alias(f"{jp.full_prefix()}_{c}")
             for jp in jps
@@ -472,6 +502,9 @@ def join_asof(
             result = result.join(feats, on=join_keys, how="left")
 
     if join_conf.derivations:
-        id_cols = list(join_conf.row_ids or []) + [TS]
-        result = apply_derivations(result, join_conf.derivations, id_cols)
+        # base = every non-value column (left schema survives; only the
+        # prefixed part outputs are replaced) — Join.derivationProjection.
+        value_set = set(part_value_cols)
+        base_cols = [c for c in result.columns if c not in value_set]
+        result = apply_derivations(result, join_conf.derivations, base_cols)
     return result

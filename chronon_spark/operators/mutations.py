@@ -138,7 +138,7 @@ def temporal_entities(
         m,
         on=[*[q[k] == m[k] for k in keys]],
         how="inner",
-    ).where((F.col("__m_ds") == F.col("__q_ds")) & (F.col("mutation_ts") <= q[TS]))
+    ).where((F.col("__m_ds") == F.col("__q_ds")) & (F.col("mutation_ts") < q[TS]))
     delta_cols = _ir_aggs(parts, signed=True)
     deltas = qm.groupBy(*[q[k] for k in keys], q[TS]).agg(*delta_cols)
     deltas = deltas.select(

@@ -65,8 +65,9 @@ def analyze_join(spark: SparkSession, join_conf: Join) -> T.StructType:
         from chronon_spark.operators.asof_join import apply_derivations
 
         empty = spark.createDataFrame([], schema)
+        base_cols = [f.name for f in left_schema.fields] + [TS]  # non-value columns
         schema = apply_derivations(
-            empty, join_conf.derivations, list(join_conf.row_ids or []) + [TS]
+            empty, join_conf.derivations, base_cols
         ).schema
     return schema
 

@@ -32,8 +32,13 @@ def backfill_join(
     prune_keys: bool = False,
 ) -> BackfillResult:
     def compute(s: SparkSession, rng: PartitionRange) -> DataFrame:
+        # Bound the LEFT scan to this step's ts range up front so each step
+        # computes only its own share of as-of work (part event scans keep
+        # the window lookback below min_ts inside group_by_asof). Without
+        # this an N-step backfill does N x the full-range join.
         out = join_asof(
-            s, join_conf, tail_hop_ms=tail_hop_ms, mode=mode, prune_keys=prune_keys
+            s, join_conf, tail_hop_ms=tail_hop_ms, mode=mode,
+            prune_keys=prune_keys, left_ts_range=rng.ts_range(),
         )
         out = out.withColumn(
             "ds", F.date_format(F.timestamp_millis(F.col(TS)), "yyyy-MM-dd")

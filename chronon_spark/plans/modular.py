@@ -103,15 +103,20 @@ def merge_job(
         out = s.read.parquet(left_path).where(
             (F.col("ds").cast("string") >= r.start) & (F.col("ds").cast("string") <= r.end)
         )
+        value_cols: list = []
         for jp, pp in zip(join_conf.join_parts, part_paths):
             mapping = jp.key_mapping or {k: k for k in jp.group_by.key_columns}
             part = s.read.parquet(pp).drop("ds")
-            out = out.join(part, on=list(mapping.keys()) + [TS], how="left")
+            join_keys = list(mapping.keys()) + [TS]
+            value_cols += [c for c in part.columns if c not in join_keys]
+            out = out.join(part, on=join_keys, how="left")
         if join_conf.derivations:
             from chronon_spark.operators.asof_join import apply_derivations
 
-            id_cols = list(join_conf.row_ids or []) + [TS, "ds"]
-            out = apply_derivations(out, join_conf.derivations, id_cols)
+            # keep every non-value (left/base) column; replace only part outputs
+            value_set = set(value_cols)
+            base_cols = [c for c in out.columns if c not in value_set]
+            out = apply_derivations(out, join_conf.derivations, base_cols)
         return out
 
     return backfill(spark, compute, output_path, rng, step_days=step_days,

@@ -49,6 +49,15 @@ class PartitionRange:
             yield format_ds(d)
             d += dt.timedelta(days=1)
 
+    def ts_range(self) -> tuple:
+        """(min_ts, max_ts) inclusive epoch millis covered by this range:
+        [start 00:00:00.000 UTC, end+1d 00:00:00.000 UTC - 1ms]."""
+        epoch = dt.date(1970, 1, 1)
+        day_ms = 86_400_000
+        min_ts = (parse_ds(self.start) - epoch).days * day_ms
+        max_ts = ((parse_ds(self.end) - epoch).days + 1) * day_ms - 1
+        return (min_ts, max_ts)
+
     def shift(self, days: int) -> "PartitionRange":
         return PartitionRange(shift_ds(self.start, days), shift_ds(self.end, days))
 

@@ -49,7 +49,25 @@ def _merge_aggs(parts: list) -> list:
             add(f"i_cnt_{c}", F.sum(f"i_cnt_{c}"))
             add(f"i_sum_{c}", F.sum(f"i_sum_{c}"))
             if op is Operation.VARIANCE:
-                add(f"i_ssq_{c}", F.sum(f"i_ssq_{c}"))
+                # shifted-moments merge about the per-key offset __k_{c}
+                # (joined in upload_group_by); finalized to a single i_m2
+                # post-agg: i_m2 = sum(m2_h) + sum(n_h*(mean_h-K)^2) - A^2/N
+                add(f"__m2s_{c}", F.sum(f"i_m2_{c}"))
+                add(
+                    f"__b_{c}",
+                    F.sum(
+                        F.when(
+                            F.col(f"i_cnt_{c}") > 0,
+                            F.pow(
+                                F.col(f"i_sum_{c}")
+                                - F.col(f"i_cnt_{c}") * F.col(f"__k_{c}"),
+                                2,
+                            )
+                            / F.col(f"i_cnt_{c}"),
+                        )
+                    ),
+                )
+                add(f"__k_{c}", F.first(f"__k_{c}"))
         elif op is Operation.MIN:
             add(f"i_min_{c}", F.min(f"i_min_{c}"))
         elif op is Operation.MAX:
@@ -94,11 +112,34 @@ def upload_group_by(
     tail_start_hop = (batch_end_ms - mw_w) // hop_ms
     tails = irs.where(F.col("__hop") >= tail_start_hop)
     old = irs.where(F.col("__hop") < tail_start_hop)
-    collapsed = (
-        old.groupBy(*keys)
-        .agg(*_merge_aggs(parts))
-        .withColumn("__hop", F.lit(COLLAPSED_HOP))
-        .select(*tails.columns)
+    var_cols = sorted(
+        {p.input_column for p in parts if p.operation is Operation.VARIANCE}
+    )
+    if var_cols:
+        # per-key offset for the stable variance merge — one cheap agg over
+        # IR rows (not raw events), shuffle-joined back on the same keys
+        # (AQE broadcasts it when it is small; never force at 10^9 keys)
+        kdf = old.groupBy(*keys).agg(
+            *[
+                (F.sum(f"i_sum_{c}") / F.sum(f"i_cnt_{c}")).alias(f"__k_{c}")
+                for c in var_cols
+            ]
+        )
+        old = old.join(kdf, on=keys, how="left")
+    collapsed = old.groupBy(*keys).agg(*_merge_aggs(parts))
+    for c in var_cols:
+        a = F.col(f"i_sum_{c}") - F.col(f"i_cnt_{c}") * F.col(f"__k_{c}")
+        collapsed = collapsed.withColumn(
+            f"i_m2_{c}",
+            F.when(
+                F.col(f"i_cnt_{c}") > 0,
+                F.col(f"__m2s_{c}")
+                + F.col(f"__b_{c}")
+                - F.pow(a, 2) / F.col(f"i_cnt_{c}"),
+            ),
+        ).drop(f"__m2s_{c}", f"__b_{c}", f"__k_{c}")
+    collapsed = collapsed.withColumn("__hop", F.lit(COLLAPSED_HOP)).select(
+        *tails.columns
     )
     upload = tails.unionByName(collapsed)
     if output_path:

@@ -62,15 +62,20 @@ def partial_ir_aggs(group_by: GroupBy) -> list:
             add(f"ir_cnt_{c}", F.count(c))
             add(f"ir_sum_{c}", F.sum(F.col(c).cast("double")))
             if op is Operation.VARIANCE:
-                add(f"ir_ssq_{c}", F.sum(F.pow(F.col(c).cast("double"), 2)))
+                # per-tile m2 (Welford-stable), matching the batch hop IRs
+                # (asof_hopped._ir_aggs) for the lambda merge
+                add(f"ir_m2_{c}", F.var_pop(F.col(c).cast("double")) * F.count(c))
         elif op is Operation.MIN:
             add(f"ir_min_{c}", F.min(c))
         elif op is Operation.MAX:
             add(f"ir_max_{c}", F.max(c))
         elif op is Operation.LAST:
-            add(f"ir_last_{c}", F.max_by(c, "ts"))
+            # null-skipping order key mirrors the batch hop IRs
+            # (asof_hopped._ir_aggs) so batch==stream tile IR equality holds
+            # when the newest value in a tile is null
+            add(f"ir_last_{c}", F.max_by(c, F.when(F.col(c).isNotNull(), F.col("ts"))))
         elif op is Operation.FIRST:
-            add(f"ir_first_{c}", F.min_by(c, "ts"))
+            add(f"ir_first_{c}", F.min_by(c, F.when(F.col(c).isNotNull(), F.col("ts"))))
         elif op in (Operation.UNIQUE_COUNT,):
             add(f"ir_set_{c}", F.collect_set(c))
         elif op is Operation.APPROX_UNIQUE_COUNT:

@@ -77,7 +77,10 @@ def test_hopped_equals_kernel_sawtooth(spark, sf_dir, hop_ms):
     for col in got.columns:
         g, e = got[col], exp[col]
         if g.dtype.kind == "f" or e.dtype.kind == "f":
-            assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
+            # relative tolerance: kernel (shifted power sums) and hopped
+            # (m2/Chan merge) are distinct stable algorithms — allclose,
+            # not bit-identical, is the contract (north-star "allclose")
+            assert ((g.isna() & e.isna()) | (abs(g - e) <= 1e-9 + 1e-9 * abs(e))).all(), col
         else:
             assert g.equals(e), col
 

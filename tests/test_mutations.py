@@ -133,7 +133,7 @@ def test_temporal_entities_vs_interval_oracle(spark, fixture):
            CAST(sum(v.price) AS DOUBLE) AS price_sum,
            CAST(sum(v.price) AS DOUBLE) / count(v.price) AS price_average
         FROM q LEFT JOIN v
-          ON v.store_id = q.store_id AND v.valid_from <= q.ts AND q.ts < v.valid_to
+          ON v.store_id = q.store_id AND v.valid_from < q.ts AND q.ts <= v.valid_to
         GROUP BY q.store_id, q.ts
         ORDER BY q.store_id, q.ts
         """
@@ -144,9 +144,10 @@ def test_temporal_entities_vs_interval_oracle(spark, fixture):
     assert np.allclose(got["price_average"].fillna(-1), exp["price_average"].fillna(-1))
 
 
-def test_mutation_boundary_inclusive(spark, fixture):
-    """A mutation at exactly the query ts is included (mutation_ts <= ts),
-    matching the head-inclusive convention of the as-of kernel."""
+def test_mutation_boundary_exclusive(spark, fixture):
+    """A mutation at exactly the query ts is EXCLUDED (mutation_ts < ts),
+    matching the reference SawtoothMutationAggregator.lambdaAggregateIrMany
+    strict inequality (point-in-time state *before* the query instant)."""
     snap_path, mut_path, ver_path, _ = fixture
     muts = pd.read_parquet(mut_path) if False else None
     m = duckdb.sql(f"SELECT * FROM '{mut_path}/*.parquet' WHERE NOT is_before AND mutation_ts > {T0 + DAY_MS} LIMIT 1").df()
@@ -180,7 +181,7 @@ def test_mutation_boundary_inclusive(spark, fixture):
     for ts in out.index:
         exp = con.sql(
             f"""SELECT CAST(sum(price) AS DOUBLE) FROM '{ver_path}'
-                WHERE store_id = {row.store_id} AND valid_from <= {ts} AND {ts} < valid_to"""
+                WHERE store_id = {row.store_id} AND valid_from < {ts} AND {ts} <= valid_to"""
         ).fetchone()[0]
         assert out.loc[ts, "price_sum"] == pytest.approx(exp)
 
