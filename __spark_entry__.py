@@ -526,13 +526,49 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= {LSH_THRESHOLD}
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (60-bit band blocking is cheap to mirror but the
-    chunk-join recall semantics are pinned by pytest instead); driver
-    records the rows-only check."""
     from chronon_spark.operators.dedup import simhash_near_dups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(docs, "doc_id", max_hamming=20)
+    out = simhash_near_dups(docs, "doc_id", max_hamming=20)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# Bit-exact DuckDB mirror of dedup.simhash64 + the 15-bit chunk blocking:
+# same md5-prefix 60-bit token hash, same sign-of-count bit assembly, same
+# 4-chunk pigeonhole self-join (dedup.py:261-344).
+_SIMHASH_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+     list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+     CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                    for b in range(0, 60)]) AS BIGINT) AS sh
+  FROM h
+),
+chunks AS (
+  SELECT doc_id, sh, unnest(range(0, 4)) AS chunk
+  FROM sig
+),
+keyed AS (
+  SELECT doc_id, sh, chunk, (sh >> CAST(chunk * 15 AS INTEGER)) & 32767 AS key
+  FROM chunks
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM keyed a JOIN keyed b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 20
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -665,14 +701,79 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+ANN_PLANES, ANN_TABLES, ANN_SEED, ANN_DIM = 6, 4, 42, 64
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN (random-hyperplane LSH buckets) — no SQL oracle by
-    nature (recall < 1); pytest measures recall vs brute force."""
+    """Approximate NN: OR-amplified multi-table hyperplane LSH. The oracle
+    mirrors the deterministic plane constants + bucketing bit-for-bit in
+    DuckDB, so the approximate result itself is hash-checked (recall vs
+    brute force is additionally pinned in pytest)."""
     from chronon_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < TOPK_NQ)
-    return lsh_topk(emb, q, dim=64, k=TOPK_K, n_planes=6)
+    out = lsh_topk(
+        emb, q, dim=ANN_DIM, k=TOPK_K, n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES, seed=ANN_SEED,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        _r6(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB mirror of lsh_topk: identical splitmix64 plane constants
+    (similarity._hyperplane), identical bucket fold, union of the
+    n_tables candidate sets, 1e-9-portable-rounded cosine ranking."""
+    from chronon_spark.operators.similarity import _hyperplane
+
+    def bucket_sql(col: str, t: int) -> str:
+        bits = []
+        for p in range(ANN_PLANES):
+            plane = _hyperplane(ANN_DIM, p, ANN_SEED + 7919 * t)
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            d = (
+                f"list_sum(list_transform(range(1, {ANN_DIM + 1}), "
+                f"i -> CAST({col}[i] AS DOUBLE) * ({lit})[i]))"
+            )
+            bits.append(
+                f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END) * {1 << (ANN_PLANES - 1 - p)}"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket_sql('embedding', t)} AS bucket FROM embeddings"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+WITH tb AS ({buckets}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {TOPK_NQ}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+     floor((
+       list_sum(list_transform(range(1, len(qe.embedding)+1),
+                i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+       * 1000000000 + 0.5) / 1000000000 AS c9
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c9 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(c9, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1438,20 +1539,75 @@ GROUP BY q.event_id, q.user_id, q.ts
 """
 
 
+_WT_DRV_DIR = "/tmp/chronon_webtext_flagship"
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The north-rule flagship over deterministic webtext (rows-only check:
-    the input is generated, not a registered DuckDB view). Exercises text
-    extraction + per-url/per-domain PIT features in sawtooth mode."""
+    """The north-rule flagship over deterministic webtext (written to a
+    fixed path so the DuckDB oracle can read the same parquet). Exercises
+    text extraction + per-url/per-domain PIT features in sawtooth mode."""
     import bench as B
 
     from chronon_spark.sources.webtext import generate_webtext
 
     wt = generate_webtext(spark, 5000, seed=7, n_domains=50)
-    import tempfile
+    wt.write.mode("overwrite").parquet(_WT_DRV_DIR)
+    out = B.flagship_join(spark, _WT_DRV_DIR)
+    return out.select(
+        "url", "domain", "lang",
+        F.col("text_len").cast("long").alias("text_len"),
+        "ts",
+        F.col("url_text_len_count").cast("long").alias("url_text_len_count"),
+        _r6(F.col("url_text_len_average_30d")).alias("url_text_len_average_30d"),
+        F.col("url_text_len_last").cast("long").alias("url_text_len_last"),
+        F.col("dom_text_len_count_7d").cast("long").alias("dom_text_len_count_7d"),
+        _r6(F.col("dom_text_len_sum_7d")).alias("dom_text_len_sum_7d"),
+    )
 
-    d = tempfile.mkdtemp(prefix="wt_drv_")
-    wt.write.mode("overwrite").parquet(d)
-    return B.flagship_join(spark, d)
+
+# DuckDB as-of mirror of bench.flagship_join over the SAME parquet the
+# query writes: sawtooth windows (Resolution.scala hop auto-pick) are
+# 1-day hops for the 30d window and 1-hour hops for the 7d windows —
+# tail hops [q_hop - w, q_hop - 1] plus the exact head (ts <= q.ts)
+# collapse to e.ts >= (q.ts // hop - w_hops) * hop AND e.ts <= q.ts.
+_DAY = 86_400_000
+_HOUR = 3_600_000
+_WEBTEXT_ORACLE = f"""
+WITH src AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+         lang, length(text) AS text_len,
+         epoch_ms(warc_ts) AS ts
+  FROM '{_WT_DRV_DIR}/*.parquet'
+),
+q_url AS (SELECT DISTINCT url, ts FROM src),
+url_f AS (
+  SELECT q.url, q.ts,
+     count(e.text_len) AS url_text_len_count,
+     round(CAST(sum(CASE WHEN e.ts >= (q.ts // {_DAY} - 30) * {_DAY} THEN e.text_len END) AS DOUBLE)
+       / count(CASE WHEN e.ts >= (q.ts // {_DAY} - 30) * {_DAY} THEN e.text_len END), 6)
+       AS url_text_len_average_30d,
+     arg_max(e.text_len, e.ts) AS url_text_len_last
+  FROM q_url q LEFT JOIN src e ON e.url = q.url AND e.ts <= q.ts
+  GROUP BY q.url, q.ts
+),
+q_dom AS (SELECT DISTINCT domain, ts FROM src),
+dom_f AS (
+  SELECT q.domain, q.ts,
+     count(CASE WHEN e.ts >= (q.ts // {_HOUR} - 168) * {_HOUR} THEN e.text_len END)
+       AS dom_text_len_count_7d,
+     round(CAST(sum(CASE WHEN e.ts >= (q.ts // {_HOUR} - 168) * {_HOUR} THEN e.text_len END) AS DOUBLE), 6)
+       AS dom_text_len_sum_7d
+  FROM q_dom q LEFT JOIN src e ON e.domain = q.domain AND e.ts <= q.ts
+  GROUP BY q.domain, q.ts
+)
+SELECT s.url, s.domain, s.lang, s.text_len, s.ts,
+       u.url_text_len_count, u.url_text_len_average_30d, u.url_text_len_last,
+       d.dom_text_len_count_7d, d.dom_text_len_sum_7d
+FROM src s
+LEFT JOIN url_f u ON u.url = s.url AND u.ts = s.ts
+LEFT JOIN dom_f d ON d.domain = s.domain AND d.ts = s.ts
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1534,6 +1690,9 @@ def _raw_oracles() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_lsh": _minhash_oracle(),
+        "simhash_near_dups": _SIMHASH_ORACLE,
+        "webtext_flagship": _WEBTEXT_ORACLE,
+        "ann_lsh": _ann_lsh_oracle(),
         "doc_stats": _doc_stats_oracle(),
         "embedding_topk": _TOPK_ORACLE,
         "asof_sawtooth": _SAWTOOTH_ORACLE,

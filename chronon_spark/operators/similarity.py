@@ -47,6 +47,13 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _r9(c: Column) -> Column:
+    """Portable 1e-9 rounding (floor(x*1e9+0.5) — identical semantics in
+    Spark and DuckDB for positive AND negative inputs, unlike round()
+    whose tie behavior differs across engines)."""
+    return F.floor(c * 1000000000 + F.lit(0.5)) / 1000000000
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -109,40 +116,69 @@ def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42) -> Col
     return bucket
 
 
+def _multi_buckets(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """array<struct<t,bucket>>: one signature per hash table (table t uses
+    an independent plane set via seed offset) — exploded downstream so all
+    tables ride ONE shuffle on (t, bucket)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(vec_col, dim, n_planes, seed=seed + 7919 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k with OR-amplified multi-table hyperplane LSH.
 
-    Scale path: corpus is bucketed once (narrow map + one shuffle on
-    bucket); queries probe only their own bucket. Recall measured vs
-    brute force in tests.
+    A single table misses pairs whose signature differs in any bit
+    (P(collide) = (1-theta/pi)^n_planes ~ 0.43 at cosine 0.95 for 8
+    planes); L independent tables union their candidates, lifting recall
+    to 1-(1-p)^L (the same OR-amplification banding MinHash uses,
+    dedup.py). Scale shape: ids+buckets explode (L small rows per vector,
+    vectors NOT duplicated), one shuffle on (t, bucket), candidate pairs
+    dedup, then vectors re-join only for surviving candidates.
     """
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(vec_col).alias("cn"),
-        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
-    )
+        F.explode(_multi_buckets(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select("neighbor_id", "tb.t", "tb.bucket")
     qb = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(vec_col).alias("qn"),
-        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
+        F.explode(_multi_buckets(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select("query_id", "tb.t", "tb.bucket")
+    cand = (
+        cb.join(F.broadcast(qb), on=["t", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(vec_col).alias("cn")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(vec_col).alias("qn")
     )
     scored = (
-        cb.join(F.broadcast(qb), on="bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 9).alias("cosine"),
+            _r9(dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)
@@ -157,11 +193,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat: deterministic centroids = lowest-id corpus vectors; assign
-    every corpus vector to its nearest centroid; queries probe the nprobe
-    nearest cells. Centroid table is broadcast everywhere."""
+    """IVF-flat: deterministic seeded-sample centroids (md5-hash order — a
+    uniform pseudo-random draw, NOT the lowest ids, which would correlate
+    with generation order and quantize poorly); assign every corpus vector
+    to its nearest centroid; queries probe the nprobe nearest cells.
+    Centroid table is broadcast everywhere (n_cells rows; TakeOrdered
+    heap-select, no full sort at scale)."""
     cents = (
-        corpus.orderBy(F.col(id_col).asc())
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")).asc())
         .limit(n_cells)
         .select(
             F.col(id_col).cast("long").alias("cell_id"),
@@ -209,15 +248,18 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 0,
     dim: int = 0,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (id_a < id_b).
 
     ``n_planes=0``: exact all-pairs (the oracle formulation — O(n^2) dot
-    products, fine for verification scale). ``n_planes>0``: candidates
-    restricted to matching random-hyperplane LSH buckets first — the scale
-    path; near-identical vectors collide in every bucket with high
-    probability, so recall loss concentrates exactly where threshold
-    tolerance lives.
+    products, fine for verification scale). ``n_planes>0``: the scale
+    path — candidates restricted to pairs colliding in ANY of ``n_tables``
+    independent random-hyperplane tables (OR-amplification; a single
+    table's recall at cosine 0.95 with 8 planes is only ~0.43 — union of
+    L tables lifts it to 1-(1-p)^L). Ids+buckets explode; vectors re-join
+    only for deduped candidate pairs.
     """
     a = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(vec_col).alias("na")
@@ -227,16 +269,22 @@ def embedding_near_dups(
     )
     if n_planes > 0:
         assert dim > 0, "dim required for LSH bucketing"
-        bucket = lsh_bucket(vec_col, dim, n_planes)
-        a = corpus.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-            norm(vec_col).alias("na"), bucket.alias("bkt"),
+        tb = corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(_multi_buckets(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
+        ).select("id", "tb.t", "tb.bucket")
+        x, y = tb.alias("x"), tb.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.t") == F.col("y.t"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
         )
-        b = corpus.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-            norm(vec_col).alias("nb"), bucket.alias("bkt"),
-        )
-        pairs = a.join(b, (a.bkt == b.bkt) & (F.col("id_a") < F.col("id_b"))).drop("bkt")
+        pairs = cand.join(a, on="id_a").join(b, on="id_b")
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     cos = F.floor((dot("va", "vb") / (F.col("na") * F.col("nb"))) * 1000000 + F.lit(0.5)) / 1000000

@@ -160,6 +160,35 @@ def test_embedding_dim(emb):
     assert emb.selectExpr("size(embedding) AS d").distinct().first().d == 64
 
 
+def test_multitable_lsh_near_dup_recall(spark, emb):
+    """OR-amplified multi-table LSH must find >=90% of PLANTED near-dups at
+    cosine ~0.95 (a single 8-plane table only reaches ~0.43 collision
+    probability there — the multi-table union is the scale-path fix)."""
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.operators.similarity import embedding_near_dups
+
+    base = emb.where("vec_id < 60").toPandas()
+    rng = np.random.RandomState(3)
+    planted = []
+    for r in base.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        nv = v + rng.normal(0, 0.18 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        cos = float(v @ nv / (np.linalg.norm(v) * np.linalg.norm(nv)))
+        assert cos > 0.9, cos
+        planted.append((int(r.vec_id) + 1_000_000, [float(x) for x in nv]))
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(pd.DataFrame(planted, columns=["vec_id", "embedding"]))
+    )
+    got = embedding_near_dups(
+        corpus, threshold=0.9, n_planes=8, dim=64, n_tables=6
+    ).toPandas()
+    found = set(zip(got.id_a, got.id_b))
+    hits = sum((i, i + 1_000_000) in found for i in base.vec_id)
+    assert hits / len(base) >= 0.9, hits / len(base)
+
+
 def test_cumulative_source_scans_latest_partition(spark, tmp_path):
     """is_cumulative: only the latest ds partition is read."""
     from chronon_spark.api.types import EventSource, Query
