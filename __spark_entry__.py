@@ -1256,6 +1256,194 @@ GROUP BY user_id
 """
 
 
+def q_compare_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompareJob equivalent (stats/CompareJob.scala:41-115): row-level
+    diff metrics between two per-customer feature tables — the right side
+    drops orders with o_orderkey % 97 == 0, so every metric class
+    (missing rows, value mismatches, numeric drift) is exercised."""
+    from chronon_spark.plans.compare import compare_job
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("__cmp_orders")
+    left = spark.sql("""
+        SELECT o_custkey, count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+        FROM __cmp_orders GROUP BY o_custkey
+    """)
+    right = spark.sql("""
+        SELECT o_custkey, count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+        FROM __cmp_orders WHERE o_orderkey % 97 != 0 GROUP BY o_custkey
+    """)
+    _, metrics = compare_job(left, right, keys=["o_custkey"])
+    return metrics.select("column", "metric", _r6(F.col("value")).alias("value"))
+
+
+_COMPARE_ORACLE = """
+WITH l AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey % 97 != 0 GROUP BY o_custkey
+),
+j AS (
+  SELECT l.n_orders AS lno, r.n_orders AS rno,
+         l.total_cents AS ltc, r.total_cents AS rtc
+  FROM l FULL OUTER JOIN r ON l.o_custkey = r.o_custkey
+),
+m AS (
+  SELECT 'n_orders' AS column, 'both_null' AS metric,
+     CAST(count(CASE WHEN lno IS NULL AND rno IS NULL THEN 1 END) AS DOUBLE) AS value FROM j
+  UNION ALL SELECT 'n_orders', 'left_null',
+     CAST(count(CASE WHEN lno IS NULL AND rno IS NOT NULL THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'n_orders', 'right_null',
+     CAST(count(CASE WHEN lno IS NOT NULL AND rno IS NULL THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'n_orders', 'mismatch',
+     CAST(count(CASE WHEN lno IS NOT NULL AND rno IS NOT NULL AND lno != rno THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'n_orders', 'smape',
+     round(avg(CASE WHEN lno IS NOT NULL AND rno IS NOT NULL THEN
+        CASE WHEN abs(lno) + abs(rno) != 0
+             THEN CAST(abs(lno - rno) * 2 AS DOUBLE) / (abs(lno) + abs(rno)) ELSE 0 END END), 6) FROM j
+  UNION ALL SELECT 'n_orders', 'max_abs_diff',
+     round(CAST(max(abs(lno - rno)) AS DOUBLE), 6) FROM j
+  UNION ALL SELECT 'n_orders', 'median_diff',
+     round(quantile_cont(CAST(abs(lno - rno) AS DOUBLE), 0.5), 6) FROM j
+  UNION ALL SELECT 'n_orders', 'total', CAST(count(*) AS DOUBLE) FROM j
+  UNION ALL SELECT 'total_cents', 'both_null',
+     CAST(count(CASE WHEN ltc IS NULL AND rtc IS NULL THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'total_cents', 'left_null',
+     CAST(count(CASE WHEN ltc IS NULL AND rtc IS NOT NULL THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'total_cents', 'right_null',
+     CAST(count(CASE WHEN ltc IS NOT NULL AND rtc IS NULL THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'total_cents', 'mismatch',
+     CAST(count(CASE WHEN ltc IS NOT NULL AND rtc IS NOT NULL AND ltc != rtc THEN 1 END) AS DOUBLE) FROM j
+  UNION ALL SELECT 'total_cents', 'smape',
+     round(avg(CASE WHEN ltc IS NOT NULL AND rtc IS NOT NULL THEN
+        CASE WHEN abs(ltc) + abs(rtc) != 0
+             THEN CAST(abs(ltc - rtc) * 2 AS DOUBLE) / (abs(ltc) + abs(rtc)) ELSE 0 END END), 6) FROM j
+  UNION ALL SELECT 'total_cents', 'max_abs_diff',
+     round(CAST(max(abs(ltc - rtc)) AS DOUBLE), 6) FROM j
+  UNION ALL SELECT 'total_cents', 'median_diff',
+     round(quantile_cont(CAST(abs(ltc - rtc) AS DOUBLE), 0.5), 6) FROM j
+  UNION ALL SELECT 'total_cents', 'total', CAST(count(*) AS DOUBLE) FROM j
+)
+SELECT * FROM m
+"""
+
+
+def q_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day per-column summaries (drift/Summarizer.scala equivalent):
+    counts, null rate, distinct, stable moments, exact percentiles — one
+    groupBy(ds) pass."""
+    from chronon_spark.plans.summary import summarize
+    from chronon_spark.sources.scan import millis_expr
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS ds",
+            "floor(value * 100 + 0.5) AS value",
+        )
+    )
+    out = summarize(ev, "ds", ["value"])
+    return out.select(
+        "ds", "column", "n_rows", "null_count",
+        _r6(F.col("null_rate")).alias("null_rate"),
+        "n_distinct",
+        _r6(F.col("mean") / 100).alias("mean"),
+        # variance via var_pop differs between engines at ~1e-14 RELATIVE
+        # (different stable algorithms); a 1e-2 grid keeps the comparison
+        # meaningful without boundary-collision flakiness on ~1e6 values
+        (F.floor(F.col("variance") / 10000 * 100 + F.lit(0.5)) / 100).alias("variance"),
+        _r6(F.col("p10") / 100).alias("p10"),
+        _r6(F.col("p50") / 100).alias("p50"),
+        _r6(F.col("p90") / 100).alias("p90"),
+    )
+
+
+_SUMMARY_ORACLE = """
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds,
+         floor(value * 100 + 0.5) AS value
+  FROM events
+)
+SELECT ds, 'value' AS column,
+   count(*) AS n_rows,
+   count(CASE WHEN value IS NULL THEN 1 END) AS null_count,
+   round(CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate,
+   count(DISTINCT value) AS n_distinct,
+   round((CAST(sum(value) AS DOUBLE) / count(value)) / 100, 6) AS mean,
+   floor(var_pop(value) / 10000 * 100 + 0.5) / 100 AS variance,
+   round(quantile_cont(CAST(value AS DOUBLE), 0.1) / 100, 6) AS p10,
+   round(quantile_cont(CAST(value AS DOUBLE), 0.5) / 100, 6) AS p50,
+   round(quantile_cont(CAST(value AS DOUBLE), 0.9) / 100, 6) AS p90
+FROM ev GROUP BY ds
+"""
+
+
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift series between two date ranges of the events table
+    (stats/drift + StatsCompute equivalent)."""
+    from chronon_spark.plans.summary import drift_series
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS ds",
+            "floor(value * 100 + 0.5) AS value",
+        )
+    )
+    out = drift_series(
+        ev, "ds",
+        baseline=("2024-01-01", "2024-01-15"),
+        current=("2024-01-16", "2024-01-31"),
+        columns=["value"],
+    )
+    return out.select(
+        "column", "baseline_rows", "current_rows",
+        _r6(F.col("null_rate_shift")).alias("null_rate_shift"),
+        _r6(F.col("mean_shift") / 100).alias("mean_shift"),
+        _r6(F.col("median_shift") / 100).alias("median_shift"),
+        _r6(F.col("normalized_mean_shift")).alias("normalized_mean_shift"),
+    )
+
+
+_DRIFT_ORACLE = """
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds,
+         floor(value * 100 + 0.5) AS value
+  FROM events
+),
+b AS (
+  SELECT count(*) AS n_rows,
+     CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*) AS null_rate,
+     CAST(sum(value) AS DOUBLE) / count(value) AS mean,
+     var_pop(value) AS variance,
+     quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50
+  FROM ev WHERE ds >= '2024-01-01' AND ds <= '2024-01-15'
+),
+c AS (
+  SELECT count(*) AS n_rows,
+     CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*) AS null_rate,
+     CAST(sum(value) AS DOUBLE) / count(value) AS mean,
+     quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50
+  FROM ev WHERE ds >= '2024-01-16' AND ds <= '2024-01-31'
+)
+SELECT 'value' AS column,
+   b.n_rows AS baseline_rows, c.n_rows AS current_rows,
+   round(c.null_rate - b.null_rate, 6) AS null_rate_shift,
+   round((c.mean - b.mean) / 100, 6) AS mean_shift,
+   round((c.p50 - b.p50) / 100, 6) AS median_shift,
+   round(CASE WHEN b.variance > 0 THEN abs(c.mean - b.mean) / sqrt(b.variance) END, 6)
+     AS normalized_mean_shift
+FROM b, c
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style pre-flight profile of the events table (one agg pass)."""
     from chronon_spark.plans.profile import profile
@@ -1666,6 +1854,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "json_extract": q_json_extract,
         "profile": q_profile,
+        "compare_job": q_compare_job,
+        "feature_summary": q_feature_summary,
+        "drift": q_drift,
         "asof_multisource": q_asof_multisource,
         "asof_firstk_uniquetopk": q_asof_firstk_uniquetopk,
         "keymapped_join": q_keymapped_join,
@@ -1707,6 +1898,9 @@ def _raw_oracles() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
+        "compare_job": _COMPARE_ORACLE,
+        "feature_summary": _SUMMARY_ORACLE,
+        "drift": _DRIFT_ORACLE,
         "asof_multisource": _MULTISOURCE_ORACLE,
         "asof_firstk_uniquetopk": _FIRSTK_ORACLE,
         "keymapped_join": _KEYMAPPED_ORACLE,

@@ -254,6 +254,7 @@ def compute_join_part(
     tail_hop_ms: Optional[int] = None,
     prune_keys: bool = False,
     query_range: Optional[tuple] = None,
+    hot_key_bound: int = 2_000_000,
 ) -> DataFrame:
     """Dispatch one GroupBy's as-of computation to the best physical plan.
 
@@ -262,6 +263,14 @@ def compute_join_part(
       (operators.asof_hopped — no Python, skew-free via time-hop spreading);
       otherwise the Arrow kernel with the hopping tail.
     - ``mode="exact"``: exact sliding windows via the Arrow kernel.
+    - ``mode="auto"``: exact kernel by default, but a cheap skew pre-check
+      (max per-key event count — one map-side-combined agg pass) routes to
+      the skew-free hopped plan when any key's volume exceeds
+      ``hot_key_bound`` and every op is hop-mergeable. A hot key would
+      otherwise materialize all its events in ONE pandas group; the hopped
+      plan spreads work across (key, hop). Trades exact tails for the
+      reference's sawtooth tails only when skew demands it (the
+      reference's Analyzer hot-key warning, made self-acting).
     - SNAPSHOT-accuracy GroupBys (regardless of mode) get the day-shift
       rule: features as of the previous midnight (JoinBase.scala:66-125),
       via the daily snapshot table joined on (keys, date(ts)-1).
@@ -279,6 +288,30 @@ def compute_join_part(
         from chronon_spark.operators.mutations import temporal_entities
 
         return temporal_entities(spark, gb, part_queries)
+
+    if mode == "auto":
+        parts = gb.unpack()
+        windows = [p.window for p in parts if p.window is not None]
+        hop = tail_hop_ms or (min(tail_hop_millis(w) for w in windows) if windows else 86_400_000)
+        if supports_hopped(gb, hop):
+            events = events_df_for_group_by(
+                spark, gb, *(query_range or (None, None))
+            )
+            mx = (
+                events.groupBy(*gb.key_columns)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.max("__c"))
+                .first()[0]
+            )
+            if mx is not None and mx > hot_key_bound:
+                return group_by_asof_hopped(
+                    spark, gb, part_queries, hop,
+                    query_range=query_range, prune_keys=prune_keys,
+                )
+        return group_by_asof(
+            spark, gb, part_queries, tail_hop_ms=tail_hop_ms,
+            query_range=query_range, prune_keys=prune_keys,
+        )
 
     if mode == "sawtooth":
         parts = gb.unpack()
@@ -410,6 +443,7 @@ def join_asof(
     bootstrap_df: Optional[DataFrame] = None,
     prune_keys: bool = False,
     left_ts_range: Optional[tuple] = None,
+    hot_key_bound: int = 2_000_000,
 ) -> DataFrame:
     """Full point-in-time Join: left query rows x many GroupBys.
 
@@ -480,6 +514,7 @@ def join_asof(
             tail_hop_ms=tail_hop_ms,
             prune_keys=prune_keys,
             query_range=left_ts_range,
+            hot_key_bound=hot_key_bound,
         )
         # one select projects every fused part's columns with its prefix
         inv = {rk: lc for lc, rk in mapping.items()}

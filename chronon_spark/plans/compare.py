@@ -1,0 +1,174 @@
+"""CompareJob: row-level diff between two feature tables.
+
+Reference: spark/.../stats/CompareJob.scala:41-115 + CompareBaseJob.scala
+(checkConsistency/compare) + CompareMetrics.scala:55-130 (buildMetrics) —
+how users validate a migration: full-outer-join the two tables on the
+keys, then per value column compute null-alignment, mismatch counts and
+numeric drift metrics.
+
+Spark-first shape: ONE full outer join (shuffle on keys both sides — the
+only shuffle), then ONE aggregation pass computes every metric for every
+column (map-side combined; no per-column jobs). The long-format metrics
+table is a handful of rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEFT_SUFFIX = "_left"
+RIGHT_SUFFIX = "_right"
+
+_NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def check_consistency(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list,
+    mapping: Optional[dict] = None,
+    migration_check: bool = False,
+) -> list:
+    """Schema consistency errors (reference CompareBaseJob.checkConsistency:
+    size parity — left may be a superset under migration_check — dtype
+    equality per mapped column, keys present on both sides)."""
+    mapping = mapping or {}
+    lf = {f.name: f.dataType for f in left.schema.fields}
+    rf = {f.name: f.dataType for f in right.schema.fields}
+    errors = []
+    size_ok = len(lf) >= len(rf) if migration_check else len(lf) == len(rf)
+    if not size_ok:
+        errors.append(f"inconsistent field counts: left {len(lf)}, right {len(rf)}")
+    reverse = {v: k for k, v in mapping.items()}
+    if len(reverse) != len(mapping):
+        errors.append(f"mapping values contain duplicates: {mapping}")
+    for rname, rtype in rf.items():
+        lname = reverse.get(rname, rname)
+        if lname not in lf:
+            errors.append(f"left side missing column {lname}")
+        elif lf[lname] != rtype:
+            errors.append(f"dtype mismatch for {lname}: left {lf[lname]}, right {rtype}")
+    for side, fields in (("left", lf), ("right", rf)):
+        missing = [k for k in keys if k not in fields]
+        if missing:
+            errors.append(f"{side} side missing key columns {missing}")
+    return errors
+
+
+def compare_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list,
+    mapping: Optional[dict] = None,
+    migration_check: bool = False,
+) -> DataFrame:
+    """The comparison table: full outer join on ``keys`` with every value
+    column suffixed _left/_right (reference CompareBaseJob.compare steps
+    2-4, including left-superset pruning under migration_check)."""
+    mapping = mapping or {}
+    rf = {f.name for f in right.schema.fields}
+    pruned = left
+    if migration_check:
+        for f in list(left.columns):
+            if f not in keys and mapping.get(f, f) not in rf:
+                pruned = pruned.drop(f)
+    lren = pruned
+    for f in pruned.columns:
+        if f not in keys:
+            lren = lren.withColumnRenamed(f, f + LEFT_SUFFIX)
+    rren = right
+    for f in right.columns:
+        if f not in keys:
+            rren = rren.withColumnRenamed(f, f + RIGHT_SUFFIX)
+    return lren.join(rren, on=keys, how="full")
+
+
+def compare_metrics(
+    compare_df: DataFrame,
+    value_cols: list,
+    mapping: Optional[dict] = None,
+    types: Optional[dict] = None,
+) -> DataFrame:
+    """Long-format metrics (column, metric, value) from the comparison
+    table — reference CompareMetrics.buildMetrics, computed in ONE agg:
+
+    per column: total, both_null, left_null (left null, right set),
+    right_null, mismatch (both set, unequal); numeric columns add
+    smape (mean of 2|l-r|/(|l|+|r|), 0 when both 0) and
+    max_abs_diff / median_diff (exact percentile — order-independent,
+    unlike a sketch, so results are engine-portable).
+    """
+    mapping = mapping or {}
+    aggs: list = [F.count(F.lit(1)).alias("__total")]
+    per_col: dict = {}
+    for c in value_cols:
+        l = F.col(c + LEFT_SUFFIX)
+        r = F.col(mapping.get(c, c) + RIGHT_SUFFIX)
+        dt = (types or {}).get(c)
+        is_num = isinstance(dt, _NUMERIC) if dt is not None else True
+        names = {
+            "both_null": F.sum((l.isNull() & r.isNull()).cast("long")),
+            "left_null": F.sum((l.isNull() & r.isNotNull()).cast("long")),
+            "right_null": F.sum((l.isNotNull() & r.isNull()).cast("long")),
+            "mismatch": F.sum((l.isNotNull() & r.isNotNull() & (l != r)).cast("long")),
+        }
+        if is_num:
+            ld, rd = l.cast("double"), r.cast("double")
+            denom = F.abs(ld) + F.abs(rd)
+            names["smape"] = F.avg(
+                F.when(denom != 0.0, F.abs(ld - rd) * 2 / denom).otherwise(F.lit(0.0))
+            )
+            names["max_abs_diff"] = F.max(F.abs(ld - rd))
+            names["median_diff"] = F.expr(
+                f"percentile(abs(CAST({c + LEFT_SUFFIX} AS DOUBLE) - "
+                f"CAST({mapping.get(c, c) + RIGHT_SUFFIX} AS DOUBLE)), 0.5)"
+            )
+        for m, expr in names.items():
+            alias = f"__{c}__{m}"
+            aggs.append(expr.alias(alias))
+            per_col.setdefault(c, []).append((m, alias))
+    wide = compare_df.agg(*aggs)
+    rows = []
+    for c, metrics in per_col.items():
+        for m, alias in metrics:
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(m).alias("metric"),
+                    F.col(alias).cast("double").alias("value"),
+                )
+            )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("total").alias("metric"),
+                F.col("__total").cast("double").alias("value"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def compare_job(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list,
+    mapping: Optional[dict] = None,
+    migration_check: bool = False,
+) -> tuple:
+    """(compare_df, metrics_df) — the CompareJob.run equivalent. Raises on
+    schema inconsistency like the reference's assert."""
+    errors = check_consistency(left, right, keys, mapping, migration_check)
+    if errors:
+        raise ValueError("; ".join(errors))
+    cdf = compare_join(left, right, keys, mapping, migration_check)
+    rf = {f.name for f in right.schema.fields}
+    mapping = mapping or {}
+    value_cols = [
+        c for c in left.columns if c not in keys and mapping.get(c, c) in rf
+    ]
+    types = {f.name: f.dataType for f in left.schema.fields}
+    return cdf, compare_metrics(cdf, value_cols, mapping, types)

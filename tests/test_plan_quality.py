@@ -142,3 +142,28 @@ def test_multipart_same_keys_fuses_to_one_kernel(spark, sf_dir):
     j = Join(left=_src(sf_dir), join_parts=(JoinPart(gb1), JoinPart(gb2)), name="f")
     plan = plan_of(join_asof(spark, j, mode="exact"))
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+
+
+def test_auto_mode_routes_hot_keys_to_hopped_plan(spark, sf_dir):
+    """mode="auto" skew dispatch: with a low hot-key bound the per-key
+    volume check routes to the Python-free hopped plan; with a high bound
+    it stays on the exact Arrow kernel. Results agree within sawtooth
+    semantics on the skewed data only when hot (semantics documented) —
+    here we pin the PLAN choice."""
+    from chronon_spark.operators.asof_join import compute_join_part
+
+    gb = GroupBy(
+        sources=(_src(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="g",
+    )
+    q = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", f"{millis_expr('ts')} AS ts"
+    )
+    hot = plan_of(compute_join_part(spark, gb, q, mode="auto", hot_key_bound=1))
+    assert "FlatMapGroupsInPandas" not in hot and "ArrowEvalPython" not in hot
+    cold = plan_of(
+        compute_join_part(spark, gb, q, mode="auto", hot_key_bound=10**12)
+    )
+    assert "FlatMapGroupsInPandas" in cold
