@@ -150,3 +150,78 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, table_name: str):
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def run_with_trigger(
+    stream_df: DataFrame,
+    checkpoint: str,
+    table_name: str,
+    processing_time: str = "10 seconds",
+    output_mode: str = "complete",
+):
+    """Start a continuously-running query on a PROCESSING-TIME trigger (the
+    reference Spark streaming GroupBy's --trigger knob; Flink side:
+    flink/.../window/Trigger.scala buffered-writes trigger). Returns the
+    running StreamingQuery — caller owns stop()."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
+def run_untiled_upsert(
+    stream_df: DataFrame,
+    key_cols: list,
+    kv_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: Optional[str] = None,
+):
+    """Untiled path: foreachBatch upserts each micro-batch's rows into a
+    file-backed KV table (reference spark/.../streaming/GroupBy.scala:44-202
+    writes row IRs to the KV store; here the store is a parquet directory).
+
+    Exactly-once despite retries: each batch writes to a directory named
+    by its batchId (an idempotent overwrite on replay — the same batch
+    re-executed lands in the same path), and ``read_kv_table`` resolves
+    each key to its row from the HIGHEST batchId (last-writer-wins upsert
+    semantics, like a KV multiPut).
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int):
+        # "batch-N", not "batch_id=N": a k=v name would trigger partition
+        # discovery and inject a phantom column on read
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{kv_dir}/batch-{batch_id}")
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kv_table(spark, kv_dir: str, key_cols: list) -> DataFrame:
+    """Resolve the upsert log to current state: latest __batch_id wins per
+    key (one window pass over the small KV table)."""
+    from pyspark.sql import Window as W
+
+    log = spark.read.option("recursiveFileLookup", "true").parquet(kv_dir)
+    w = W.partitionBy(*key_cols).orderBy(F.col("__batch_id").desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__batch_id")
+    )

@@ -176,3 +176,137 @@ def test_stateful_last_k_across_restarts(spark, sf_dir, tmp_path):
         )
         exp = feats["value_last3"][0]
         assert [round(x, 6) for x in got] == [round(float(v), 6) for v in exp], uid
+
+
+def test_kafka_topic_parsing():
+    from chronon_spark.streaming.kafka import bootstrap_of, parse_topic
+
+    info = parse_topic("kafka://events_topic/schema=ev/host=broker1/port=9092")
+    assert info.name == "events_topic"
+    assert info.message_bus == "kafka"
+    assert info.params == {"schema": "ev", "host": "broker1", "port": "9092"}
+    assert bootstrap_of(info) == "broker1:9092"
+    # bare topic defaults to kafka bus
+    assert parse_topic("plain_topic").message_bus == "kafka"
+    # explicit bootstrap wins
+    assert bootstrap_of(parse_topic("t/bootstrap=b:1")) == "b:1"
+
+
+def test_kafka_shaped_stream_tiles_equal_batch(spark, sf_dir, tmp_path):
+    """events -> JSON-encoded Kafka records (real record schema) -> stream
+    decode (pure Catalyst from_json) -> tiles == batch tiles. Everything
+    downstream of the broker is the production path."""
+    from pyspark.sql import types as T
+
+    from chronon_spark.streaming.kafka import (
+        KAFKA_RECORD_SCHEMA,
+        decode_json_stream,
+        encode_kafka_records,
+        file_kafka_source,
+    )
+
+    batch = _events_batch(spark, sf_dir)
+    records_dir = str(tmp_path / "topic_events")
+    encode_kafka_records(batch, ["user_id"], "events_topic").write.parquet(records_dir)
+    # record files carry the exact Kafka source schema
+    assert spark.read.parquet(records_dir).schema == KAFKA_RECORD_SCHEMA
+
+    event_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = decode_json_stream(file_kafka_source(spark, records_dir), event_schema)
+    got = run_available_now(
+        stream_tile_aggregate(stream, GB),
+        str(tmp_path / "kafka_ckpt"),
+        "kafka_tiles",
+    ).toPandas()
+    exp = stream_tile_aggregate(batch, GB).toPandas()
+    key = ["user_id", "tile_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for c in exp.columns:
+        assert (got[c].fillna(-1) == exp[c].fillna(-1)).all(), c
+
+
+def test_kafka_stream_fails_cleanly_without_connector(spark):
+    from chronon_spark.streaming.kafka import kafka_stream
+
+    with pytest.raises(RuntimeError, match="kafka connector unavailable"):
+        kafka_stream(spark, "kafka://t/host=localhost/port=9092")
+
+
+def test_untiled_upsert_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Untiled foreachBatch KV path: process half the input, restart from
+    the checkpoint with the rest, and the resolved KV state equals a full
+    batch recompute — no double counting across the restart, and an idle
+    re-run adds nothing (exactly-once upserts)."""
+    from chronon_spark.streaming.stream_groupby import (
+        read_kv_table,
+        run_untiled_upsert,
+    )
+
+    ev = _events_batch(spark, sf_dir)
+    # split by EVENT TIME: the second tranche must not be behind the
+    # checkpointed watermark, or the engine (correctly) drops it as late
+    cutoff = ev.selectExpr("percentile(ts, 0.5)").first()[0]
+    ev = ev.withColumn("half", (F.col("ts") > F.lit(cutoff)).cast("int"))
+    src = str(tmp_path / "untiled_src")
+    kv = str(tmp_path / "kv_table")
+    ck = str(tmp_path / "untiled_ck")
+    keys = ["user_id", "tile_start"]
+
+    ev.where("half = 0").drop("half").coalesce(2).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = run_untiled_upsert(stream_tile_aggregate(stream, GB), keys, kv, ck)
+        q.awaitTermination()
+
+    run_once()
+    ev.where("half = 1").drop("half").coalesce(2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: only the new files are processed
+    run_once()  # idle restart: nothing new -> state unchanged
+
+    got = read_kv_table(spark, kv, keys).toPandas()
+    exp = stream_tile_aggregate(spark.read.parquet(src), GB).toPandas()
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)[got.columns]
+    assert len(got) == len(exp) > 0
+    for c in exp.columns:
+        assert (got[c].fillna(-1) == exp[c].fillna(-1)).all(), c
+
+
+def test_processing_time_trigger_runs_and_stops(spark, sf_dir, tmp_path):
+    """run_with_trigger starts a processing-time-triggered continuous query
+    (the reference --trigger knob) that processes data and keeps running
+    until stopped."""
+    import time
+
+    from chronon_spark.streaming.stream_groupby import run_with_trigger
+
+    src = str(tmp_path / "trig_src")
+    _events_batch(spark, sf_dir).limit(1000).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_with_trigger(
+        stream_tile_aggregate(stream, GB),
+        str(tmp_path / "trig_ck"),
+        "trig_tiles",
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("trig_tiles").count() > 0:
+                break
+            time.sleep(1)
+        assert q.isActive
+        assert spark.table("trig_tiles").count() > 0
+    finally:
+        q.stop()
