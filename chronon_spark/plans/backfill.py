@@ -43,12 +43,27 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(conf), p, jvm
 
 
-def existing_partitions(spark: SparkSession, output_path: str, partition_col: str = DS) -> set:
-    """ds values already present in a partitioned output directory.
+def is_table_name(output: str) -> bool:
+    """catalog table (db.tbl) vs filesystem path — paths contain '/'."""
+    return "/" not in output and not output.endswith(".parquet")
 
-    Uses the Hadoop FileSystem API (works for file://, hdfs://, s3a://) so
-    partition discovery never requires reading data files.
+
+def existing_partitions(spark: SparkSession, output_path: str, partition_col: str = DS) -> set:
+    """ds values already present in a partitioned output (directory or
+    catalog table).
+
+    Paths: Hadoop FileSystem listing (works for file://, hdfs://, s3a://).
+    Tables: the format provider's partition listing (SHOW PARTITIONS /
+    Iceberg .partitions metadata). Either way this is metadata-only —
+    partition discovery never reads data files.
     """
+    if is_table_name(output_path):
+        from chronon_spark.catalog.format import resolve_format
+
+        if not spark.catalog.tableExists(output_path):
+            return set()
+        fmt = resolve_format(spark, output_path)
+        return set(fmt.primary_partitions(spark, output_path, partition_col))
     fs, p, jvm = _hadoop_fs(spark, output_path)
     if not fs.exists(p):
         return set()
@@ -86,6 +101,8 @@ def lineage_path(output_path: str) -> str:
 
 def read_lineage(spark: SparkSession, output_path: str) -> Optional[DataFrame]:
     lp = lineage_path(output_path)
+    if is_table_name(output_path):
+        return spark.table(lp) if spark.catalog.tableExists(lp) else None
     fs, p, _ = _hadoop_fs(spark, lp)
     return spark.read.parquet(lp) if fs.exists(p) else None
 
@@ -155,29 +172,49 @@ def backfill(
             )
             if repartition_by_range:
                 df = df.repartitionByRange(max(step.days, 1), partition_col)
-            (
-                df.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(output_path)
-            )
+            as_table = is_table_name(output_path)
+            if as_table:
+                from chronon_spark.catalog.format import write_partitioned
+
+                write_partitioned(df, output_path, partition_col)
+            else:
+                (
+                    df.write.mode("overwrite")
+                    .partitionBy(partition_col)
+                    .parquet(output_path)
+                )
             wall = time.time() - t0
             # Checkpoint marker for EMPTY partitions: dynamic overwrite only
-            # creates directories for days that had rows, so a day with no
+            # creates partitions for days that had rows, so a day with no
             # data would look "missing" forever and be recomputed on every
-            # resume. An empty ds=... directory is the parquet-dir analogue
-            # of a warehouse's empty-but-registered partition.
-            fs, _, jvm = _hadoop_fs(spark, output_path)
-            for ds in step.partitions():
-                pdir = jvm.org.apache.hadoop.fs.Path(
-                    f"{output_path}/{partition_col}={ds}"
-                )
-                if not fs.exists(pdir):
-                    fs.mkdirs(pdir)
+            # resume. Paths get an empty ds=... directory; Hive tables get
+            # ADD IF NOT EXISTS PARTITION (the warehouse's registered-but-
+            # empty partition).
+            if as_table:
+                from chronon_spark.catalog.format import HiveFormat, resolve_format
+
+                if isinstance(resolve_format(spark, output_path), HiveFormat):
+                    for ds in step.partitions():
+                        spark.sql(
+                            f"ALTER TABLE {output_path} ADD IF NOT EXISTS "
+                            f"PARTITION ({partition_col}='{ds}')"
+                        )
+            else:
+                fs, _, jvm = _hadoop_fs(spark, output_path)
+                for ds in step.partitions():
+                    pdir = jvm.org.apache.hadoop.fs.Path(
+                        f"{output_path}/{partition_col}={ds}"
+                    )
+                    if not fs.exists(pdir):
+                        fs.mkdirs(pdir)
             # per-partition metrics from the files just written (footer-only
             # count; bytes from the filesystem) — emitted even for empty
             # partitions inside the step range.
+            out_df = (
+                spark.table(output_path) if as_table else spark.read.parquet(output_path)
+            )
             written = (
-                spark.read.parquet(output_path)
+                out_df
                 # partition-type inference reads ds=2024-01-02 back as DATE;
                 # normalize to the string form used everywhere else
                 .withColumn(partition_col, F.col(partition_col).cast("string"))
@@ -205,10 +242,14 @@ def backfill(
             computed.append(step)
 
     if lineage_rows:
-        spark.createDataFrame(
+        lin_df = spark.createDataFrame(
             [tuple(r.values()) for r in lineage_rows],
             schema="ds string, job_name string, rows long, bytes long, wall_sec_step double,"
             " step_start string, step_end string, conf_hash string, written_at double",
-        ).write.mode("append").parquet(lineage_path(output_path))
+        )
+        if is_table_name(output_path):
+            lin_df.write.mode("append").saveAsTable(lineage_path(output_path))
+        else:
+            lin_df.write.mode("append").parquet(lineage_path(output_path))
 
     return BackfillResult(computed, skipped, len(lineage_rows))

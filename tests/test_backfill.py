@@ -124,3 +124,49 @@ def test_recompute_days(spark, sf_dir, out_dir):
     res = backfill(spark, compute, out_dir, rng, conf="A", recompute_days=2)
     assert [(s.start, s.end) for s in res.computed] == [("2024-01-07", "2024-01-08")]
     assert res.skipped_partitions == 5
+
+
+def test_backfill_to_catalog_table_resume(spark, sf_dir):
+    """Backfill writes/resumes against a CATALOG TABLE through the format
+    provider (SHOW PARTITIONS listing + dynamic INSERT OVERWRITE) — the
+    same code path Iceberg rides via overwritePartitions() when its
+    runtime is on the classpath."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bf_db")
+    t = "bf_db.features"
+    try:
+        rng = PartitionRange("2024-01-02", "2024-01-07")
+        calls = []
+        compute = _compute_factory(spark, sf_dir, calls)
+
+        res = backfill(spark, compute, t, rng, step_days=3, conf="confA", job_name="t")
+        assert res.skipped_partitions == 0 and len(calls) == 2
+        assert existing_partitions(spark, t) == set(rng.partitions())
+
+        lin = read_lineage(spark, t).toPandas()
+        assert len(lin) == 6 and (lin["rows"] > 0).all()
+
+        # resume: all partitions checkpointed, nothing recomputes
+        calls.clear()
+        res2 = backfill(spark, compute, t, rng, step_days=3, conf="confA", job_name="t")
+        assert calls == [] and res2.skipped_partitions == 6
+
+        # drop two partitions -> only the holes recompute
+        for ds in ("2024-01-03", "2024-01-06"):
+            spark.sql(f"ALTER TABLE {t} DROP PARTITION (ds='{ds}')")
+        calls.clear()
+        res3 = backfill(spark, compute, t, rng, step_days=3, conf="confA", job_name="t")
+        assert [(s.start, s.end) for s in res3.computed] == [
+            ("2024-01-03", "2024-01-03"),
+            ("2024-01-06", "2024-01-06"),
+        ]
+        # untouched partitions kept their data
+        total = spark.table(t).groupBy().sum("n").first()[0]
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ds", F.date_format("ts", "yyyy-MM-dd")
+        )
+        expected = ev.where((F.col("ds") >= rng.start) & (F.col("ds") <= rng.end)).count()
+        assert total == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bf_db.features")
+        spark.sql(f"DROP TABLE IF EXISTS {lineage_path(t)}")
+        spark.sql("DROP DATABASE IF EXISTS bf_db")
