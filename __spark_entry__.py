@@ -1444,6 +1444,98 @@ FROM b, c
 """
 
 
+_CUMULATIVE_DIR = "/tmp/chronon_cumulative_drv"
+
+
+def q_cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-source scan (reference GroupBy.scala:633-645): every
+    partition holds FULL history, so only the LATEST partition is read.
+    Two snapshot partitions are materialized — ds=01 with half the orders,
+    ds=02 with all — and the scan must see exactly the ds=02 rows."""
+    import shutil
+
+    from chronon_spark.api.types import EventSource, Query
+    from chronon_spark.sources.scan import scan_source
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    shutil.rmtree(_CUMULATIVE_DIR, ignore_errors=True)
+    half = orders.where("o_orderkey % 2 = 0").withColumn("snap_ds", F.lit("2024-01-01"))
+    full = orders.withColumn("snap_ds", F.lit("2024-01-02"))
+    half.unionByName(full).write.partitionBy("snap_ds").parquet(_CUMULATIVE_DIR)
+
+    src = EventSource(
+        table=_CUMULATIVE_DIR,
+        is_cumulative=True,
+        query=Query(
+            selects={
+                "o_orderkey": "o_orderkey",
+                "o_custkey": "o_custkey",
+                "cents": "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+            },
+            time_column="unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000",
+            partition_column="snap_ds",
+        ),
+    )
+    return scan_source(spark, src)
+
+
+_CUMULATIVE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+   epoch_ms(o_orderdate) AS ts
+FROM orders
+"""
+
+
+_BACKFILL_DIR = "/tmp/chronon_backfill_drv"
+
+
+def q_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-insert + resume through the driver gate: backfill daily
+    per-user counts for a prefix range, then extend to the full range —
+    the second run computes ONLY the hole (unfilledRanges semantics) and
+    dynamic overwrite leaves the first run's partitions intact. The final
+    table must equal a direct full-range computation."""
+    import shutil
+
+    from chronon_spark.plans.backfill import backfill
+    from chronon_spark.plans.partition_range import PartitionRange
+
+    shutil.rmtree(_BACKFILL_DIR, ignore_errors=True)
+    shutil.rmtree(_BACKFILL_DIR + "__lineage", ignore_errors=True)
+
+    def compute(s, rng):
+        ev = s.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+            .where((F.col("ds") >= rng.start) & (F.col("ds") <= rng.end))
+            .groupBy("user_id", "ds")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    backfill(spark, compute, _BACKFILL_DIR,
+             PartitionRange("2024-01-02", "2024-01-05"), step_days=2, conf="c1")
+    res = backfill(spark, compute, _BACKFILL_DIR,
+                   PartitionRange("2024-01-02", "2024-01-09"), step_days=2, conf="c1")
+    # the resume only computed the hole (06..09); a full recompute here
+    # would be a correctness bug in the checkpoint logic
+    assert all(s.start >= "2024-01-06" for s in res.computed), res.computed
+    out = spark.read.parquet(_BACKFILL_DIR)
+    return out.select(
+        "user_id", F.col("ds").cast("string").alias("ds"), "n"
+    ).where(F.col("n") > 0)
+
+
+_BACKFILL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds FROM events
+)
+SELECT user_id, ds, count(*) AS n
+FROM ev WHERE ds >= '2024-01-02' AND ds <= '2024-01-09'
+GROUP BY user_id, ds
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style pre-flight profile of the events table (one agg pass)."""
     from chronon_spark.plans.profile import profile
@@ -1857,6 +1949,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_job": q_compare_job,
         "feature_summary": q_feature_summary,
         "drift": q_drift,
+        "cumulative_scan": q_cumulative_scan,
+        "backfill_resume": q_backfill_resume,
         "asof_multisource": q_asof_multisource,
         "asof_firstk_uniquetopk": q_asof_firstk_uniquetopk,
         "keymapped_join": q_keymapped_join,
@@ -1901,6 +1995,8 @@ def _raw_oracles() -> dict[str, str]:
         "compare_job": _COMPARE_ORACLE,
         "feature_summary": _SUMMARY_ORACLE,
         "drift": _DRIFT_ORACLE,
+        "cumulative_scan": _CUMULATIVE_ORACLE,
+        "backfill_resume": _BACKFILL_ORACLE,
         "asof_multisource": _MULTISOURCE_ORACLE,
         "asof_firstk_uniquetopk": _FIRSTK_ORACLE,
         "keymapped_join": _KEYMAPPED_ORACLE,

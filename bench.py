@@ -63,10 +63,17 @@ def build(master: str, shuffle_partitions: int):
     )
 
 
-def webtext_parquet(spark, n_rows: int, out_dir: str) -> str:
+# deterministic generation (seeded) -> cache across bench runs; the
+# per-round driver re-invokes bench.py and regeneration would dominate
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/chronon_bench_cache")
+
+
+def webtext_parquet(spark, n_rows: int, out_dir: str | None = None) -> str:
     from chronon_spark.sources.webtext import generate_webtext
 
-    path = os.path.join(out_dir, f"webtext_{n_rows}.parquet")
+    base = out_dir or CACHE_DIR
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"webtext_{n_rows}.parquet")
     if not os.path.exists(path):
         generate_webtext(
             spark, n_rows, seed=42, n_domains=500, partitions=max(CPUS * 2, 16)
@@ -186,27 +193,66 @@ def kernel_microbench() -> dict:
             "qps": round(n / wall, 1)}
 
 
+HEADLINE = [
+    "asof_groupby",
+    "asof_join_multipart",
+    "snapshot_groupby",
+    "sessionize",
+    "lag_lead",
+    "exact_dedup",
+    "minhash_lsh",
+    "doc_stats",
+    "embedding_topk",
+    "ann_lsh",
+]
+
+
 def headline_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
-    names = [
-        "asof_groupby",
-        "asof_join_multipart",
-        "snapshot_groupby",
-        "sessionize",
-        "lag_lead",
-        "exact_dedup",
-        "minhash_lsh",
-        "doc_stats",
-        "embedding_topk",
-    ]
     qs = E.queries()
     times = {}
-    for name in names:
+    for name in HEADLINE:
         t0 = time.time()
         force(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
     return times
+
+
+def plan_digest(df) -> dict:
+    """Compact physical-plan fingerprint: shuffle count, Python stages,
+    codegen spans, scan pushdown evidence — the design-for-100x audit
+    trail next to each bench number."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "python_stages": plan.count("FlatMapGroupsInPandas")
+        + plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas"),
+        "has_pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan.replace("PushedFilters: [],", "PushedFilters: [] "),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+    }
+
+
+def explain_digests(spark, sf_dir: str, flagship_path: str) -> dict:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in HEADLINE:
+        try:
+            out[name] = plan_digest(qs[name](spark, sf_dir))
+        except Exception as e:  # digest must never sink the bench
+            out[name] = {"error": str(e)[:200]}
+    try:
+        out["webtext_flagship"] = plan_digest(flagship_join(spark, flagship_path))
+    except Exception as e:
+        out["webtext_flagship"] = {"error": str(e)[:200]}
+    return out
 
 
 def run_flagship(master: str, cores: int, path: str, rows: int, repeats: int = 2) -> dict:
@@ -226,6 +272,35 @@ def run_flagship(master: str, cores: int, path: str, rows: int, repeats: int = 2
             "rows_per_sec": round(rows / wall, 1)}
 
 
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+SCALING_ARTIFACT = os.path.join(REPO_DIR, "SCALING.json")
+EXPLAIN_ARTIFACT = os.path.join(REPO_DIR, "EXPLAIN_digest.json")
+# the BASELINE.md steady-state anchor scale (3M rows @ 32 cores); the
+# per-sf flagship run is overhead-dominated below ~1M rows
+STEADY_ROWS = int(os.environ.get("SPARK_GRAFT_STEADY_ROWS", "3000000"))
+
+
+def recorded_scaling() -> dict:
+    """Measured `--scaling` results, persisted by prior runs — never
+    hard-coded constants (a stale literal would silently misreport)."""
+    if os.path.exists(SCALING_ARTIFACT):
+        with open(SCALING_ARTIFACT) as f:
+            return json.load(f)
+    return {"pairs": [], "note": "run `python bench.py --scaling` to record"}
+
+
+def record_scaling(entry: dict) -> None:
+    art = recorded_scaling()
+    pairs = [
+        p for p in art.get("pairs", [])
+        if not (p["rows"] == entry["rows"] and p["n"] == entry["n"])
+    ]
+    pairs.append(entry)
+    pairs.sort(key=lambda p: (p["rows"], p["n"]))
+    with open(SCALING_ARTIFACT, "w") as f:
+        json.dump({"pairs": pairs}, f, indent=1)
+
+
 def main() -> None:
     scaling_mode = "--scaling" in sys.argv
     sf = sf_of(SF_DIR)
@@ -235,12 +310,22 @@ def main() -> None:
     try:
         spark = build(f"local[{CPUS}]", shuffle_partitions=max(CPUS * 2, 8))
         try:
-            path = webtext_parquet(spark, n_webtext, tmp)
+            path = webtext_parquet(spark, n_webtext)
             t0 = time.time()
             force(flagship_join(spark, path))
             flagship_wall = time.time() - t0
             times = {"webtext_flagship": round(flagship_wall, 3)}
             times.update(headline_queries(spark, SF_DIR))
+
+            # steady-state flagship at the BASELINE.md anchor scale —
+            # comparable round-over-round, not overhead-dominated
+            steady_path = webtext_parquet(spark, STEADY_ROWS)
+            t0 = time.time()
+            force(flagship_join(spark, steady_path))
+            steady_wall = time.time() - t0
+
+            with open(EXPLAIN_ARTIFACT, "w") as f:
+                json.dump(explain_digests(spark, SF_DIR, path), f, indent=1)
         finally:
             spark.stop()
 
@@ -255,13 +340,13 @@ def main() -> None:
                     "wall_sec": round(flagship_wall, 3),
                     "rows_per_sec": round(n_webtext / flagship_wall, 1),
                 },
+                "webtext_steady": {
+                    "rows": STEADY_ROWS,
+                    "wall_sec": round(steady_wall, 3),
+                    "rows_per_sec": round(STEADY_ROWS / steady_wall, 1),
+                },
                 "kernel_microbench": kernel_microbench(),
-                # measured via `python bench.py --scaling` (see BASELINE.md):
-                "scaling_recorded": {"pairs": [
-                    {"rows": 1_200_000, "n": 2, "four_n": 8, "efficiency": 1.02},
-                    {"rows": 6_000_000, "n": 2, "four_n": 8, "efficiency": 0.86},
-                    {"rows": 6_000_000, "n": 4, "four_n": 16, "efficiency": 0.72},
-                ]},
+                "scaling_recorded": recorded_scaling(),
             }
         )
 
@@ -276,7 +361,7 @@ def main() -> None:
             n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(max(n_webtext, 1_200_000))))
             spark = build(f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
             try:
-                path = webtext_parquet(spark, n_scale, tmp)
+                path = webtext_parquet(spark, n_scale)
             finally:
                 spark.stop()
             lo = run_flagship(f"local[{n_small}]", n_small, path, n_scale)
@@ -287,6 +372,16 @@ def main() -> None:
                 "four_n_cores": hi,
                 "efficiency": round(eff, 3),
             }
+            record_scaling(
+                {
+                    "rows": n_scale,
+                    "n": n_small,
+                    "four_n": n_large,
+                    "efficiency": round(eff, 3),
+                    "n_rows_per_sec": lo["rows_per_sec"],
+                    "four_n_rows_per_sec": hi["rows_per_sec"],
+                }
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
