@@ -78,3 +78,46 @@ def test_create_table_ddl():
     assert "user_id bigint" in ddl and "'conf_hash'='abc'" in ddl
     ddl_pq = create_table_ddl("t", schema, ("ds",))
     assert "USING parquet" in ddl_pq and "ds string" in ddl_pq
+
+
+def test_metadata_exporter(spark, sf_dir, tmp_path):
+    """MetadataExporter equivalent: conf JSON enriched with analyzer-derived
+    feature schemas, one file per conf under group_bys/ and joins/."""
+    import json
+
+    from chronon_spark.plans.exporter import export_metadata
+
+    gb = GroupBy(
+        sources=(_src(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.COUNT),
+        ),
+        name="meta_gb",
+    )
+    out = str(tmp_path / "meta")
+    paths = export_metadata(spark, [gb], out)
+    assert len(paths) == 1 and paths[0].endswith(f"group_bys/{gb.name}.json")
+    data = json.load(open(paths[0]))
+    names = [f["name"] for f in data["features"]]
+    assert "user_id" in names and "ts" in names
+    assert data["key_columns"] == ["user_id"]
+    # every declared aggregation output appears in the feature schema
+    for p in gb.unpack():
+        assert p.output_column in names
+
+
+def test_local_table_exporter(spark, sf_dir, tmp_path):
+    from chronon_spark.plans.exporter import export_table
+
+    out = export_table(
+        spark, f"{sf_dir}/nation.parquet", str(tmp_path / "exports"), fmt="csv"
+    )
+    assert out.endswith(".csv")
+    import csv
+
+    with open(out) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:2] == ["n_nationkey", "n_name"] or "n_nationkey" in rows[0]
+    assert len(rows) == 26  # header + 25 nations
