@@ -207,6 +207,23 @@ HEADLINE = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Absorb one-time session costs (python worker spin-up, Arrow codegen,
+    parquet footer caches) so per-query times measure the ENGINE: without
+    this the first query pays ~8s of fixed overhead that belongs to no
+    operator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000, numPartitions=8).withColumn("g", F.pmod("id", F.lit(4)))
+    df.groupBy("g").applyInPandas(
+        lambda p: pd.DataFrame({"g": [int(p["g"].iloc[0])], "n": [len(p)]}),
+        schema="g long, n long",
+    ).write.format("noop").mode("overwrite").save()
+    for t in ("events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
+
 def headline_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
@@ -310,6 +327,7 @@ def main() -> None:
     try:
         spark = build(f"local[{CPUS}]", shuffle_partitions=max(CPUS * 2, 8))
         try:
+            warmup(spark, SF_DIR)
             path = webtext_parquet(spark, n_webtext)
             t0 = time.time()
             force(flagship_join(spark, path))

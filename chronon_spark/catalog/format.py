@@ -98,6 +98,29 @@ class Format:
         raise NotImplementedError
 
 
+def auto_expand(df: DataFrame, table_name: str, partition_col: str) -> DataFrame:
+    """Schema evolution on insert (reference TableUtils.scala:197-290
+    autoExpand): columns the incoming DF adds are APPENDED to the table
+    via ALTER TABLE ADD COLUMNS (existing rows read them as NULL); columns
+    the DF is missing are filled with typed NULLs. Returns the DF aligned
+    to the table's (possibly expanded) column order."""
+    spark = df.sparkSession
+    table_fields = {f.name: f for f in spark.table(table_name).schema.fields}
+    new_cols = [c for c in df.columns if c not in table_fields]
+    if new_cols:
+        decls = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in new_cols
+        )
+        spark.sql(f"ALTER TABLE {table_name} ADD COLUMNS ({decls})")
+        table_fields = {f.name: f for f in spark.table(table_name).schema.fields}
+    aligned = df
+    for name, f in table_fields.items():
+        if name not in df.columns:
+            aligned = aligned.withColumn(name, F.lit(None).cast(f.dataType))
+    # insertInto is positional: the table's column order is authoritative
+    return aligned.select(*[f for f in table_fields])
+
+
 class HiveFormat(Format):
     """Spark-catalog (hive-style) tables."""
 
@@ -116,9 +139,8 @@ class HiveFormat(Format):
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            # insertInto is positional: align to the table's column order
-            cols = spark.table(table_name).columns
-            df.select(*cols).write.mode("overwrite").insertInto(table_name)
+            aligned = auto_expand(df, table_name, partition_col)
+            aligned.write.mode("overwrite").insertInto(table_name)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -146,3 +146,37 @@ def test_resolve_format_iceberg_by_catalog_conf(spark):
 def test_get_catalog(spark):
     assert get_catalog(spark, "cat.db.tbl") == "cat"
     assert get_catalog(spark, "db.tbl") == spark.catalog.currentCatalog()
+
+
+def test_auto_expand_schema_evolution(spark):
+    """Reference TableUtils autoExpand: an insert with NEW columns expands
+    the table (old rows read NULL); an insert MISSING columns fills typed
+    NULLs."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS fmt_ae_db")
+    t = "fmt_ae_db.tbl"
+    fmt = HiveFormat()
+    try:
+        v1 = spark.createDataFrame(
+            pd.DataFrame({"ds": ["2024-01-01"], "k": [1], "v": [1.0]})
+        ).select("k", "v", "ds")
+        write_partitioned(v1, t, "ds", fmt)
+
+        # v2 adds a column
+        v2 = spark.createDataFrame(
+            pd.DataFrame({"ds": ["2024-01-02"], "k": [2], "v": [2.0], "extra": [9]})
+        ).select("k", "v", "extra", "ds")
+        write_partitioned(v2, t, "ds", fmt)
+        out = spark.table(t).orderBy("ds").collect()
+        assert "extra" in spark.table(t).columns
+        assert out[0]["extra"] is None and out[1]["extra"] == 9
+
+        # v3 is missing v -> typed NULL fill
+        v3 = spark.createDataFrame(
+            pd.DataFrame({"ds": ["2024-01-03"], "k": [3], "extra": [7]})
+        ).select("k", "extra", "ds")
+        write_partitioned(v3, t, "ds", fmt)
+        row = spark.table(t).where("ds = '2024-01-03'").first()
+        assert row["v"] is None and row["extra"] == 7 and row["k"] == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fmt_ae_db.tbl")
+        spark.sql("DROP DATABASE IF EXISTS fmt_ae_db")
