@@ -353,7 +353,12 @@ def group_by_asof_hopped(
     #    then the per-key RANGE window merges preceding hops.
     ir_cols = [c for c in hop_irs.columns if c.startswith("i_")]
     q_hops = q.select(*keys, "__hop").distinct()
-    hop_grid = hop_irs.join(q_hops, on=keys + ["__hop"], how="full")
+    # tag the query hops through the full join so the post-window filter to
+    # query hops is a free predicate instead of a second (re-shuffling)
+    # semi join of the whole tails set
+    hop_grid = hop_irs.join(
+        q_hops.withColumn("__isq", F.lit(1)), on=keys + ["__hop"], how="full"
+    )
     # per-key variance offset K = overall mean of the key's events, computed
     # from the hop IRs themselves (full-partition window — same shuffle as
     # the tail window, no extra pass over raw events)
@@ -367,9 +372,11 @@ def group_by_asof_hopped(
             hop_grid = hop_grid.withColumn(
                 f"__k_{c}", F.sum(f"i_sum_{c}").over(wk) / F.sum(f"i_cnt_{c}").over(wk)
             )
-    tails = hop_grid.select(*keys, "__hop", *_tail_cols(parts, keys, hop_ms))
-    # only query hops are needed downstream
-    tails = tails.join(q_hops, on=keys + ["__hop"], how="leftsemi")
+    tails = hop_grid.select(
+        *keys, "__hop", F.col("__isq"), *_tail_cols(parts, keys, hop_ms)
+    )
+    # only query hops are needed downstream — the tag filter costs nothing
+    tails = tails.where(F.col("__isq") == 1).drop("__isq")
 
     # 3. exact head: events of the query's own hop with e.ts <= q.ts
     head_needed = list(dict.fromkeys(p.input_column for p in parts))

@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 
 from chronon_spark.api.types import Aggregation, AggregationPart, Operation, Window
-from chronon_spark.kernel.naive import naive_asof_features
+from naive_oracle import naive_asof_features
 from chronon_spark.kernel.sawtooth import compute_asof_features
 
 DAY = 86_400_000

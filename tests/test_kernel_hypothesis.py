@@ -7,7 +7,7 @@ import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from chronon_spark.api.types import AggregationPart, Operation, Window
-from chronon_spark.kernel.naive import naive_asof_features
+from naive_oracle import naive_asof_features
 from chronon_spark.kernel.sawtooth import compute_asof_features
 
 HOUR = 3_600_000
