@@ -1680,6 +1680,264 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_derived_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-level derivations WITHOUT "*": every left/base column must
+    survive (reference Join.derivationProjection keeps non-value columns
+    and replaces only the join-part outputs)."""
+    from chronon_spark.api.types import (
+        Aggregation, EventSource, GroupBy, Join, JoinPart, Operation, Query, Window,
+    )
+    from chronon_spark.operators.asof_join import join_asof
+    from chronon_spark.sources.scan import millis_expr
+
+    left = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
+                     "o_status": "o_orderstatus"},
+            time_column=millis_expr("o_orderdate"),
+        ),
+    )
+    right = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_custkey": "o_custkey", "price": "floor(o_totalprice * 100 + 0.5)"},
+            time_column=millis_expr("o_orderdate"),
+        ),
+    )
+    gb = GroupBy(
+        sources=(right,), key_columns=("o_custkey",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM, windows=(Window.days(90),)),
+        ),
+        name="co",
+    )
+    j = Join(
+        left=left, join_parts=(JoinPart(gb),), name="dj",
+        derivations={
+            "avg_cents_90d": "co_price_sum_90d / co_price_count",
+            "n_orders": "co_price_count",
+        },
+    )
+    out = join_asof(spark, j)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_status", "ts",
+        _r6(F.col("avg_cents_90d") / 100).alias("avg_cents_90d"),
+        F.col("n_orders"),
+    )
+
+
+_DERIVED_JOIN_ORACLE = f"""
+WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus AS o_status,
+                  floor(o_totalprice * 100 + 0.5) AS c,
+                  epoch_ms(o_orderdate) AS ts FROM orders),
+agg AS (
+  SELECT q.o_orderkey, q.o_custkey, q.o_status, q.ts,
+     count(e.c) AS cnt,
+     CAST(sum(CASE WHEN e.ts > q.ts - {90 * DAY_MS} THEN e.c END) AS DOUBLE) AS s90
+  FROM o q LEFT JOIN o e ON e.o_custkey = q.o_custkey AND e.ts <= q.ts
+  GROUP BY q.o_orderkey, q.o_custkey, q.o_status, q.ts
+)
+SELECT o_orderkey, o_custkey, o_status, ts,
+   round((s90 / cnt) / 100, 6) AS avg_cents_90d,
+   cnt AS n_orders
+FROM agg
+"""
+
+
+def q_bootstrap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap join (reference JoinBootstrapJob + CoveringSet): rows the
+    bootstrap table fully covers skip part computation and keep their
+    precomputed values; partially-covered rows compute the remaining
+    columns and coalesce(bootstrap, computed) per column."""
+    from chronon_spark.api.types import (
+        Aggregation, EventSource, GroupBy, Join, JoinPart, Operation, Query, Window,
+    )
+    from chronon_spark.operators.asof_join import join_asof
+    from chronon_spark.sources.scan import millis_expr
+
+    left = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_orderkey": "o_orderkey", "o_custkey": "o_custkey"},
+            time_column=millis_expr("o_orderdate"),
+        ),
+    )
+    right = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_custkey": "o_custkey", "price": "floor(o_totalprice * 100 + 0.5)"},
+            time_column=millis_expr("o_orderdate"),
+        ),
+    )
+    gb = GroupBy(
+        sources=(right,), key_columns=("o_custkey",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM, windows=(Window.days(90),)),
+        ),
+        name="co",
+    )
+    j = Join(left=left, join_parts=(JoinPart(gb),), name="bs",
+             row_ids=("o_orderkey",))
+    # deterministic bootstrap: %7 rows fully covered (sentinels), %11 rows
+    # (excluding %7) cover only the count column
+    boot = spark.sql(f"""
+        SELECT o_orderkey,
+           CAST(-5 AS BIGINT) AS co_price_count,
+           CASE WHEN o_orderkey % 7 = 0 THEN CAST(-500.0 AS DOUBLE) END
+             AS co_price_sum_90d
+        FROM parquet.`{sf_dir}/orders.parquet`
+        WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+    """)
+    out = join_asof(spark, j, bootstrap_df=boot)
+    return out.select(
+        "o_orderkey", "o_custkey", "ts",
+        F.col("co_price_count"),
+        _r6(F.col("co_price_sum_90d") / 100).alias("co_price_sum_90d"),
+    )
+
+
+_BOOTSTRAP_ORACLE = f"""
+WITH o AS (SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5) AS c,
+                  epoch_ms(o_orderdate) AS ts FROM orders),
+agg AS (
+  SELECT q.o_orderkey, q.o_custkey, q.ts,
+     count(e.c) AS cnt,
+     CAST(sum(CASE WHEN e.ts > q.ts - {90 * DAY_MS} THEN e.c END) AS DOUBLE) AS s90
+  FROM o q LEFT JOIN o e ON e.o_custkey = q.o_custkey AND e.ts <= q.ts
+  GROUP BY q.o_orderkey, q.o_custkey, q.ts
+)
+SELECT o_orderkey, o_custkey, ts,
+   CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+        THEN CAST(-5 AS BIGINT) ELSE cnt END AS co_price_count,
+   round(CASE WHEN o_orderkey % 7 = 0 THEN -500.0 ELSE s90 END / 100, 6)
+     AS co_price_sum_90d
+FROM agg
+"""
+
+
+_MUT_DIR = "/tmp/chronon_mutations_drv"
+
+
+def _mutation_fixture(spark):
+    """Deterministic entity VERSIONS -> mutually-consistent snapshots +
+    before/after mutation rows (the reference DataFrameGen invariant),
+    written to fixed paths so the DuckDB oracle reads the same files."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    if os.path.exists(f"{_MUT_DIR}/versions.parquet"):
+        return
+    rng = np.random.RandomState(11)
+    T0 = 1_704_067_200_000
+    N_DAYS = 10
+    FAR = T0 + 10_000 * DAY_MS
+    rows = []
+    for item in range(300):
+        store = item % 25
+        n_v = rng.randint(1, 5)
+        starts = [T0] + sorted(
+            rng.randint(T0 + DAY_MS, T0 + N_DAYS * DAY_MS, n_v - 1).tolist()
+        )
+        for vi, vf in enumerate(starts):
+            vt = starts[vi + 1] if vi + 1 < len(starts) else FAR
+            rows.append((store, item, int(rng.randint(100, 10000)), vf, vt))
+    versions = pd.DataFrame(
+        rows, columns=["store_id", "item_id", "price", "valid_from", "valid_to"]
+    )
+    snaps = []
+    for d in range(N_DAYS):
+        eod = T0 + (d + 1) * DAY_MS
+        ds = pd.Timestamp(T0 + d * DAY_MS, unit="ms").strftime("%Y-%m-%d")
+        live = versions[(versions.valid_from < eod) & (versions.valid_to >= eod)]
+        for r in live.itertuples():
+            snaps.append((r.store_id, r.item_id, r.price, ds))
+    snap_df = pd.DataFrame(snaps, columns=["store_id", "item_id", "price", "ds"])
+    muts = []
+    for item, gv in versions.sort_values("valid_from").groupby("item_id"):
+        gvl = list(gv.itertuples())
+        for i, v in enumerate(gvl):
+            ds = pd.Timestamp(v.valid_from, unit="ms").strftime("%Y-%m-%d")
+            muts.append((v.store_id, v.item_id, v.price, v.valid_from, False, ds))
+            if i > 0:
+                prev = gvl[i - 1]
+                muts.append((prev.store_id, prev.item_id, prev.price, v.valid_from, True, ds))
+    mut_df = pd.DataFrame(
+        muts, columns=["store_id", "item_id", "price", "mutation_ts", "is_before", "ds"]
+    )
+    qrng = np.random.RandomState(12)
+    q = pd.DataFrame(
+        {
+            "store_id": qrng.randint(0, 25, 800),
+            "ts": qrng.randint(T0 + DAY_MS, T0 + N_DAYS * DAY_MS, 800),
+        }
+    )
+    spark.createDataFrame(snap_df).write.mode("overwrite").parquet(f"{_MUT_DIR}/snap.parquet")
+    spark.createDataFrame(mut_df).write.mode("overwrite").parquet(f"{_MUT_DIR}/mut.parquet")
+    spark.createDataFrame(versions).write.mode("overwrite").parquet(f"{_MUT_DIR}/versions.parquet")
+    spark.createDataFrame(q).write.mode("overwrite").parquet(f"{_MUT_DIR}/queries.parquet")
+
+
+def q_mutation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temporalEntities point-in-time replay (previous-day snapshot IRs ⊕
+    signed same-day mutation deltas, strict mutation_ts < query_ts) —
+    oracled against the generating version intervals."""
+    from chronon_spark.api.types import Aggregation, EntitySource, GroupBy, Operation, Query
+    from chronon_spark.operators.mutations import temporal_entities
+
+    _mutation_fixture(spark)
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=f"{_MUT_DIR}/snap.parquet",
+                mutation_table=f"{_MUT_DIR}/mut.parquet",
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM),
+            Aggregation("price", Operation.AVERAGE),
+        ),
+        name="store_prices",
+    )
+    queries = spark.read.parquet(f"{_MUT_DIR}/queries.parquet")
+    out = temporal_entities(spark, gb, queries)
+    return out.select(
+        "store_id", "ts",
+        F.col("price_count"),
+        _r6(F.col("price_sum")).alias("price_sum"),
+        _r6(F.col("price_average")).alias("price_average"),
+    )
+
+
+_MUTATION_ORACLE = f"""
+WITH v AS (SELECT * FROM '{_MUT_DIR}/versions.parquet/*.parquet'),
+q AS (SELECT DISTINCT store_id, ts FROM '{_MUT_DIR}/queries.parquet/*.parquet')
+SELECT q.store_id, q.ts,
+   count(v.price) AS price_count,
+   round(CAST(sum(v.price) AS DOUBLE), 6) AS price_sum,
+   round(CAST(sum(v.price) AS DOUBLE) / count(v.price), 6) AS price_average
+FROM q LEFT JOIN v
+  ON v.store_id = q.store_id AND v.valid_from < q.ts AND q.ts <= v.valid_to
+GROUP BY q.store_id, q.ts
+"""
+
+
 def q_keymapped_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join with key_mapping: orders (o_custkey) against a GroupBy keyed by
     c_custkey-style renamed key — exercises left->right key renaming."""
@@ -1954,6 +2212,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_multisource": q_asof_multisource,
         "asof_firstk_uniquetopk": q_asof_firstk_uniquetopk,
         "keymapped_join": q_keymapped_join,
+        "derived_join": q_derived_join,
+        "bootstrap_join": q_bootstrap_join,
+        "mutation_replay": q_mutation_replay,
         "stream_tiles": q_stream_tiles,
         "skew_join": q_skew_join,
     }
@@ -2000,6 +2261,9 @@ def _raw_oracles() -> dict[str, str]:
         "asof_multisource": _MULTISOURCE_ORACLE,
         "asof_firstk_uniquetopk": _FIRSTK_ORACLE,
         "keymapped_join": _KEYMAPPED_ORACLE,
+        "derived_join": _DERIVED_JOIN_ORACLE,
+        "bootstrap_join": _BOOTSTRAP_ORACLE,
+        "mutation_replay": _MUTATION_ORACLE,
         "stream_tiles": _STREAM_TILES_ORACLE,
         "skew_join": _SKEW_ORACLE,
     }

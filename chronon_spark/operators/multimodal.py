@@ -95,13 +95,67 @@ def _rng_from_bytes(b: bytes) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """REAL decode of binary PPM (P6): ASCII header (width height maxval)
+    then raw RGB bytes — pure numpy, no external codec."""
+    assert b[:2] == b"P6", "not a P6 PPM"
+    # header tokens may be separated by arbitrary whitespace/comments
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    assert maxval == 255, f"only 8-bit PPM supported (maxval={maxval})"
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def _decode_wav_pcm16(b: bytes) -> tuple:
+    """REAL decode of RIFF/WAVE PCM16 mono/stereo: chunk walk + frombuffer."""
+    import struct
+
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
+    i, sr, n_ch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid, size = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt, n_ch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            assert fmt == 1 and bits == 16, "only PCM16 supported"
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    assert sr and data is not None, "missing fmt/data chunk"
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch and n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return sr, samples
+
+
 def _decode_image_impl(b: bytes, fake: bool) -> np.ndarray:
-    """bytes -> HxWxC uint8 array. Real impl needs PIL/cv2 (not in this
-    container); ``fake`` derives a deterministic image from the bytes."""
+    """bytes -> HxWxC uint8 array.
+
+    REAL for uncompressed formats (P6 PPM — numpy-only parse); compressed
+    formats (PNG/JPEG/...) need PIL/cv2, absent from this container, so
+    they raise unless ``fake`` (deterministic blake2b-seeded stand-in that
+    keeps the Spark-side plumbing honest)."""
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL or cv2 (not available in this environment); "
-            "pass fake=True for the deterministic stand-in"
+            "compressed image decode requires PIL or cv2 (not available in "
+            "this environment); P6 PPM decodes natively, or pass fake=True"
         )
     rng = _rng_from_bytes(b)
     h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
@@ -109,11 +163,18 @@ def _decode_image_impl(b: bytes, fake: bool) -> np.ndarray:
 
 
 def _decode_audio_impl(b: bytes, fake: bool) -> tuple:
-    """bytes -> (sample_rate, float32 samples). Real impl needs soundfile/
-    librosa; ``fake`` derives a deterministic waveform."""
+    """bytes -> (sample_rate, float32 samples). REAL for RIFF/WAVE PCM16;
+    compressed audio (mp3/ogg/flac) needs soundfile/librosa."""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        try:
+            return _decode_wav_pcm16(b)
+        except Exception:
+            if not fake:  # malformed WAV is a data error, not a codec gap
+                raise
     if not fake:
         raise NotImplementedError(
-            "audio decode requires soundfile/librosa (not available); pass fake=True"
+            "compressed audio decode requires soundfile/librosa (not "
+            "available); WAV PCM16 decodes natively, or pass fake=True"
         )
     rng = _rng_from_bytes(b)
     n = int(rng.integers(1000, 4000))
