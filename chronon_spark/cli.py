@@ -67,12 +67,42 @@ def main(argv=None) -> int:
     sq.add_argument("--end", required=True)
     sq.add_argument("--step-days", type=int, default=30)
 
+    sh = sub.add_parser(
+        "shell",
+        help="interactive session with a conf pre-loaded (the reference's "
+        "spark-shell-with-chronon convenience): `spark`, `conf`, and the "
+        "engine modules are in scope",
+    )
+    sh.add_argument("--conf", help="optional conf module to pre-load")
+
     args = p.parse_args(argv)
 
     from chronon_spark.session import build_session
     from chronon_spark.plans.partition_range import PartitionRange
 
     spark = build_session(master=args.master or "local[*]")
+
+    if args.cmd == "shell":
+        import code
+
+        import chronon_spark.api.types as types_mod
+        from chronon_spark.operators.asof_join import compute_join_part, group_by_asof, join_asof
+
+        ns = {
+            "spark": spark,
+            "types": types_mod,
+            "join_asof": join_asof,
+            "group_by_asof": group_by_asof,
+            "compute_join_part": compute_join_part,
+        }
+        if args.conf:
+            ns["conf"] = _load_conf(args.conf)
+        banner = (
+            "chronon_spark shell — in scope: spark, types, join_asof, "
+            "group_by_asof, compute_join_part" + (", conf" if args.conf else "")
+        )
+        code.interact(banner=banner, local=ns)
+        return 0
 
     if args.cmd == "upload-groupby":
         from chronon_spark.plans.upload import upload_group_by

@@ -178,12 +178,14 @@ def minhash_lsh_pairs(
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = banded.persist()
 
-    # cap degenerate buckets before the quadratic join
+    # cap degenerate buckets before the quadratic join. Broadcast the
+    # OVERSIZED buckets (a handful of boilerplate clusters) and anti-join —
+    # broadcasting the small-bucket list would ship O(n_docs * bands) rows
+    # to every executor, which is exactly what must not happen at 10^9 docs.
     bucket_sizes = banded.groupBy("band", "bucket").count()
+    big = bucket_sizes.where(F.col("count") > max_bucket).drop("count")
     banded = banded.join(
-        F.broadcast(bucket_sizes.where(F.col("count") <= max_bucket).drop("count")),
-        on=["band", "bucket"],
-        how="inner",
+        F.broadcast(big), on=["band", "bucket"], how="left_anti"
     )
 
     a = banded.alias("a")
