@@ -1,4 +1,5 @@
 from chronon_spark.catalog.format import (  # noqa: F401
+    DeltaFormat,
     Format,
     HiveFormat,
     IcebergFormat,

@@ -210,6 +210,62 @@ class IcebergFormat(Format):
         df.writeTo(table_name).overwritePartitions()
 
 
+class DeltaFormat(Format):
+    """Delta Lake tables (reference catalog/DeltaLake.scala). Delta has no
+    SHOW PARTITIONS (delta-io/delta#996); partitions come from the
+    transaction log via the ``partitionValues`` file metadata, surfaced in
+    SQL as ``DESCRIBE DETAIL``'s stats + the `_delta_log` snapshot. Gated
+    on the delta-spark runtime being on the classpath."""
+
+    name = "delta"
+    support_sub_partitions_filter = True
+
+    def _require_runtime(self, spark: SparkSession):
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        if "DeltaSparkSessionExtension" not in ext:
+            raise RuntimeError(
+                "Delta runtime not configured (set spark.sql.extensions="
+                "io.delta.sql.DeltaSparkSessionExtension and put "
+                "delta-spark on the classpath)"
+            )
+
+    def partitions(self, spark: SparkSession, table_name: str) -> list:
+        self._require_runtime(spark)
+        loc = (
+            spark.sql(f"DESCRIBE DETAIL {table_name}")
+            .select("location")
+            .first()[0]
+        )
+        files = spark.read.json(f"{loc}/_delta_log/*.json").where(
+            F.col("add").isNotNull()
+        )
+        rows = files.select("add.partitionValues").collect()
+        seen, out = set(), []
+        for r in rows:
+            d = {k: v for k, v in (r[0] or {}).items() if v is not None}
+            key = tuple(sorted(d.items()))
+            if key not in seen:
+                seen.add(key)
+                out.append(d)
+        return out
+
+    def write_partitions(self, df: DataFrame, table_name: str, partition_col: str) -> None:
+        spark = df.sparkSession
+        self._require_runtime(spark)
+        if not spark.catalog.tableExists(table_name):
+            df.write.format("delta").partitionBy(partition_col).saveAsTable(table_name)
+            return
+        # replaceWhere = Delta's dynamic partition overwrite
+        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+        in_list = ", ".join(f"'{p}'" for p in parts)
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", f"{partition_col} IN ({in_list})")
+            .saveAsTable(table_name)
+        )
+
+
 class ParquetPathFormat(Format):
     """Bare parquet paths (hive-style partition directories)."""
 
@@ -269,6 +325,8 @@ def resolve_format(spark: SparkSession, table: str) -> Format:
         )
         if provider and provider.lower() == "iceberg":
             return IcebergFormat()
+        if provider and provider.lower() == "delta":
+            return DeltaFormat()
     except Exception:
         pass
     return HiveFormat()

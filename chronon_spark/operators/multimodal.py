@@ -275,3 +275,43 @@ def audio_features(
     return df.mapInPandas(
         gen, schema=f"{id_col} long, sample_rate int, n_samples long, rms double"
     )
+
+
+def _encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    bytes_col: str = "media",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """bytes -> resized bytes (+ new dims). REAL end-to-end for P6 PPM
+    (numpy nearest-neighbor resample, PPM back out); other formats decode
+    through the same codec boundary as decode_and_featurize_images and
+    re-encode as PPM (the uncompressed interchange format of this
+    pipeline). Arrow-batched mapInPandas — bytes never row-ify."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                img = _decode_image_impl(bytes(b), fake)
+                yi = np.linspace(0, img.shape[0] - 1, height).round().astype(int)
+                xi = np.linspace(0, img.shape[1] - 1, width).round().astype(int)
+                ids.append(i)
+                outs.append(_encode_ppm(img[np.ix_(yi, xi)]))
+            yield pd.DataFrame(
+                {id_col: ids, "media": outs,
+                 "width": [width] * len(ids), "height": [height] * len(ids)}
+            )
+
+    return df.mapInPandas(
+        gen, schema=f"{id_col} long, media binary, width int, height int"
+    )

@@ -180,3 +180,15 @@ def test_auto_expand_schema_evolution(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fmt_ae_db.tbl")
         spark.sql("DROP DATABASE IF EXISTS fmt_ae_db")
+
+
+def test_delta_format_gates_cleanly(spark):
+    from chronon_spark.catalog.format import DeltaFormat
+
+    fmt = DeltaFormat()
+    with pytest.raises(RuntimeError, match="Delta runtime not configured"):
+        fmt.partitions(spark, "some_db.some_table")
+    with pytest.raises(RuntimeError, match="Delta runtime not configured"):
+        fmt.write_partitions(
+            _days_df(spark, ["2024-01-01"], 1.0), "some_db.some_table", "ds"
+        )

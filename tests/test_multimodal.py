@@ -109,3 +109,22 @@ def test_real_wav_decode(spark):
     assert out.loc[0, "n_samples"] == 1600
     expected_rms = float(np.sqrt(np.mean((samples.astype(np.float32) / 32768.0) ** 2)))
     assert out.loc[0, "rms"] == pytest.approx(expected_rms, rel=1e-5)
+
+
+def test_resize_ppm_roundtrip(spark):
+    """resize_images is REAL for PPM: decode -> nearest-neighbor resample
+    -> PPM re-encode; the output decodes again to the requested dims."""
+    import numpy as np
+
+    from chronon_spark.operators.multimodal import _decode_ppm, resize_images
+
+    w, h = 8, 6
+    pixels = (np.arange(w * h * 3, dtype=np.uint32) % 256).astype(np.uint8).reshape(h, w, 3)
+    ppm = b"P6\n8 6\n255\n" + pixels.tobytes()
+    df = spark.createDataFrame([(0, ppm)], "media_id long, media binary")
+    out = resize_images(df, width=4, height=3, fake=False).toPandas()
+    resized = _decode_ppm(bytes(out.loc[0, "media"]))
+    assert resized.shape == (3, 4, 3)
+    # nearest-neighbor: corner pixels survive exactly
+    assert (resized[0, 0] == pixels[0, 0]).all()
+    assert (resized[-1, -1] == pixels[-1, -1]).all()
