@@ -1536,6 +1536,65 @@ GROUP BY user_id, ds
 """
 
 
+def q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DDSketch-style percentile IRs (operators/ddsketch.py):
+    log-histogram buckets -> per-key p50/p90 with an alpha relative-error
+    bound. The oracle mirrors the bucket math and cumulative walk."""
+    from chronon_spark.operators.ddsketch import quantiles_from_sketch, sketch_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "CAST(value AS DOUBLE) AS value"
+    )
+    ir = sketch_aggregate(ev, ["user_id"], "value", alpha=0.01)
+    out = quantiles_from_sketch(ir, ["user_id"], [0.5, 0.9], alpha=0.01)
+    return out.select(
+        "user_id", _r6(F.col("p50")).alias("p50"), _r6(F.col("p90")).alias("p90")
+    )
+
+
+def _sketch_oracle() -> str:
+    import math
+
+    from chronon_spark.operators.ddsketch import _Z, gamma_of
+
+    g = gamma_of(0.01)
+    lg = math.log(g)
+    rep_scale = (2.0 * g / (g + 1.0)) / g
+
+    def rep(b):
+        return (
+            f"CASE WHEN {b} = {_Z} THEN 0.0 "
+            f"WHEN {b} > {_Z} THEN exp(({b} - {_Z}) * {lg!r}) * {rep_scale!r} "
+            f"ELSE -exp(({_Z} - 1 - {b}) * {lg!r}) * {rep_scale!r} END"
+        )
+
+    return f"""
+WITH ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT user_id,
+     CASE WHEN v = 0 THEN {_Z}
+          WHEN v > 0 THEN {_Z} + CAST(ceil(ln(abs(v)) / {lg!r}) AS BIGINT)
+          ELSE {_Z} - CAST(ceil(ln(abs(v)) / {lg!r}) AS BIGINT) - 1 END AS bucket
+  FROM ev
+),
+h AS (SELECT user_id, bucket, count(*) AS cnt FROM b GROUP BY user_id, bucket),
+c AS (
+  SELECT user_id, bucket, cnt,
+     sum(cnt) OVER (PARTITION BY user_id ORDER BY bucket) AS cum,
+     sum(cnt) OVER (PARTITION BY user_id) AS n
+  FROM h
+),
+p AS (
+  SELECT user_id,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.5) AS BIGINT), 1) THEN bucket END) AS b50,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.9) AS BIGINT), 1) THEN bucket END) AS b90
+  FROM c GROUP BY user_id
+)
+SELECT user_id, round({rep('b50')}, 6) AS p50, round({rep('b90')}, 6) AS p90
+FROM p
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style pre-flight profile of the events table (one agg pass)."""
     from chronon_spark.plans.profile import profile
@@ -2215,6 +2274,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_join": q_derived_join,
         "bootstrap_join": q_bootstrap_join,
         "mutation_replay": q_mutation_replay,
+        "sketch_percentile": q_sketch_percentile,
         "stream_tiles": q_stream_tiles,
         "skew_join": q_skew_join,
     }
@@ -2264,6 +2324,7 @@ def _raw_oracles() -> dict[str, str]:
         "derived_join": _DERIVED_JOIN_ORACLE,
         "bootstrap_join": _BOOTSTRAP_ORACLE,
         "mutation_replay": _MUTATION_ORACLE,
+        "sketch_percentile": _sketch_oracle(),
         "stream_tiles": _STREAM_TILES_ORACLE,
         "skew_join": _SKEW_ORACLE,
     }
