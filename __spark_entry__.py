@@ -1595,6 +1595,92 @@ FROM p
 """
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (dedup-by-url prerequisite): messy URLs
+    synthesized deterministically from orders, canonicalized with
+    textstats.canonical_url — lowercased scheme/host, default ports
+    stripped, fragments dropped, tracking params removed, params sorted."""
+    from chronon_spark.operators.textstats import canonical_url
+
+    df = spark.sql(f"""
+        SELECT o_orderkey,
+           concat('HTTPS://Shop', CAST(o_custkey % 50 AS STRING),
+                  '.Example.COM', CASE WHEN o_orderkey % 3 = 0 THEN ':443' ELSE '' END,
+                  '/item/', CAST(o_orderkey AS STRING),
+                  CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END,
+                  '?utm_source=mail&z=', CAST(o_orderkey % 7 AS STRING),
+                  '&a=1#sec', CAST(o_orderkey % 5 AS STRING)) AS url
+        FROM parquet.`{sf_dir}/orders.parquet`
+    """)
+    return df.select("o_orderkey", "url", canonical_url("url").alias("canonical"))
+
+
+_URL_CANONICAL_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey,
+     concat('HTTPS://Shop', CAST(o_custkey % 50 AS VARCHAR),
+            '.Example.COM', CASE WHEN o_orderkey % 3 = 0 THEN ':443' ELSE '' END,
+            '/item/', CAST(o_orderkey AS VARCHAR),
+            CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END,
+            '?utm_source=mail&z=', CAST(o_orderkey % 7 AS VARCHAR),
+            '&a=1#sec', CAST(o_orderkey % 5 AS VARCHAR)) AS url
+  FROM orders
+)
+SELECT u.o_orderkey, u.url,
+   concat('https://shop', CAST(o.o_custkey % 50 AS VARCHAR), '.example.com',
+          '/item/', CAST(u.o_orderkey AS VARCHAR),
+          '?a=1&z=', CAST(u.o_orderkey % 7 AS VARCHAR)) AS canonical
+FROM u JOIN orders o ON o.o_orderkey = u.o_orderkey
+"""
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021): duplicate-line fraction +
+    top-bigram occupancy per document, with the published pass thresholds."""
+    from chronon_spark.operators.textstats import repetition_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_flags(docs, "doc_id")
+    return out.select(
+        "doc_id",
+        _r6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        "passes_repetition",
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                 x -> len(x) > 0) AS lines,
+     regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lines,
+     [array_to_string(w[i:i+1], ' ')
+      for i in generate_series(1, greatest(len(w) - 1, 0))] AS grams
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+     CASE WHEN len(lines) > 0
+          THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+          ELSE 0.0 END AS dup_line_frac,
+     CASE WHEN len(grams) > 0
+          THEN CAST(list_max(list_transform(list_distinct(grams),
+                    x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams)
+          ELSE 0.0 END AS top_bigram_frac
+  FROM g
+)
+SELECT doc_id, round(dup_line_frac, 6) AS dup_line_frac,
+   round(top_bigram_frac, 6) AS top_bigram_frac,
+   dup_line_frac <= 0.3 AND top_bigram_frac <= 0.18 AS passes_repetition
+FROM m
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style pre-flight profile of the events table (one agg pass)."""
     from chronon_spark.plans.profile import profile
@@ -2275,6 +2361,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_join": q_bootstrap_join,
         "mutation_replay": q_mutation_replay,
         "sketch_percentile": q_sketch_percentile,
+        "url_canonical": q_url_canonical,
+        "repetition_quality": q_repetition_quality,
         "stream_tiles": q_stream_tiles,
         "skew_join": q_skew_join,
     }
@@ -2325,6 +2413,8 @@ def _raw_oracles() -> dict[str, str]:
         "bootstrap_join": _BOOTSTRAP_ORACLE,
         "mutation_replay": _MUTATION_ORACLE,
         "sketch_percentile": _sketch_oracle(),
+        "url_canonical": _URL_CANONICAL_ORACLE,
+        "repetition_quality": _REPETITION_ORACLE,
         "stream_tiles": _STREAM_TILES_ORACLE,
         "skew_join": _SKEW_ORACLE,
     }

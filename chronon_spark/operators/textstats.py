@@ -151,3 +151,102 @@ def document_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
         lang_id(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality rules (the published Gopher filters — Rae et al.
+# 2021, table A1: duplicate-line fraction, top n-gram fraction; standard in
+# web-corpus pipelines) — pure Catalyst higher-order functions
+# ---------------------------------------------------------------------------
+
+def duplicate_line_fraction(text_col: str = "text") -> Column:
+    """Fraction of lines that are duplicates of an earlier line."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - uniq).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(text_col: str = "text", n: int = 2) -> Column:
+    """Fraction of all word n-gram occurrences taken by the MOST frequent
+    n-gram (boilerplate detector). Expression-only: build n-grams, count
+    the mode via aggregate over the distinct list."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    total = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-rule pass/fail per doc: (id, dup_line_frac, top_bigram_frac,
+    passes_repetition). Thresholds are the published defaults."""
+    return df.select(
+        F.col(id_col),
+        duplicate_line_fraction(text_col).alias("dup_line_frac"),
+        top_ngram_fraction(text_col, 2).alias("top_bigram_frac"),
+    ).withColumn(
+        "passes_repetition",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup-by-url prerequisite)
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref",
+)
+
+
+def canonical_url(url_col: str = "url") -> Column:
+    """Canonical form: lowercase scheme+host, strip default ports, drop
+    fragment, drop tracking query params, sort the remaining params, strip
+    trailing slash on bare paths. Pure Catalyst (regexp + HOFs)."""
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)", 1))
+    port = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?:]+:(\d+)", 1)
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.split(p, "=")[0].isin(*[F.lit(t) for t in _TRACKING_PARAMS]),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )

@@ -261,3 +261,37 @@ def test_quickstart_example(spark):
     assert df.count() == 1000
     assert "purchases_purchase_price_sum_14d" in df.columns
     assert "purchases_purchase_price_last10" in df.columns
+
+
+def test_canonical_url(spark):
+    from chronon_spark.operators.textstats import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag", "http://example.com/a/b?a=1&b=2"),
+        ("https://example.com:443/path/", "https://example.com/path"),
+        ("https://example.com:8443/path", "https://example.com:8443/path"),
+        ("http://example.com", "http://example.com/"),
+        ("https://a.b/x?fbclid=123", "https://a.b/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_repetition_flags(spark):
+    from chronon_spark.operators.textstats import repetition_flags
+
+    tdf = spark.createDataFrame(
+        [
+            ("clean", "one two three\nfour five six\nseven eight"),
+            ("dupl", "same line\nsame line\nsame line\nother"),
+            ("rep", "buy now " * 30),
+        ],
+        "doc_id string, text string",
+    )
+    out = repetition_flags(tdf, "doc_id").toPandas().set_index("doc_id")
+    assert out.loc["clean", "passes_repetition"]
+    assert out.loc["dupl", "dup_line_frac"] == pytest.approx(0.5)
+    assert not out.loc["dupl", "passes_repetition"]
+    assert out.loc["rep", "top_bigram_frac"] > 0.18
+    assert not out.loc["rep", "passes_repetition"]
