@@ -2135,6 +2135,69 @@ GROUP BY q.o_orderkey, q.o_custkey, q.ts
 """
 
 
+def q_kafka_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-contract streaming path end-to-end: events encoded as Kafka
+    records (key/value JSON bytes + topic/partition/offset/timestamp),
+    streamed through the file-backed source with the exact Kafka record
+    schema, decoded with pure-Catalyst from_json, tiled, drained — tiles
+    must equal a plain SQL day-bucket aggregation."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Query, Window
+    from chronon_spark.streaming.kafka import (
+        decode_json_stream,
+        encode_kafka_records,
+        file_kafka_source,
+    )
+    from chronon_spark.streaming.stream_groupby import run_available_now, stream_tile_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "floor(value*100 + 0.5) AS value",
+    )
+    topic_dir = tempfile.mkdtemp(prefix="kafka_topic_")
+    encode_kafka_records(ev, ["user_id"], "events_topic").write.mode("overwrite").parquet(topic_dir)
+
+    event_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = decode_json_stream(file_kafka_source(spark, topic_dir), event_schema)
+    gb = GroupBy(
+        sources=(EventSource("unused", Query()),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(14),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(14),)),
+        ),
+        name="ktiles",
+    )
+    ck = tempfile.mkdtemp(prefix="kafka_ck_")
+    out = run_available_now(stream_tile_aggregate(stream, gb), ck, "drv_kafka_tiles")
+    return out.select(
+        "user_id", "tile_start", "tile_end",
+        F.col("ir_cnt_value"),
+        _r6(F.col("ir_sum_value") / 100).alias("ir_sum_value"),
+    )
+
+
+_KAFKA_TILES_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events)
+SELECT user_id,
+   (ts // {DAY_MS}) * {DAY_MS} AS tile_start,
+   (ts // {DAY_MS}) * {DAY_MS} + {DAY_MS} AS tile_end,
+   count(c) AS ir_cnt_value,
+   round(CAST(sum(c) AS DOUBLE) / 100, 6) AS ir_sum_value
+FROM ev GROUP BY user_id, ts // {DAY_MS}
+"""
+
+
 def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tiled partial-IR aggregation drained via availableNow;
     tiles are plain GROUP BY day buckets in SQL (the mergeable IR shapes)."""
@@ -2364,6 +2427,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "repetition_quality": q_repetition_quality,
         "stream_tiles": q_stream_tiles,
+        "kafka_tiles": q_kafka_tiles,
         "skew_join": q_skew_join,
     }
 
@@ -2416,5 +2480,6 @@ def _raw_oracles() -> dict[str, str]:
         "url_canonical": _URL_CANONICAL_ORACLE,
         "repetition_quality": _REPETITION_ORACLE,
         "stream_tiles": _STREAM_TILES_ORACLE,
+        "kafka_tiles": _KAFKA_TILES_ORACLE,
         "skew_join": _SKEW_ORACLE,
     }
