@@ -53,12 +53,19 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
     sliced+joined. Empty/short docs yield a single whole-text shingle.
     """
     w = words(text_col)
-    n = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    # chained zip_with shifts: one linear pass per extra word — slice/
+    # element_at inside a per-index transform are O(len) PER ACCESS on
+    # Catalyst arrays (measured ~20x slower on real web documents,
+    # see textstats.ngrams_expr)
+    grams = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(grams, lambda x: x.isNotNull())
+    whole = F.array(F.concat_ws(" ", w))
+    return F.array_distinct(
+        F.when(F.size(w) >= k, grams).otherwise(whole)
     )
-    return F.array_distinct(grams)
 
 
 def portable_hash64(col: Column, seed: int) -> Column:
