@@ -310,3 +310,61 @@ def test_processing_time_trigger_runs_and_stops(spark, sf_dir, tmp_path):
         assert spark.table("trig_tiles").count() > 0
     finally:
         q.stop()
+
+
+def test_stream_enrichment_equals_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static enrichment (JoinSourceRunner equivalent): every event
+    picks up its key's feature row; result equals the batch join."""
+    from chronon_spark.streaming.enrichment import enrich_stream
+
+    ev = _events_batch(spark, sf_dir)
+    src = str(tmp_path / "enrich_src")
+    ev.write.parquet(src)
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+    )
+    fdir = str(tmp_path / "feats")
+    feats.write.parquet(fdir)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = enrich_stream(stream, spark.read.parquet(fdir), ["user_id"])
+    got = run_available_now_append(enriched, str(tmp_path / "enr_ck"), "enr_out")
+    exp = ev.join(spark.read.parquet(fdir), on="user_id", how="left")
+    key = ["user_id", "ts"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    e = exp.toPandas().sort_values(key).reset_index(drop=True)[list(g.columns)]
+    assert len(g) == len(e) > 0
+    for c in e.columns:
+        assert (g[c].fillna(-1) == e[c].fillna(-1)).all(), c
+
+
+def test_enrich_with_latest_resolves_upsert_log(spark, sf_dir, tmp_path):
+    from chronon_spark.streaming.enrichment import enrich_with_latest
+
+    log = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, 11.0), (2, 0, 20.0)],
+        "user_id long, version long, score double",
+    )
+    ev = _events_batch(spark, sf_dir).where("user_id IN (1, 2)").limit(50)
+    src = str(tmp_path / "latest_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = enrich_with_latest(stream, log, ["user_id"], "version")
+    got = run_available_now_append(out, str(tmp_path / "lat_ck"), "lat_out").toPandas()
+    assert (got.loc[got.user_id == 1, "score"] == 11.0).all()
+    assert (got.loc[got.user_id == 2, "score"] == 20.0).all()
+
+
+def run_available_now_append(stream_df, checkpoint, table_name):
+    """append-mode drain (stream-static joins don't aggregate)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)
