@@ -332,6 +332,11 @@ def group_by_asof_hopped(
 
     events = null_out_nans(events, list({p.input_column for p in parts}))
     events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
+    # ONE shuffle of the big side: repartition on (keys, hop) satisfies the
+    # distribution requirement of BOTH consumers — the hop-IR aggregation
+    # (map-side combine still applies within partitions) and the exact-head
+    # sort-merge join — so events move across the network once, not twice.
+    events = events.repartition(*keys, "__hop")
 
     # 1. hop partial IRs (+ precomputed batch IRs for the lambda merge)
     hop_irs = events.groupBy(*keys, "__hop").agg(*_ir_aggs(parts))
