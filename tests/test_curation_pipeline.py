@@ -1,0 +1,81 @@
+"""End-to-end curation pipeline (examples/webtext_curation.py) with
+PLANTED url-dups, text-dups, junk docs, and near-dups — each stage must
+remove exactly its targets."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    from chronon_spark.sources.webtext import generate_webtext
+
+    base = generate_webtext(spark, 2000, seed=9, n_domains=20).cache()
+    # url dup: same url re-crawled later with marker text
+    marker_words = " ".join(
+        w for pair in zip(
+            ["the and of to is for with on that this are was has had were".split()[i % 15] for i in range(30)],
+            ["apple river stone cloud meadow forest harbor winter summer garden".split()[i % 10] for i in range(30)],
+        ) for w in pair
+    )
+    recrawl_html = f"<html><body><p>RECRAWLED PAGE {marker_words}</p></body></html>"
+    recrawl = (
+        base.limit(5)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("html", F.encode(F.lit(recrawl_html), "utf-8"))
+    )
+    # exact text dup: two distinct urls, same html
+    src = base.limit(1).collect()[0]
+    dup_rows = spark.createDataFrame(
+        [
+            ("https://dupA.example.com/x", src["warc_ts"], src["html"], src["text"], "en"),
+            ("https://dupB.example.com/x", src["warc_ts"], src["html"], src["text"], "en"),
+        ],
+        base.schema,
+    )
+    # junk: repeated boilerplate (fails Gopher top-bigram rule)
+    junk = spark.createDataFrame(
+        [
+            (
+                "https://junk.example.com/spam",
+                src["warc_ts"],
+                ("<html><body><p>" + "click here " * 200 + "</p></body></html>").encode(),
+                None,
+                "en",
+            )
+        ],
+        base.schema,
+    )
+    return base.unionByName(recrawl).unionByName(dup_rows).unionByName(junk)
+
+
+def test_curation_stages(spark, planted):
+    from webtext_curation import curate
+
+    out = curate(spark, planted, verbose=False)
+    stages = dict(out["stages"])
+    result = out["result"]
+
+    # recrawl rows collapse into their originals (latest wins)
+    kept_texts = {r["text"] for r in result.collect()}
+    assert any("RECRAWLED PAGE" in t for t in kept_texts)  # newest crawl won
+
+    # exact dup: the lexicographically-smallest id survives — that's the
+    # ORIGINAL url (domain... < dupA...), so both planted dup urls vanish
+    dup_survivors = result.where("doc_id LIKE '%dup%.example.com%'").count()
+    assert dup_survivors == 0
+
+    # junk fails the repetition filter
+    assert result.where("doc_id LIKE '%junk.example.com%'").count() == 0
+
+    # stage counts monotonically non-increasing and each planted class removed
+    names = [n for n, _ in out["stages"]]
+    counts = [c for _, c in out["stages"]]
+    assert counts == sorted(counts, reverse=True)
+    assert stages["latest per canonical url"] < stages["crawl records"]
+    assert stages["exact text dedup"] < stages["latest per canonical url"] + 1
