@@ -290,3 +290,47 @@ def test_hopped_bucketed_parallelism_invariance(spark, sf_dir):
         return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
 
     assert run(3).equals(run(17))
+
+
+def test_variance_stable_at_extreme_magnitude(spark, tmp_path):
+    """The ADVICE regression: large-magnitude low-variance columns must not
+    cancel catastrophically. Values ~1e10 with unit-scale variance; both
+    the kernel (shifted power sums) and the hopped plan (m2/Chan merge)
+    must agree with the true variance to ~1e-6 RELATIVE — the naive
+    sum(x^2)/n - mean^2 on raw doubles is off by >100% here."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    base_ts = 1_700_000_000_000
+    ts = np.sort(rng.randint(0, 30 * DAY_MS, n)) + base_ts
+    vals = 1e10 + rng.randint(-1000, 1001, n).astype(np.float64)  # sigma ~ 577
+    pdf = pd.DataFrame({"user_id": 1, "ts": ts, "value": vals})
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+
+    gb = GroupBy(
+        sources=(
+            EventSource(
+                table=p,
+                query=Query(selects={"user_id": "user_id", "value": "value"},
+                            time_column="ts"),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.VARIANCE),),
+        name="vstab",
+    )
+    q = spark.createDataFrame(pd.DataFrame({"user_id": [1], "ts": [int(ts[-1]) + 1]}))
+
+    true_var = float(np.var(vals))
+    kernel = group_by_asof(spark, gb, q).first()["value_variance"]
+    hopped = group_by_asof_hopped(spark, gb, q, DAY_MS).first()["value_variance"]
+    assert kernel == pytest.approx(true_var, rel=1e-6), (kernel, true_var)
+    assert hopped == pytest.approx(true_var, rel=1e-6), (hopped, true_var)
+
+    # demonstrate the failure mode the fix removes: raw-moment formula
+    s, ssq = vals.sum(), (vals ** 2).sum()
+    naive = ssq / n - (s / n) ** 2
+    assert abs(naive - true_var) / true_var > 0.01  # catastrophic on raw doubles
