@@ -204,6 +204,9 @@ HEADLINE = [
     "doc_stats",
     "embedding_topk",
     "ann_lsh",
+    "repetition_quality",
+    "sketch_percentile",
+    "compare_job",
 ]
 
 
