@@ -60,6 +60,35 @@ def _fix_round6(sql: str) -> str:
     return "".join(out)
 
 
+def _dds_sql():
+    """Shared DuckDB fragments mirroring operators/ddsketch.py bucket math
+    (used by the sketch_percentile / feature_summary / drift / drift_dist
+    oracles — same gamma, same _Z offset, same midpoint estimator)."""
+    import math
+
+    from chronon_spark.operators.ddsketch import _Z, gamma_of
+
+    g = gamma_of(0.01)
+    lg = math.log(g)
+    rep_scale = (2.0 * g / (g + 1.0)) / g
+
+    def bucket(v: str) -> str:
+        return (
+            f"CASE WHEN {v} = 0 THEN {_Z} "
+            f"WHEN {v} > 0 THEN {_Z} + CAST(ceil(ln(abs({v})) / {lg!r}) AS BIGINT) "
+            f"ELSE {_Z} - CAST(ceil(ln(abs({v})) / {lg!r}) AS BIGINT) - 1 END"
+        )
+
+    def rep(b: str) -> str:
+        return (
+            f"CASE WHEN {b} = {_Z} THEN 0.0 "
+            f"WHEN {b} > {_Z} THEN exp(({b} - {_Z}) * {lg!r}) * {rep_scale!r} "
+            f"ELSE -exp(({_Z} - 1 - {b}) * {lg!r}) * {rep_scale!r} END"
+        )
+
+    return bucket, rep
+
+
 DAY_MS = 86_400_000
 GAP_MS = 30 * 60 * 1000  # sessionization inactivity gap
 SNAP_START, SNAP_END = "2024-01-05", "2024-01-25"
@@ -1337,8 +1366,9 @@ SELECT * FROM m
 
 def q_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day per-column summaries (drift/Summarizer.scala equivalent):
-    counts, null rate, distinct, stable moments, exact percentiles — one
-    groupBy(ds) pass."""
+    counts, null rate, distinct, stable moments in one groupBy(ds) pass +
+    DDSketch percentiles (mergeable IRs — no exact-percentile buffer;
+    the oracle mirrors the bucket math bit-exactly)."""
     from chronon_spark.plans.summary import summarize
     from chronon_spark.sources.scan import millis_expr
 
@@ -1365,23 +1395,40 @@ def q_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUMMARY_ORACLE = """
+def _summary_oracle() -> str:
+    bucket, rep = _dds_sql()
+    return f"""
 WITH ev AS (
   SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds,
          floor(value * 100 + 0.5) AS value
   FROM events
+),
+mom AS (
+  SELECT ds, count(*) AS n_rows,
+     count(CASE WHEN value IS NULL THEN 1 END) AS null_count,
+     round(CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate,
+     count(DISTINCT value) AS n_distinct,
+     round((CAST(sum(value) AS DOUBLE) / count(value)) / 100, 6) AS mean,
+     floor(var_pop(value) / 10000 * 100 + 0.5) / 100 AS variance
+  FROM ev GROUP BY ds
+),
+b AS (SELECT ds, {bucket('CAST(value AS DOUBLE)')} AS bucket FROM ev WHERE value IS NOT NULL),
+h AS (SELECT ds, bucket, count(*) AS cnt FROM b GROUP BY ds, bucket),
+c AS (SELECT ds, bucket, cnt,
+      sum(cnt) OVER (PARTITION BY ds ORDER BY bucket) AS cum,
+      sum(cnt) OVER (PARTITION BY ds) AS n FROM h),
+p AS (
+  SELECT ds,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.1) AS BIGINT), 1) THEN bucket END) AS b10,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.5) AS BIGINT), 1) THEN bucket END) AS b50,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.9) AS BIGINT), 1) THEN bucket END) AS b90
+  FROM c GROUP BY ds
 )
-SELECT ds, 'value' AS column,
-   count(*) AS n_rows,
-   count(CASE WHEN value IS NULL THEN 1 END) AS null_count,
-   round(CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS null_rate,
-   count(DISTINCT value) AS n_distinct,
-   round((CAST(sum(value) AS DOUBLE) / count(value)) / 100, 6) AS mean,
-   floor(var_pop(value) / 10000 * 100 + 0.5) / 100 AS variance,
-   round(quantile_cont(CAST(value AS DOUBLE), 0.1) / 100, 6) AS p10,
-   round(quantile_cont(CAST(value AS DOUBLE), 0.5) / 100, 6) AS p50,
-   round(quantile_cont(CAST(value AS DOUBLE), 0.9) / 100, 6) AS p90
-FROM ev GROUP BY ds
+SELECT mom.ds, 'value' AS column, n_rows, null_count, null_rate, n_distinct, mean, variance,
+   round({rep('b10')} / 100, 6) AS p10,
+   round({rep('b50')} / 100, 6) AS p50,
+   round({rep('b90')} / 100, 6) AS p90
+FROM mom LEFT JOIN p ON mom.ds = p.ds
 """
 
 
@@ -1412,7 +1459,24 @@ def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DRIFT_ORACLE = """
+def _drift_oracle() -> str:
+    bucket, rep = _dds_sql()
+
+    def side_median(lo: str, hi: str, alias: str) -> str:
+        return f"""
+{alias}_h AS (
+  SELECT {bucket('CAST(value AS DOUBLE)')} AS bucket, count(*) AS cnt
+  FROM ev WHERE value IS NOT NULL AND ds >= '{lo}' AND ds <= '{hi}' GROUP BY 1
+),
+{alias}_c AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum, sum(cnt) OVER () AS n FROM {alias}_h
+),
+{alias}_p AS (
+  SELECT min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.5) AS BIGINT), 1) THEN bucket END) AS b50
+  FROM {alias}_c
+)"""
+
+    return f"""
 WITH ev AS (
   SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds,
          floor(value * 100 + 0.5) AS value
@@ -1422,25 +1486,86 @@ b AS (
   SELECT count(*) AS n_rows,
      CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*) AS null_rate,
      CAST(sum(value) AS DOUBLE) / count(value) AS mean,
-     var_pop(value) AS variance,
-     quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50
+     var_pop(value) AS variance
   FROM ev WHERE ds >= '2024-01-01' AND ds <= '2024-01-15'
 ),
 c AS (
   SELECT count(*) AS n_rows,
      CAST(count(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / count(*) AS null_rate,
-     CAST(sum(value) AS DOUBLE) / count(value) AS mean,
-     quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50
+     CAST(sum(value) AS DOUBLE) / count(value) AS mean
   FROM ev WHERE ds >= '2024-01-16' AND ds <= '2024-01-31'
-)
+),{side_median('2024-01-01', '2024-01-15', 'bm')},{side_median('2024-01-16', '2024-01-31', 'cm')}
 SELECT 'value' AS column,
    b.n_rows AS baseline_rows, c.n_rows AS current_rows,
    round(c.null_rate - b.null_rate, 6) AS null_rate_shift,
    round((c.mean - b.mean) / 100, 6) AS mean_shift,
-   round((c.p50 - b.p50) / 100, 6) AS median_shift,
+   round(({rep('cm_p.b50')} - {rep('bm_p.b50')}) / 100, 6) AS median_shift,
    round(CASE WHEN b.variance > 0 THEN abs(c.mean - b.mean) / sqrt(b.variance) END, 6)
      AS normalized_mean_shift
-FROM b, c
+FROM b, c, bm_p, cm_p
+"""
+
+
+def q_drift_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distribution distances (stats/drift/Expressions.scala:
+    Jensen-Shannon / PSI / Hellinger between DDSketch bucket histograms) —
+    two map-side-combined aggregations + a tiny fold, no raw-row diffing."""
+    from chronon_spark.plans.summary import drift_distances
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS ds",
+            "CAST(floor(value * 100 + 0.5) AS DOUBLE) AS value",
+        )
+    )
+    out = drift_distances(
+        ev, "ds",
+        baseline=("2024-01-01", "2024-01-15"),
+        current=("2024-01-16", "2024-01-31"),
+        columns=["value"],
+    )
+    return out.select(
+        "column",
+        F.col("baseline_rows").cast("long").alias("baseline_rows"),
+        F.col("current_rows").cast("long").alias("current_rows"),
+        _r6(F.col("jsd")).alias("jsd"),
+        _r6(F.col("psi")).alias("psi"),
+        _r6(F.col("hellinger")).alias("hellinger"),
+    )
+
+
+def _drift_dist_oracle() -> str:
+    bucket, _ = _dds_sql()
+    return f"""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds,
+         CAST(floor(value * 100 + 0.5) AS DOUBLE) AS value
+  FROM events
+),
+bb AS (
+  SELECT {bucket('value')} AS bucket, count(*) AS cnt
+  FROM ev WHERE value IS NOT NULL AND ds >= '2024-01-01' AND ds <= '2024-01-15' GROUP BY 1
+),
+cc AS (
+  SELECT {bucket('value')} AS bucket, count(*) AS cnt
+  FROM ev WHERE value IS NOT NULL AND ds >= '2024-01-16' AND ds <= '2024-01-31' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(bb.cnt, 0) AS b_cnt, COALESCE(cc.cnt, 0) AS c_cnt
+  FROM bb FULL JOIN cc ON bb.bucket = cc.bucket
+),
+t AS (SELECT CAST(sum(b_cnt) AS DOUBLE) AS b_tot, CAST(sum(c_cnt) AS DOUBLE) AS c_tot FROM j),
+pq AS (SELECT b_cnt / t.b_tot AS p, c_cnt / t.c_tot AS q FROM j, t)
+SELECT 'value' AS column,
+   (SELECT CAST(b_tot AS BIGINT) FROM t) AS baseline_rows,
+   (SELECT CAST(c_tot AS BIGINT) FROM t) AS current_rows,
+   round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS jsd,
+   round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+             * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
+   round(sqrt(greatest(0.0, 1.0 - sum(sqrt(p * q)))), 6) AS hellinger
+FROM pq
 """
 
 
@@ -2057,29 +2182,70 @@ def q_mutation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation("price", Operation.COUNT),
             Aggregation("price", Operation.SUM),
             Aggregation("price", Operation.AVERAGE),
+            Aggregation("price", Operation.VARIANCE),
+            Aggregation("price", Operation.HISTOGRAM),
         ),
         name="store_prices",
     )
     queries = spark.read.parquet(f"{_MUT_DIR}/queries.parquet")
     out = temporal_entities(spark, gb, queries)
+    # histogram rendered as a canonical sorted "value:count,..." string so
+    # the map compares engine-portably; variance on a 1e-3 grid (both
+    # engines compute the same naive signed-power-sum formula — only
+    # summation order differs)
+    hist_str = F.when(
+        F.col("price_histogram").isNotNull(),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.map_entries(F.col("price_histogram"))),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+        ),
+    )
     return out.select(
         "store_id", "ts",
         F.col("price_count"),
         _r6(F.col("price_sum")).alias("price_sum"),
         _r6(F.col("price_average")).alias("price_average"),
+        (F.floor(F.col("price_variance") * 1000 + F.lit(0.5)) / 1000).alias("price_variance"),
+        hist_str.alias("price_histogram"),
     )
 
 
 _MUTATION_ORACLE = f"""
 WITH v AS (SELECT * FROM '{_MUT_DIR}/versions.parquet/*.parquet'),
-q AS (SELECT DISTINCT store_id, ts FROM '{_MUT_DIR}/queries.parquet/*.parquet')
-SELECT q.store_id, q.ts,
-   count(v.price) AS price_count,
-   round(CAST(sum(v.price) AS DOUBLE), 6) AS price_sum,
-   round(CAST(sum(v.price) AS DOUBLE) / count(v.price), 6) AS price_average
-FROM q LEFT JOIN v
-  ON v.store_id = q.store_id AND v.valid_from < q.ts AND q.ts <= v.valid_to
-GROUP BY q.store_id, q.ts
+q AS (SELECT DISTINCT store_id, ts FROM '{_MUT_DIR}/queries.parquet/*.parquet'),
+live AS (
+  SELECT q.store_id, q.ts, v.price
+  FROM q LEFT JOIN v
+    ON v.store_id = q.store_id AND v.valid_from < q.ts AND q.ts <= v.valid_to
+),
+scal AS (
+  SELECT store_id, ts,
+     count(price) AS price_count,
+     round(CAST(sum(price) AS DOUBLE), 6) AS price_sum,
+     round(CAST(sum(price) AS DOUBLE) / count(price), 6) AS price_average,
+     CASE WHEN count(price) > 0 THEN
+       floor(greatest(
+         CAST(sum(CAST(price AS DOUBLE) * price) AS DOUBLE) / count(price)
+         - (CAST(sum(price) AS DOUBLE) / count(price)) * (CAST(sum(price) AS DOUBLE) / count(price)),
+         0.0) * 1000 + 0.5) / 1000
+     END AS price_variance
+  FROM live GROUP BY store_id, ts
+),
+hist AS (
+  SELECT store_id, ts,
+     string_agg(CAST(price AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY CAST(price AS VARCHAR))
+       AS price_histogram
+  FROM (
+    SELECT store_id, ts, price, count(*) AS cnt
+    FROM live WHERE price IS NOT NULL GROUP BY store_id, ts, price
+  ) GROUP BY store_id, ts
+)
+SELECT scal.store_id, scal.ts, scal.price_count, scal.price_sum,
+   scal.price_average, scal.price_variance, hist.price_histogram
+FROM scal LEFT JOIN hist ON scal.store_id = hist.store_id AND scal.ts = hist.ts
 """
 
 
@@ -2415,6 +2581,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_job": q_compare_job,
         "feature_summary": q_feature_summary,
         "drift": q_drift,
+        "drift_dist": q_drift_dist,
         "cumulative_scan": q_cumulative_scan,
         "backfill_resume": q_backfill_resume,
         "asof_multisource": q_asof_multisource,
@@ -2466,8 +2633,9 @@ def _raw_oracles() -> dict[str, str]:
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
         "compare_job": _COMPARE_ORACLE,
-        "feature_summary": _SUMMARY_ORACLE,
-        "drift": _DRIFT_ORACLE,
+        "feature_summary": _summary_oracle(),
+        "drift": _drift_oracle(),
+        "drift_dist": _drift_dist_oracle(),
         "cumulative_scan": _CUMULATIVE_ORACLE,
         "backfill_resume": _BACKFILL_ORACLE,
         "asof_multisource": _MULTISOURCE_ORACLE,

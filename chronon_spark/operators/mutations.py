@@ -40,7 +40,19 @@ from chronon_spark.api.types import (
 from chronon_spark.sources.scan import TS, apply_query, load_table
 
 DAY_MS = 86_400_000
-DELETABLE = {Operation.COUNT, Operation.SUM, Operation.AVERAGE}
+# The full abelian-group subset of the Operation enum (reference
+# thrift/api.thrift:195-227 splits deletable vs non-deletable exactly this
+# way; VARIANCE deletes via signed power sums per
+# SimpleAggregators.scala:279-291, HISTOGRAM via zero-pruned map-count
+# decrements per SawtoothMutationAggregator.scala:117-133).
+DELETABLE = {
+    Operation.COUNT,
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.VARIANCE,
+    Operation.HISTOGRAM,
+}
+_SCALAR_DELETABLE = DELETABLE - {Operation.HISTOGRAM}
 
 
 def _ir_aggs(parts, signed: bool) -> list:
@@ -54,9 +66,18 @@ def _ir_aggs(parts, signed: bool) -> list:
             out.append(col.alias(name))
 
     for p in parts:
+        if p.operation is Operation.HISTOGRAM:
+            continue  # histogram IRs live in their own (key, ts, value) frame
         c = p.input_column
         add(f"cnt_{c}", F.sum(F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))))
         add(f"sum_{c}", F.sum(F.col(c).cast("double") * sign))
+        if p.operation is Operation.VARIANCE:
+            # raw (unshifted) power sums, like the reference's deletable
+            # variance IR — the replay cannot share a per-group shift
+            # between the snapshot pass and the mutation pass without an
+            # extra scan, so extreme-magnitude inputs should pre-center
+            # upstream via Query.selects
+            add(f"ssq_{c}", F.sum(F.col(c).cast("double") * F.col(c).cast("double") * sign))
     return out
 
 
@@ -81,6 +102,11 @@ def temporal_entities(
                 f"{p.operation} is not deletable; mutation replay supports "
                 f"{sorted(o.value for o in DELETABLE)} (reference splits the "
                 "Operation enum the same way)"
+            )
+        if p.operation is Operation.HISTOGRAM and p.arg_map.get("k"):
+            raise NotImplementedError(
+                "truncated HISTOGRAM (k) is not deletable — dropped entries "
+                "cannot be decremented back; use untruncated replay"
             )
         if p.window is not None:
             raise NotImplementedError("windowed temporal-entities: out of scope")
@@ -152,6 +178,8 @@ def temporal_entities(
     )
     out_cols: list[Column] = []
     for p in parts:
+        if p.operation is Operation.HISTOGRAM:
+            continue
         c = p.input_column
         cnt = F.coalesce(F.col(f"s_cnt_{c}"), F.lit(0)) + F.coalesce(
             F.col(f"d_cnt_{c}"), F.lit(0)
@@ -164,6 +192,63 @@ def temporal_entities(
             out_cols.append(cnt.cast("long").alias(name))
         elif p.operation is Operation.SUM:
             out_cols.append(F.when(cnt > 0, s).alias(name))
+        elif p.operation is Operation.VARIANCE:
+            ssq = F.coalesce(F.col(f"s_ssq_{c}"), F.lit(0.0)) + F.coalesce(
+                F.col(f"d_ssq_{c}"), F.lit(0.0)
+            )
+            # population variance (matches the kernel / Spark var_pop),
+            # clamped at 0 against fp cancellation in the signed sums
+            var = F.greatest(ssq / cnt - (s / cnt) * (s / cnt), F.lit(0.0))
+            out_cols.append(F.when(cnt > 0, var).alias(name))
         else:  # AVERAGE
             out_cols.append(F.when(cnt > 0, s / cnt).alias(name))
-    return joined.select(*keys, TS, *out_cols)
+    result = joined.select(*keys, TS, *out_cols)
+
+    hist_parts = [p for p in parts if p.operation is Operation.HISTOGRAM]
+    for p in hist_parts:
+        hist = _histogram_replay(q, snap, m, keys, pc, p.input_column, p.output_column)
+        result = result.join(hist, on=keys + [TS], how="left")
+    return result
+
+
+def _histogram_replay(
+    q: DataFrame,
+    snap: DataFrame,
+    m: DataFrame,
+    keys: list,
+    pc: str,
+    col: str,
+    out_name: str,
+) -> DataFrame:
+    """Deletable HISTOGRAM replay: per-(key, value) counts from the
+    previous-day snapshot, plus signed same-day mutation deltas, combined
+    per query with ZERO-PRUNING (a value whose count nets to 0 leaves the
+    map — reference SawtoothMutationAggregator zero-pruned decrements).
+    Long-format (key, ts, value, count) until the final map assembly, so
+    the combine is ordinary groupBy/join — no map-typed shuffles."""
+    val = F.col(col).cast("string")
+    snap_h = (
+        snap.where(F.col(col).isNotNull())
+        .groupBy(*keys, F.col(pc).cast("string").alias("__prev_ds"), val.alias("__hval"))
+        .agg(F.count(F.lit(1)).alias("__hc"))
+    )
+    qs = q.join(snap_h, on=keys + ["__prev_ds"], how="inner").select(
+        *keys, TS, "__hval", F.col("__hc").alias("__c")
+    )
+    qm = (
+        q.join(m.where(F.col(col).isNotNull()), on=[*[q[k] == m[k] for k in keys]], how="inner")
+        .where((F.col("__m_ds") == F.col("__q_ds")) & (F.col("mutation_ts") < q[TS]))
+        .groupBy(*[q[k] for k in keys], q[TS], val.alias("__hval"))
+        .agg(F.sum("__sign").alias("__c"))
+    ).select(*keys, TS, "__hval", "__c")
+    combined = (
+        qs.unionByName(qm)
+        .groupBy(*keys, TS, "__hval")
+        .agg(F.sum("__c").alias("__n"))
+        .where(F.col("__n") > 0)  # zero-pruning
+    )
+    return combined.groupBy(*keys, TS).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("__hval"), F.col("__n").cast("long"))))
+        ).alias(out_name)
+    )

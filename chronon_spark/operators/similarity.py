@@ -131,6 +131,20 @@ def _multi_buckets(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: i
     )
 
 
+def _drop_big_buckets(tb: DataFrame, max_bucket: int) -> DataFrame:
+    """Remove rows of (t, bucket) groups larger than ``max_bucket``.
+
+    Degenerate buckets (near-zero vectors, one dominant direction — common
+    for padded/empty-doc embeddings) make any bucket self/equi-join
+    quadratic in that bucket. Same polarity as dedup.py's MinHash cap:
+    broadcast the OVERSIZED buckets (a handful) and anti-join — never the
+    small-bucket list, which is O(n) rows shipped to every executor.
+    """
+    sizes = tb.groupBy("t", "bucket").count()
+    big = sizes.where(F.col("count") > max_bucket).drop("count")
+    return tb.join(F.broadcast(big), on=["t", "bucket"], how="left_anti")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,6 +155,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k with OR-amplified multi-table hyperplane LSH.
 
@@ -156,6 +171,7 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.explode(_multi_buckets(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
     ).select("neighbor_id", "tb.t", "tb.bucket")
+    cb = _drop_big_buckets(cb, max_bucket)
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(_multi_buckets(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
@@ -250,6 +266,7 @@ def embedding_near_dups(
     dim: int = 0,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (id_a < id_b).
 
@@ -273,6 +290,7 @@ def embedding_near_dups(
             F.col(id_col).alias("id"),
             F.explode(_multi_buckets(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
         ).select("id", "tb.t", "tb.bucket")
+        tb = _drop_big_buckets(tb, max_bucket)
         x, y = tb.alias("x"), tb.alias("y")
         cand = (
             x.join(

@@ -26,6 +26,16 @@ RIGHT_SUFFIX = "_right"
 _NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DoubleType, T.FloatType, T.DecimalType)
 
 
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def check_consistency(
     left: DataFrame,
     right: DataFrame,
@@ -110,11 +120,25 @@ def compare_metrics(
         r = F.col(mapping.get(c, c) + RIGHT_SUFFIX)
         dt = (types or {}).get(c)
         is_num = isinstance(dt, _NUMERIC) if dt is not None else True
+        # Spark's EqualTo does not support map types (bucketed GroupBy
+        # features are maps) — compare maps via sorted-entries JSON, which
+        # is key-order independent; nested maps (map values containing
+        # maps) are not orderable either, so fall back to a raw to_json
+        # compare, documented as order-sensitive only for pathological
+        # engines (Spark renders map entries deterministically per value).
+        neq = l != r
+        if isinstance(dt, T.MapType):
+            if _contains_map(dt.valueType):
+                neq = F.to_json(l) != F.to_json(r)
+            else:
+                neq = F.to_json(F.sort_array(F.map_entries(l))) != F.to_json(
+                    F.sort_array(F.map_entries(r))
+                )
         names = {
             "both_null": F.sum((l.isNull() & r.isNull()).cast("long")),
             "left_null": F.sum((l.isNull() & r.isNotNull()).cast("long")),
             "right_null": F.sum((l.isNotNull() & r.isNull()).cast("long")),
-            "mismatch": F.sum((l.isNotNull() & r.isNotNull() & (l != r)).cast("long")),
+            "mismatch": F.sum((l.isNotNull() & r.isNotNull() & neq).cast("long")),
         }
         if is_num:
             ld, rd = l.cast("double"), r.cast("double")

@@ -3,6 +3,7 @@ stats/CompareBaseJob.scala, stats/drift/Summarizer.scala)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from chronon_spark.plans.compare import check_consistency, compare_job
 from chronon_spark.plans.summary import drift_series, summarize
@@ -76,7 +77,8 @@ def test_summarize_shape_and_values(spark):
     d1 = out.loc["d1"]
     assert d1["n_rows"] == 4 and d1["null_count"] == 1 and d1["n_distinct"] == 3
     assert d1["mean"] == pytest.approx(2.0)
-    assert d1["p50"] == pytest.approx(2.0)
+    # percentiles are DDSketch-based: alpha=0.01 relative-error bound
+    assert d1["p50"] == pytest.approx(2.0, rel=0.02)
     d2 = out.loc["d2"]
     assert d2["variance"] == pytest.approx(25.0)  # var_pop of {10,20}
 
@@ -98,5 +100,80 @@ def test_drift_series_detects_shift(spark):
     r = out.iloc[0]
     assert r["baseline_rows"] == 100 and r["current_rows"] == 100
     assert r["mean_shift"] == pytest.approx(5.0)
-    assert r["median_shift"] == pytest.approx(5.0)
+    # median shift is sketch-based: each side's p50 carries alpha=1% error
+    assert r["median_shift"] == pytest.approx(5.0, abs=0.2)
     assert r["normalized_mean_shift"] > 1.0
+
+
+def test_drift_distances_vs_numpy(spark):
+    """JSD / PSI / Hellinger over DDSketch bucket histograms must match a
+    numpy recomputation over the same buckets (the formulas, not the
+    sketching, are under test) and behave: identical distributions -> ~0,
+    disjoint distributions -> JSD ~ ln(2), Hellinger ~ 1."""
+    import numpy as np
+
+    from chronon_spark.operators.ddsketch import DEFAULT_ALPHA, gamma_of
+    from chronon_spark.plans.summary import drift_distances
+
+    rng = np.random.RandomState(4)
+    base_v = rng.lognormal(3, 1, 4000)
+    cur_v = rng.lognormal(3.4, 1.1, 4000)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ds": ["2024-01-01"] * 4000 + ["2024-01-02"] * 4000,
+                "v": np.concatenate([base_v, cur_v]),
+            }
+        )
+    )
+    out = drift_distances(
+        df, "ds", baseline=("2024-01-01", "2024-01-01"),
+        current=("2024-01-02", "2024-01-02"), columns=["v"],
+    ).toPandas().iloc[0]
+
+    # numpy recomputation over the same bucket ids
+    import math
+
+    lg = math.log(gamma_of(DEFAULT_ALPHA))
+
+    def buckets(vals):
+        b = np.ceil(np.log(np.abs(vals)) / lg).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    hb, hc = buckets(base_v), buckets(cur_v)
+    keys = sorted(set(hb) | set(hc))
+    p = np.array([hb.get(k, 0) for k in keys], dtype=float); p /= p.sum()
+    q = np.array([hc.get(k, 0) for k in keys], dtype=float); q /= q.sum()
+    m = (p + q) / 2
+    jsd = 0.5 * np.sum(np.where(p > 0, p * np.log(p / m, where=p > 0), 0)) + \
+        0.5 * np.sum(np.where(q > 0, q * np.log(q / m, where=q > 0), 0))
+    eps = 1e-6
+    pe, qe = np.maximum(p, eps), np.maximum(q, eps)
+    psi = np.sum((pe - qe) * np.log(pe / qe))
+    hell = math.sqrt(max(0.0, 1.0 - np.sum(np.sqrt(p * q))))
+    assert out["jsd"] == pytest.approx(jsd, rel=1e-9)
+    assert out["psi"] == pytest.approx(psi, rel=1e-9)
+    assert out["hellinger"] == pytest.approx(hell, rel=1e-9)
+    assert out["baseline_rows"] == 4000 and out["current_rows"] == 4000
+
+    # sanity: identical sides -> ~0 everywhere
+    same = drift_distances(
+        df.where("ds = '2024-01-01'").union(
+            df.where("ds = '2024-01-01'").withColumn("ds", F.lit("2024-01-02"))
+        ),
+        "ds", ("2024-01-01", "2024-01-01"), ("2024-01-02", "2024-01-02"), ["v"],
+    ).toPandas().iloc[0]
+    assert abs(same["jsd"]) < 1e-12 and abs(same["psi"]) < 1e-12 and same["hellinger"] < 1e-6
+
+    # disjoint supports -> maximal distances
+    far = drift_distances(
+        df.where("ds = '2024-01-01'").union(
+            df.where("ds = '2024-01-01'")
+            .withColumn("v", F.col("v") * 1e6)
+            .withColumn("ds", F.lit("2024-01-02"))
+        ),
+        "ds", ("2024-01-01", "2024-01-01"), ("2024-01-02", "2024-01-02"), ["v"],
+    ).toPandas().iloc[0]
+    assert far["jsd"] == pytest.approx(math.log(2), rel=1e-6)
+    assert far["hellinger"] == pytest.approx(1.0, rel=1e-6)

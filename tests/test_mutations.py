@@ -243,3 +243,85 @@ def test_temporal_entities_through_join(spark, fixture):
     direct = temporal_entities(spark, gb, spark.createDataFrame(left_pd[["store_id", "ts"]]))
     m = out.merge(direct.toPandas(), on=["store_id", "ts"])
     assert (m["sp_price_sum"].fillna(-1) == m["price_sum"].fillna(-1)).all()
+
+
+def test_variance_histogram_replay_vs_interval_oracle(spark, fixture):
+    """VARIANCE (signed power sums) and HISTOGRAM (zero-pruned map-count
+    decrements) extend the deletable set to the full abelian-group list
+    (reference SimpleAggregators.scala:279-291,
+    SawtoothMutationAggregator.scala:117-133)."""
+    snap_path, mut_path, ver_path, q = fixture
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(
+            Aggregation("price", Operation.VARIANCE),
+            Aggregation("price", Operation.HISTOGRAM),
+        ),
+        name="store_prices_vh",
+    )
+    queries = spark.createDataFrame(q)
+    got = (
+        temporal_entities(spark, gb, queries)
+        .toPandas()
+        .sort_values(["store_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("q_df", q)
+    exp = con.sql(
+        f"""
+        WITH v AS (SELECT * FROM '{ver_path}'),
+        q AS (SELECT DISTINCT store_id, ts FROM q_df)
+        SELECT q.store_id, q.ts,
+           var_pop(v.price) AS price_variance,
+           count(v.price) AS n
+        FROM q LEFT JOIN v
+          ON v.store_id = q.store_id AND v.valid_from < q.ts AND q.ts <= v.valid_to
+        GROUP BY q.store_id, q.ts
+        ORDER BY q.store_id, q.ts
+        """
+    ).df()
+    assert len(got) == len(exp) > 0
+    # var_pop of a single row is 0 in both engines; empty -> null/nan
+    gv = got["price_variance"].to_numpy(dtype=float)
+    ev = np.where(exp["n"].to_numpy() > 0, exp["price_variance"].fillna(0.0).to_numpy(), np.nan)
+    assert np.allclose(np.nan_to_num(gv, nan=-1), np.nan_to_num(ev, nan=-1), rtol=1e-9, atol=1e-6)
+
+    # histogram: compare against exact per-query value counts from versions
+    hist_exp = con.sql(
+        f"""
+        WITH v AS (SELECT * FROM '{ver_path}'),
+        q AS (SELECT DISTINCT store_id, ts FROM q_df)
+        SELECT q.store_id, q.ts, v.price, count(*) AS cnt
+        FROM q JOIN v
+          ON v.store_id = q.store_id AND v.valid_from < q.ts AND q.ts <= v.valid_to
+        GROUP BY q.store_id, q.ts, v.price
+        """
+    ).df()
+    exp_maps: dict = {}
+    for r in hist_exp.itertuples():
+        exp_maps.setdefault((r.store_id, r.ts), {})[str(r.price)] = int(r.cnt)
+    checked = 0
+    for r in got.itertuples():
+        expected = exp_maps.get((r.store_id, r.ts))
+        actual = r.price_histogram if isinstance(r.price_histogram, dict) else None
+        assert actual == expected, (r.store_id, r.ts, actual, expected)
+        checked += 1
+    assert checked == len(got)

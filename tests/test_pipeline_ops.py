@@ -295,3 +295,55 @@ def test_repetition_flags(spark):
     assert not out.loc["dupl", "passes_repetition"]
     assert out.loc["rep", "top_bigram_frac"] > 0.18
     assert not out.loc["rep", "passes_repetition"]
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """10k identical-direction vectors all land in the same LSH bucket in
+    every table; without the oversized-bucket cap the candidate self-join
+    is ~5e7 pairs. With max_bucket the pair count stays bounded and the
+    job finishes; the planted DISTINCT near-dup pair (vectors in a normal
+    bucket) must survive the cap."""
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(9)
+    dim = 16
+    direction = rng.normal(0, 1, dim)
+    rows = [
+        (i, [float(x) for x in direction * (1.0 + 0.0001 * i)]) for i in range(10_000)
+    ]
+    # two planted near-dups pointing somewhere else entirely
+    other = rng.normal(0, 1, dim)
+    rows.append((1_000_000, [float(x) for x in other]))
+    rows.append((1_000_001, [float(x) for x in other * 1.001]))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = embedding_near_dups(
+        corpus, threshold=0.99, n_planes=6, dim=dim, n_tables=3, max_bucket=500
+    ).toPandas()
+    # the degenerate cluster is excluded wholesale -> no intra-cluster pairs
+    assert len(got) <= 10
+    assert (1_000_000, 1_000_001) in set(zip(got.id_a, got.id_b))
+
+
+def test_compare_metrics_map_columns(spark):
+    """compare_job must handle map-typed feature columns (bucketed GroupBy
+    outputs) — Spark's EqualTo does not support maps; the metric uses
+    sorted-entries JSON instead (ADVICE r2)."""
+    from chronon_spark.plans.compare import compare_job
+
+    left = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"x": 5}), (3, None)],
+        "id int, hist map<string,int>",
+    )
+    right = spark.createDataFrame(
+        [(1, {"b": 2, "a": 1}), (2, {"x": 6}), (3, None)],
+        "id int, hist map<string,int>",
+    )
+    _, metrics = compare_job(left, right, keys=["id"])
+    m = {r.metric: r.value for r in metrics.collect() if r.column == "hist"}
+    assert m["mismatch"] == 1.0  # only id=2 differs; key order must not
+    assert m["both_null"] == 1.0
