@@ -2454,6 +2454,204 @@ GROUP BY q.event_id, q.user_id, q.ts
 _WT_DRV_DIR = "/tmp/chronon_webtext_flagship"
 
 
+def q_model_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source.ModelTransforms (ModelTransformsJob.scala + thrift
+    api.thrift:188-193,599-610): a deterministic logistic stub model
+    scores every event via mapInPandas batches, and the scores feed a
+    windowed as-of GroupBy — the model-scored-quality-filter pipeline
+    shape. The oracle recomputes the identical score formula in SQL."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+    from chronon_spark.operators.model_transforms import Model, ModelTransforms
+    from chronon_spark.sources.scan import millis_expr
+
+    def make_scorer():
+        def scorer(inputs):
+            import numpy as np
+            import pandas as pd
+
+            v = inputs["v"].to_numpy(dtype=np.float64)
+            return pd.DataFrame(
+                {"score": 1.0 / (1.0 + np.exp(-(np.mod(np.abs(v), 1000.0) - 500.0) / 250.0))}
+            )
+
+        return scorer
+
+    from chronon_spark.api.types import EventSource, Query
+
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"user_id": "user_id", "value": "value"},
+            time_column=millis_expr("ts"),
+        ),
+    )
+    mt = ModelTransforms(
+        sources=(src,),
+        models=(
+            Model(
+                name="risk",
+                scorer=make_scorer(),
+                input_mapping={"v": "CAST(floor(value * 100 + 0.5) AS DOUBLE)"},
+                value_schema="score double",
+            ),
+        ),
+        passthrough_fields=("user_id",),
+    )
+    gb = GroupBy(
+        sources=(mt,),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("risk__score", Operation.AVERAGE, windows=(Window.days(7),)),
+            Aggregation("risk__score", Operation.COUNT),
+        ),
+        name="risk_feats",
+    )
+    out = group_by_asof(spark, gb, _event_queries(spark, sf_dir))
+    return out.select(
+        "user_id", "ts",
+        _r6(F.col("risk__score_average_7d")).alias("score_avg_7d"),
+        F.col("risk__score_count").alias("score_count"),
+    )
+
+
+_MODEL_TRANSFORMS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+     CASE WHEN value IS NOT NULL THEN
+       1.0 / (1.0 + exp(-(fmod(abs(floor(value * 100 + 0.5)), 1000.0) - 500.0) / 250.0))
+     END AS score,
+     epoch_ms(ts) AS ts
+  FROM events
+),
+q AS (SELECT DISTINCT user_id, ts FROM ev)
+SELECT q.user_id, q.ts,
+   round(avg(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.score END), 6) AS score_avg_7d,
+   count(e.score) AS score_count
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
+_CONS_DIR = "/tmp/chronon_consistency_drv"
+
+
+def _consistency_fixture(sf_dir: str) -> None:
+    """Deterministic flattened serving log: ~1/7 of the event points with
+    their TRUE as-of features (computed by DuckDB, independent of the
+    engine under test) perturbed on user_id % 10 == 0 rows — so the
+    consistency metrics have known, oracle-checkable mismatch counts."""
+    import os
+
+    import duckdb
+
+    if os.path.exists(f"{_CONS_DIR}/logged.parquet"):
+        return
+    os.makedirs(_CONS_DIR, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+COPY (
+  WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts
+              FROM '{sf_dir}/events.parquet'),
+  q AS (SELECT DISTINCT user_id, ts FROM ev WHERE user_id % 7 = 3),
+  agg AS (
+    SELECT q.user_id, q.ts,
+       count(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS cnt7,
+       CAST(sum(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS DOUBLE) AS sum7
+    FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+    GROUP BY q.user_id, q.ts
+  )
+  SELECT user_id, ts AS ts_millis,
+     strftime(epoch_ms(ts), '%Y-%m-%d') AS ds,
+     cnt7 + CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END AS user_value_value_count_7d,
+     sum7 + CASE WHEN user_id % 10 = 0 THEN 100.0 ELSE 0.0 END AS user_value_value_sum_7d
+  FROM agg
+) TO '{_CONS_DIR}/logged.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsistencyJob (stats/ConsistencyJob.scala:34-201): re-run the Join
+    with the logged table as the left side, then per-ds CompareJob metrics
+    between offline values and logged values. The fixture's perturbation
+    (user_id % 10 == 0) makes the expected mismatch counts non-trivial."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Join, JoinPart, Operation, Window
+    from chronon_spark.plans.consistency import consistency_job
+
+    _consistency_fixture(sf_dir)
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        name="user_value",
+    )
+    j = Join(
+        left=_events_source(sf_dir),  # replaced by the logged table inside the job
+        join_parts=(JoinPart(gb),),
+        name="user_join",
+    )
+    _, metrics = consistency_job(
+        spark, j, f"{_CONS_DIR}/logged.parquet", time_column="ts_millis"
+    )
+    return metrics.select(
+        "ds", "column", "metric", _r6(F.col("value")).alias("value")
+    )
+
+
+def _consistency_oracle() -> str:
+    return f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+logged AS (SELECT * FROM '{_CONS_DIR}/logged.parquet'),
+offline AS (
+  SELECT l.user_id, l.ts_millis, l.ds,
+     count(CASE WHEN e.ts > l.ts_millis - {7 * DAY_MS} THEN e.c END) AS cnt7,
+     CAST(sum(CASE WHEN e.ts > l.ts_millis - {7 * DAY_MS} THEN e.c END) AS DOUBLE) AS sum7
+  FROM logged l LEFT JOIN ev e ON e.user_id = l.user_id AND e.ts <= l.ts_millis
+  GROUP BY l.user_id, l.ts_millis, l.ds
+),
+j AS (
+  SELECT o.ds,
+     CAST(o.cnt7 AS DOUBLE) AS cl, CAST(l.user_value_value_count_7d AS DOUBLE) AS cr,
+     o.sum7 AS sl, l.user_value_value_sum_7d AS sr
+  FROM offline o JOIN logged l
+    ON o.user_id = l.user_id AND o.ts_millis = l.ts_millis
+),
+m AS (
+  SELECT ds, col, metric, value FROM (
+    SELECT ds,
+       'user_value_value_count_7d' AS col,
+       count(*) AS total,
+       count(CASE WHEN cl IS NULL AND cr IS NULL THEN 1 END) AS both_null,
+       count(CASE WHEN cl IS NULL AND cr IS NOT NULL THEN 1 END) AS left_null,
+       count(CASE WHEN cl IS NOT NULL AND cr IS NULL THEN 1 END) AS right_null,
+       count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL AND cl <> cr THEN 1 END) AS mismatch,
+       avg(CASE WHEN abs(cl) + abs(cr) <> 0 THEN abs(cl - cr) * 2 / (abs(cl) + abs(cr)) ELSE 0 END) AS smape,
+       max(abs(cl - cr)) AS max_abs_diff,
+       quantile_cont(abs(cl - cr), 0.5) AS median_diff
+    FROM j GROUP BY ds
+    UNION ALL
+    SELECT ds,
+       'user_value_value_sum_7d' AS col,
+       count(*),
+       count(CASE WHEN sl IS NULL AND sr IS NULL THEN 1 END),
+       count(CASE WHEN sl IS NULL AND sr IS NOT NULL THEN 1 END),
+       count(CASE WHEN sl IS NOT NULL AND sr IS NULL THEN 1 END),
+       count(CASE WHEN sl IS NOT NULL AND sr IS NOT NULL AND sl <> sr THEN 1 END),
+       avg(CASE WHEN abs(sl) + abs(sr) <> 0 THEN abs(sl - sr) * 2 / (abs(sl) + abs(sr)) ELSE 0 END),
+       max(abs(sl - sr)),
+       quantile_cont(abs(sl - sr), 0.5)
+    FROM j GROUP BY ds
+  ) UNPIVOT (value FOR metric IN (total, both_null, left_null, right_null, mismatch, smape, max_abs_diff, median_diff))
+)
+SELECT ds, col AS column, metric, round(CAST(value AS DOUBLE), 6) AS value FROM m
+"""
+
+
 def q_webtext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship over deterministic webtext (written to a
     fixed path so the DuckDB oracle can read the same parquet). Exercises
@@ -2596,6 +2794,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tiles": q_stream_tiles,
         "kafka_tiles": q_kafka_tiles,
         "skew_join": q_skew_join,
+        "consistency": q_consistency,
+        "model_transforms": q_model_transforms,
     }
 
 
@@ -2650,4 +2850,6 @@ def _raw_oracles() -> dict[str, str]:
         "stream_tiles": _STREAM_TILES_ORACLE,
         "kafka_tiles": _KAFKA_TILES_ORACLE,
         "skew_join": _SKEW_ORACLE,
+        "consistency": _consistency_oracle(),
+        "model_transforms": _MODEL_TRANSFORMS_ORACLE,
     }

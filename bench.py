@@ -193,6 +193,42 @@ def kernel_microbench() -> dict:
             "qps": round(n / wall, 1)}
 
 
+def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
+    """LLM-pipeline operators at webtext scale, machine-comparable
+    round-over-round (BASELINE.md's per-op table, now emitted in the
+    BENCH JSON instead of hand-copied)."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators import dedup, textstats
+
+    docs = spark.read.parquet(path).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+
+    def run(name, fn):
+        t0 = time.time()
+        force(fn())
+        wall = time.time() - t0
+        return name, {"wall_sec": round(wall, 3), "rows_per_sec": round(n_rows / wall, 1)}
+
+    ops = [
+        ("exact_dedup", lambda: dedup.exact_dedup(docs, "doc_id")),
+        ("doc_stats", lambda: textstats.document_stats(docs, "doc_id")),
+        ("repetition_flags", lambda: textstats.repetition_flags(docs, "doc_id")),
+        (
+            "canonical_url",
+            lambda: docs.select(textstats.canonical_url("doc_id").alias("u")),
+        ),
+        (
+            "minhash_lsh",
+            lambda: dedup.minhash_lsh_pairs(
+                docs, "doc_id", n_hashes=16, bands=4, verify_threshold=0.4
+            ),
+        ),
+    ]
+    return dict(run(n, f) for n, f in ops)
+
+
 HEADLINE = [
     "asof_groupby",
     "asof_join_multipart",
@@ -345,6 +381,8 @@ def main() -> None:
             force(flagship_join(spark, steady_path))
             steady_wall = time.time() - t0
 
+            ops = webtext_ops_bench(spark, path, n_webtext)
+
             with open(EXPLAIN_ARTIFACT, "w") as f:
                 json.dump(explain_digests(spark, SF_DIR, path), f, indent=1)
         finally:
@@ -366,6 +404,7 @@ def main() -> None:
                     "wall_sec": round(steady_wall, 3),
                     "rows_per_sec": round(STEADY_ROWS / steady_wall, 1),
                 },
+                "webtext_ops": ops,
                 "kernel_microbench": kernel_microbench(),
                 "scaling_recorded": recorded_scaling(),
             }

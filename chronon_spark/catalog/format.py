@@ -22,6 +22,14 @@ Three providers:
 Partition listings are metadata operations (catalog / manifest reads) —
 never a data scan — so a resume/unfilled-ranges check on a 100 TB table
 costs milliseconds.
+
+Iceberg runtime status (r3 re-check): the sandbox has no network and the
+only Iceberg artifact on the box is the reference's
+``iceberg-bigquery-1.11.0-SNAPSHOT.jar`` — inspected (unzip -l): it
+contains ZERO ``org/apache/iceberg/spark`` classes (it is a BigQuery
+metastore plugin, not ``iceberg-spark-runtime``), so the IcebergFormat
+code paths remain gated behind ``_require_runtime`` and are exercised
+only structurally in tests.
 """
 
 from __future__ import annotations
@@ -97,6 +105,19 @@ class Format:
         present in ``df``, leave all others intact."""
         raise NotImplementedError
 
+    def table_location(self, spark: SparkSession, table_name: str) -> Optional[str]:
+        """Storage root of the table (for filesystem-level metrics like
+        per-partition bytes). None when the format keeps sizes only in
+        its own metadata (Iceberg/Delta snapshots — runtime-gated)."""
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+        except Exception:
+            return None
+        for r in rows:
+            if r[0] == "Location":
+                return r[1]
+        return None
+
 
 def auto_expand(df: DataFrame, table_name: str, partition_col: str) -> DataFrame:
     """Schema evolution on insert (reference TableUtils.scala:197-290
@@ -151,6 +172,12 @@ class IcebergFormat(Format):
 
     name = "iceberg"
     support_sub_partitions_filter = False
+
+    def table_location(self, spark: SparkSession, table_name: str):
+        # Iceberg keeps per-file sizes in snapshot metadata; the warehouse
+        # location is not hive-layout (data files live under data/), so
+        # filesystem ds=... probing is wrong — report no location.
+        return None
 
     def table_properties(self) -> dict:
         # reference Iceberg.tableProperties — commit retry/backoff tuned
@@ -219,6 +246,11 @@ class DeltaFormat(Format):
 
     name = "delta"
     support_sub_partitions_filter = True
+
+    def table_location(self, spark: SparkSession, table_name: str):
+        # Delta keeps file sizes in the transaction log; same reasoning as
+        # Iceberg — no hive-layout location to probe.
+        return None
 
     def _require_runtime(self, spark: SparkSession):
         ext = spark.conf.get("spark.sql.extensions", "") or ""

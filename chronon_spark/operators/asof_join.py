@@ -84,9 +84,14 @@ def apply_derivations(df, derivations: dict, base_cols: list):
     every left/base column (the reference's derivationProjection retains
     baseValueNames' complement plus ensureKeys)."""
     exprs = [f"{e} AS {a}" for a, e in derivations.items() if a != "*"]
+    named = set(derivations) - {"*"}
     if "*" in derivations:
-        return df.selectExpr("*", *exprs)
-    named = set(derivations)
+        # expand the star MANUALLY, excluding columns a derivation alias
+        # shadows — selectExpr("*", ...) would emit duplicate names when a
+        # derivation renames/overrides a base column (reference
+        # derivationProjection excludes shadowed base columns the same way)
+        keep = [c for c in df.columns if c not in named]
+        return df.selectExpr(*keep, *exprs)
     keep = [c for c in base_cols if c in df.columns and c not in named]
     return df.selectExpr(*keep, *exprs)
 
@@ -140,7 +145,21 @@ def events_df_for_group_by(
     if min_ts is not None:
         mw = group_by.max_window_millis
         scan_min = (min_ts - mw) if mw is not None else None
-    dfs = [scan_source(spark, s, min_ts=scan_min, max_ts=max_ts).select(*need) for s in group_by.sources]
+    def one(s) -> DataFrame:
+        # ModelTransforms sources score then feed the GroupBy like any
+        # event scan (reference Source.ModelTransforms,
+        # thrift/api.thrift:188-193; ModelTransformsJob feeds GroupBy
+        # backfills the same way)
+        from chronon_spark.operators.model_transforms import (
+            ModelTransforms,
+            model_transforms_source,
+        )
+
+        if isinstance(s, ModelTransforms):
+            return model_transforms_source(spark, s, min_ts=scan_min, max_ts=max_ts)
+        return scan_source(spark, s, min_ts=scan_min, max_ts=max_ts)
+
+    dfs = [one(s).select(*need) for s in group_by.sources]
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other)
@@ -246,6 +265,35 @@ def group_by_asof(
     return out
 
 
+# mode="auto" skew pre-check memo: (sources, keys, range) -> max per-key
+# event count. Frozen-dataclass reprs are stable cache keys; the memo makes
+# the pre-check run ONCE per (source, key-set) per session instead of once
+# per join part per call — an N-part auto-mode join over one event table
+# no longer multiplies the scan I/O (r2 VERDICT item #7). Entries never
+# grow stale within a batch job (sources are immutable date-partitioned
+# scans); long-lived sessions can clear it explicitly.
+_skew_stats_cache: dict = {}
+
+
+def clear_skew_stats_cache() -> None:
+    _skew_stats_cache.clear()
+
+
+def _max_key_volume(spark: SparkSession, gb: GroupBy, query_range) -> Optional[int]:
+    # max_window affects the lookback-narrowed scan range, so it is part
+    # of the identity (different-window GroupBys see different row sets)
+    key = (repr(gb.sources), tuple(gb.key_columns), query_range, gb.max_window_millis)
+    if key not in _skew_stats_cache:
+        events = events_df_for_group_by(spark, gb, *(query_range or (None, None)))
+        _skew_stats_cache[key] = (
+            events.groupBy(*gb.key_columns)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c"))
+            .first()[0]
+        )
+    return _skew_stats_cache[key]
+
+
 def compute_join_part(
     spark: SparkSession,
     gb: GroupBy,
@@ -294,15 +342,7 @@ def compute_join_part(
         windows = [p.window for p in parts if p.window is not None]
         hop = tail_hop_ms or (min(tail_hop_millis(w) for w in windows) if windows else 86_400_000)
         if supports_hopped(gb, hop):
-            events = events_df_for_group_by(
-                spark, gb, *(query_range or (None, None))
-            )
-            mx = (
-                events.groupBy(*gb.key_columns)
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .agg(F.max("__c"))
-                .first()[0]
-            )
+            mx = _max_key_volume(spark, gb, query_range)
             if mx is not None and mx > hot_key_bound:
                 return group_by_asof_hopped(
                     spark, gb, part_queries, hop,

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -43,9 +44,34 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(conf), p, jvm
 
 
+def require_utc_session(spark: SparkSession) -> None:
+    """Backfill date math derives ``ds`` via session-timezone date_format
+    while PartitionRange.ts_range computes UTC bounds; a non-UTC session
+    would drop left rows near midnight between the two. Fail fast instead
+    (chronon_spark.session.build_session sets UTC)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    assert tz in ("UTC", "Etc/UTC", "GMT", "Z"), (
+        f"backfill requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+        "ds partition strings and ts_range bounds must agree"
+    )
+
+
+_DOTTED_TABLE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+$")
+
+
 def is_table_name(output: str) -> bool:
-    """catalog table (db.tbl) vs filesystem path — paths contain '/'."""
-    return "/" not in output and not output.endswith(".parquet")
+    """catalog table vs filesystem path. Paths contain '/' or end in
+    .parquet; tables must be DOTTED identifiers (db.tbl) — a bare name
+    like 'out' is ambiguous (it would silently become a warehouse table
+    when a relative directory was intended) and raises."""
+    if "/" in output or output.endswith(".parquet"):
+        return False
+    if _DOTTED_TABLE.match(output):
+        return True
+    raise ValueError(
+        f"ambiguous output {output!r}: use a dotted db.table identifier "
+        "for catalog tables or a path containing '/' for directories"
+    )
 
 
 def existing_partitions(spark: SparkSession, output_path: str, partition_col: str = DS) -> set:
@@ -76,6 +102,18 @@ def existing_partitions(spark: SparkSession, output_path: str, partition_col: st
 
 
 def partition_bytes(spark: SparkSession, output_path: str, ds: str, partition_col: str = DS) -> int:
+    """On-disk bytes of one output partition. Paths: filesystem content
+    summary. Catalog tables: resolve the table's storage location via the
+    format provider and probe the same ds=... layout under it (0 when the
+    format's layout is not hive-style, e.g. Iceberg data files — those
+    carry sizes in snapshot metadata, runtime-gated)."""
+    if is_table_name(output_path):
+        from chronon_spark.catalog.format import resolve_format
+
+        base = resolve_format(spark, output_path).table_location(spark, output_path)
+        if not base:
+            return 0
+        output_path = base
     fs, _, jvm = _hadoop_fs(spark, output_path)
     p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{partition_col}={ds}")
     if not fs.exists(p):
@@ -141,6 +179,32 @@ def backfill(
     chash = conf_hash(conf) if conf is not None else ""
 
     existing = existing_partitions(spark, output_path, partition_col)
+    if is_table_name(output_path):
+        # Format-agnostic empty-day markers: dynamic overwrite registers
+        # partitions only for days WITH rows; Hive gets ADD PARTITION below
+        # but Iceberg/Delta have no empty-partition concept, so the lineage
+        # table (one row per ds, written even for empty days) is the
+        # durable checkpoint record for them.
+        lin = read_lineage(spark, output_path)
+        if lin is not None:
+            # only days whose LATEST lineage record says rows == 0 count as
+            # checkpointed-via-lineage: non-empty days must keep resuming
+            # from the physical partition listing (so a DROPped partition
+            # recomputes), while empty days have no physical partition to
+            # list on Iceberg/Delta and would otherwise recompute forever
+            from pyspark.sql import Window as _W
+
+            latest = (
+                lin.where(F.col("job_name") == job_name)
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        _W.partitionBy("ds").orderBy(F.col("written_at").desc())
+                    ),
+                )
+                .where((F.col("__rn") == 1) & (F.col("rows") == 0))
+            )
+            existing |= {r[0] for r in latest.select("ds").collect()}
     if existing and chash:
         stored = _stored_conf_hash(spark, output_path)
         if stored is not None and stored != chash:

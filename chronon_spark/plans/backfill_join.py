@@ -31,6 +31,10 @@ def backfill_join(
     tail_hop_ms: Optional[int] = None,
     prune_keys: bool = False,
 ) -> BackfillResult:
+    from chronon_spark.plans.backfill import require_utc_session
+
+    require_utc_session(spark)
+
     def compute(s: SparkSession, rng: PartitionRange) -> DataFrame:
         # Bound the LEFT scan to this step's ts range up front so each step
         # computes only its own share of as-of work (part event scans keep

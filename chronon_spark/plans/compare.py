@@ -102,6 +102,7 @@ def compare_metrics(
     value_cols: list,
     mapping: Optional[dict] = None,
     types: Optional[dict] = None,
+    by: Optional[list] = None,
 ) -> DataFrame:
     """Long-format metrics (column, metric, value) from the comparison
     table — reference CompareMetrics.buildMetrics, computed in ONE agg:
@@ -155,7 +156,9 @@ def compare_metrics(
             alias = f"__{c}__{m}"
             aggs.append(expr.alias(alias))
             per_col.setdefault(c, []).append((m, alias))
-    wide = compare_df.agg(*aggs)
+    # ``by``: per-group metrics (e.g. per ds for ConsistencyJob) — still
+    # ONE aggregation pass, output |groups| x |columns| x |metrics| rows
+    wide = compare_df.groupBy(*by).agg(*aggs) if by else compare_df.agg(*aggs)
     rows = []
     for c, metrics in per_col.items():
         for m, alias in metrics:
@@ -173,7 +176,9 @@ def compare_metrics(
                 F.col("__total").cast("double").alias("value"),
             )
         )
-    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    return wide.select(
+        *(by or []), F.explode(F.array(*rows)).alias("s")
+    ).select(*(by or []), "s.*")
 
 
 def compare_job(
@@ -182,9 +187,11 @@ def compare_job(
     keys: list,
     mapping: Optional[dict] = None,
     migration_check: bool = False,
+    by: Optional[list] = None,
 ) -> tuple:
     """(compare_df, metrics_df) — the CompareJob.run equivalent. Raises on
-    schema inconsistency like the reference's assert."""
+    schema inconsistency like the reference's assert. ``by`` (a subset of
+    ``keys``) groups the metrics, e.g. per-ds consistency."""
     errors = check_consistency(left, right, keys, mapping, migration_check)
     if errors:
         raise ValueError("; ".join(errors))
@@ -195,4 +202,4 @@ def compare_job(
         c for c in left.columns if c not in keys and mapping.get(c, c) in rf
     ]
     types = {f.name: f.dataType for f in left.schema.fields}
-    return cdf, compare_metrics(cdf, value_cols, mapping, types)
+    return cdf, compare_metrics(cdf, value_cols, mapping, types, by=by)

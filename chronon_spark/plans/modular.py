@@ -132,6 +132,9 @@ def backfill_join_modular(
     mode: str = "sawtooth",
 ) -> BackfillResult:
     """Run the full modular pipeline; each stage resumes independently."""
+    from chronon_spark.plans.backfill import require_utc_session
+
+    require_utc_session(spark)
     left_path = source_job(spark, join_conf, output_path, rng, step_days)
     part_paths = [
         join_part_job(spark, join_conf, jp, left_path, output_path, rng, step_days, mode)

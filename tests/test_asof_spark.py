@@ -152,3 +152,16 @@ def test_parallelism_invariance(spark, sf_dir):
 
     a, b = run(2), run(16)
     assert a.equals(b)
+
+
+def test_derivation_star_with_shadowing_alias(spark):
+    """A '*' derivation plus an alias that shadows a base column must not
+    emit duplicate column names (reference derivationProjection excludes
+    shadowed base columns from the star expansion)."""
+    from chronon_spark.operators.asof_join import apply_derivations
+
+    df = spark.createDataFrame([(1, 10, 100)], "k int, x int, y int")
+    out = apply_derivations(df, {"*": "*", "x": "x * 2", "z": "y + 1"}, ["k"])
+    assert sorted(out.columns) == ["k", "x", "y", "z"]
+    r = out.first()
+    assert r.x == 20 and r.z == 101 and r.y == 100 and r.k == 1

@@ -170,3 +170,66 @@ def test_backfill_to_catalog_table_resume(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bf_db.features")
         spark.sql(f"DROP TABLE IF EXISTS {lineage_path(t)}")
         spark.sql("DROP DATABASE IF EXISTS bf_db")
+
+
+def test_is_table_name_rejects_ambiguous_bare_name():
+    from chronon_spark.plans.backfill import is_table_name
+
+    assert is_table_name("db.features")
+    assert is_table_name("cat.db.features")
+    assert not is_table_name("/tmp/out")
+    assert not is_table_name("out/part.parquet")
+    assert not is_table_name("out.parquet")
+    with pytest.raises(ValueError, match="ambiguous"):
+        is_table_name("out")
+
+
+def test_require_utc_session_guards_backfill_join(spark):
+    from chronon_spark.plans.backfill import require_utc_session
+
+    require_utc_session(spark)  # conftest session is UTC — passes
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(AssertionError, match="timeZone"):
+            require_utc_session(spark)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_empty_day_checkpointed_via_lineage(spark, sf_dir, tmp_path):
+    """A day whose compute produced ZERO rows must not recompute on
+    resume even when the format has no physical partition to list — the
+    lineage row (rows=0, latest wins) is the durable marker (ADVICE r2:
+    Iceberg/Delta have no empty-partition registration)."""
+    import pandas as pd
+
+    from chronon_spark.plans.backfill import backfill, existing_partitions, read_lineage
+    from chronon_spark.plans.partition_range import PartitionRange
+
+    t = "bf_db.empty_days"
+    spark.sql("CREATE DATABASE IF NOT EXISTS bf_db")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__lineage")
+    rng = PartitionRange("2024-02-01", "2024-02-03")
+    calls = []
+
+    def compute(s, r):
+        calls.append((r.start, r.end))
+        pdf = pd.DataFrame(
+            {"v": [1, 2], "ds": ["2024-02-01", "2024-02-03"]}  # 02-02 is empty
+        )
+        return s.createDataFrame(pdf).where(
+            (F.col("ds") >= r.start) & (F.col("ds") <= r.end)
+        )
+
+    backfill(spark, compute, t, rng, step_days=10, conf="c", job_name="t")
+    lin = read_lineage(spark, t).toPandas()
+    assert set(lin[lin["rows"] == 0]["ds"]) == {"2024-02-02"}
+    # simulate a format with no empty-partition registration: drop the
+    # Hive marker for the empty day, leaving only the lineage record
+    spark.sql(f"ALTER TABLE {t} DROP IF EXISTS PARTITION (ds='2024-02-02')")
+    assert "2024-02-02" not in existing_partitions(spark, t)
+    calls.clear()
+    res = backfill(spark, compute, t, rng, step_days=10, conf="c", job_name="t")
+    assert calls == [] and res.skipped_partitions == 3

@@ -167,3 +167,32 @@ def test_auto_mode_routes_hot_keys_to_hopped_plan(spark, sf_dir):
         compute_join_part(spark, gb, q, mode="auto", hot_key_bound=10**12)
     )
     assert "FlatMapGroupsInPandas" in cold
+
+
+def test_digest_invariants_flagship_and_groupby(spark, tmp_path_factory):
+    """Pin the EXPLAIN_digest.json claims in pytest (r2 VERDICT item #8):
+    the flagship plan stays Python-free with a bounded exchange count, and
+    the kernel asof_groupby stays at <= 2 exchanges + exactly one Arrow
+    stage. A plan regression now fails tests instead of silently shifting
+    the recorded digest."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    path = bench.webtext_parquet(
+        spark, 5_000, out_dir=str(tmp_path_factory.mktemp("digest"))
+    )
+    flagship = bench.flagship_join(spark, path)
+    d = bench.plan_digest(flagship)
+    assert d["python_stages"] == 0, d
+    # recorded digest says 16 (EXPLAIN_digest.json); allow headroom of 0 —
+    # any new exchange must be justified and this bound updated explicitly
+    assert d["exchanges"] <= 16, d
+
+    import __spark_entry__ as E
+
+    gb = E.queries()["asof_groupby"](spark, "/root/testdata/sf0.001")
+    d2 = bench.plan_digest(gb)
+    assert d2["exchanges"] <= 2, d2
+    assert d2["python_stages"] == 1, d2
