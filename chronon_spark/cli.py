@@ -67,6 +67,15 @@ def main(argv=None) -> int:
     sq.add_argument("--end", required=True)
     sq.add_argument("--step-days", type=int, default=30)
 
+    cp = sub.add_parser(
+        "compile",
+        help="validate confs and write compiled JSON with column semantic "
+        "hashes (reference cli/compile: parse_configs + conf_validator + "
+        "column_hashing) — no Spark session needed",
+    )
+    cp.add_argument("--conf", required=True, help="python file defining GroupBy/Join objects")
+    cp.add_argument("--out", required=True, help="output directory for compiled/ JSON")
+
     sh = sub.add_parser(
         "shell",
         help="interactive session with a conf pre-loaded (the reference's "
@@ -76,6 +85,21 @@ def main(argv=None) -> int:
     sh.add_argument("--conf", help="optional conf module to pre-load")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "compile":
+        from chronon_spark.api.compile import compile_confs
+        from chronon_spark.api.types import GroupBy, Join
+
+        mod = _load_conf(args.conf)
+        objs = [v for v in vars(mod).values() if isinstance(v, (GroupBy, Join))]
+        for getter in ("get_join", "get_group_by"):
+            if hasattr(mod, getter):
+                o = getattr(mod, getter)()
+                if not any(o == x for x in objs):
+                    objs.append(o)
+        paths = compile_confs(objs, args.out)
+        print(json.dumps({"compiled": paths}))
+        return 0
 
     from chronon_spark.session import build_session
     from chronon_spark.plans.partition_range import PartitionRange
