@@ -554,6 +554,112 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= {LSH_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair resolution: hash-min connected components over the
+    MinHash-LSH pairs -> (id, cluster_id=min id of the component). The
+    oracle recomputes the same pairs bit-exactly (the minhash SQL mirror)
+    and closes them transitively with a recursive CTE."""
+    from chronon_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", n_hashes=16, bands=4, shingle_k=3, verify_threshold=LSH_THRESHOLD
+    )
+    return duplicate_clusters(pairs).select("id", "cluster_id")
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+)
+SELECT src AS id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: per-stratum (lang) fractions + exact
+    top-k-per-key quality selection — membership is a pure function of
+    (seed, doc_id), identical across partitionings and engines (Spark's
+    Bernoulli sample is not)."""
+    from chronon_spark.operators.sampling import stratified_sample, top_k_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    st = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.2}, "doc_id", seed=7)
+    best = top_k_per_key(docs, "lang", 5, "doc_id", order_col="n_chars").select(
+        F.col("doc_id").alias("best_doc_id"), F.col("lang").alias("best_lang")
+    )
+    return st.select("doc_id", "lang").join(
+        best, st["doc_id"] == best["best_doc_id"], "full"
+    ).select("doc_id", "lang", "best_doc_id", "best_lang")
+
+
+_DOC_SAMPLE_ORACLE = """
+WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+st AS (
+  SELECT doc_id, lang FROM docs
+  WHERE (CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)
+      < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 ELSE 0.0 END) * 1000000 AS BIGINT)
+),
+best AS (
+  SELECT doc_id AS best_doc_id, lang AS best_lang FROM (
+    SELECT doc_id, lang,
+       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM docs
+  ) WHERE rn <= 5
+)
+SELECT st.doc_id, st.lang, best.best_doc_id, best.best_lang
+FROM st FULL JOIN best ON st.doc_id = best.best_doc_id
+"""
+
+_PACK_MAX = 4096
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (next-fit into max-token bins per hash shard) —
+    the fixed-context-window training-row assembler. The oracle replays
+    the identical sequential semantics with a lockstep recursive CTE."""
+    from chronon_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "length(text) div 4 AS n_tok"
+    )
+    out = pack_sequences(docs, "doc_id", "n_tok", _PACK_MAX, n_shards=_PACK_SHARDS)
+    return out.select("id", "tokens", "shard", "bin", "oversize")
+
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, CAST(length(text) // 4 AS BIGINT) AS tokens,
+     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_PACK_SHARDS} AS shard
+  FROM documents
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS r FROM t),
+rec AS (
+  SELECT shard, r, id, tokens, CAST(0 AS BIGINT) AS bin, tokens AS fill FROM rk WHERE r = 1
+  UNION ALL
+  SELECT rk.shard, rk.r, rk.id, rk.tokens,
+     CASE WHEN rec.fill > 0 AND rec.fill + rk.tokens > {_PACK_MAX}
+          THEN rec.bin + 1 ELSE rec.bin END,
+     CASE WHEN rec.fill > 0 AND rec.fill + rk.tokens > {_PACK_MAX}
+          THEN rk.tokens ELSE rec.fill + rk.tokens END
+  FROM rec JOIN rk ON rk.shard = rec.shard AND rk.r = rec.r + 1
+)
+SELECT id, tokens, shard, bin, tokens > {_PACK_MAX} AS oversize FROM rec
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.dedup import simhash_near_dups
 
@@ -2759,6 +2865,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_sample": q_doc_sample,
+        "pack_sequences": q_pack_sequences,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "embedding_topk": q_embedding_topk,
@@ -2815,6 +2924,9 @@ def _raw_oracles() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "minhash_lsh": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "doc_sample": _DOC_SAMPLE_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,
         "webtext_flagship": _WEBTEXT_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

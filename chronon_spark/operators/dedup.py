@@ -351,3 +351,89 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id).
+
+    ``pairs``: (id_a, id_b) edges from any near-dup op (MinHash/SimHash/
+    embedding). ``cluster_id`` is the component's MINIMUM id — the
+    canonical-document convention (stable, order-free).
+
+    Algorithm: hash-min label propagation. Each round every node takes
+    the min label among itself and its neighbors; a round is one
+    map-side-combined groupBy over the (undirected) edge list joined to
+    current labels. Near-dup graphs are a forest of tiny cliques — the
+    effective diameter is a few hops, so convergence is typically 2-4
+    rounds (the O(log n) worst case only arises on long path graphs,
+    which dedup clusters are not). Lineage is checkpointed with
+    localCheckpoint every ``checkpoint_every`` rounds so a 10^9-edge run
+    does not accumulate an unbounded plan. The per-round convergence
+    check compares label sums (one scalar action — no collect of labels).
+
+    Reference scope note: the reference stops at pair emission; cluster
+    resolution + canonical selection is the part a real curation pipeline
+    adds on top (keep-one-per-cluster), so it lives here as a first-class
+    op with the same oracle discipline as the pair generators.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+
+    prev_sig = None
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        # convergence: the sum of labels strictly decreases until fixpoint
+        sig = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Keep-one-per-cluster: drop every document whose cluster_id is not
+    itself (the minimum id of its component is the canonical survivor).
+    One broadcast-or-shuffle anti-join against the (small) non-canonical
+    id list — documents in no cluster pass through untouched."""
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(losers, on=id_col, how="left_anti")

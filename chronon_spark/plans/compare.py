@@ -103,6 +103,7 @@ def compare_metrics(
     mapping: Optional[dict] = None,
     types: Optional[dict] = None,
     by: Optional[list] = None,
+    approx_median: bool = False,
 ) -> DataFrame:
     """Long-format metrics (column, metric, value) from the comparison
     table — reference CompareMetrics.buildMetrics, computed in ONE agg:
@@ -148,8 +149,14 @@ def compare_metrics(
                 F.when(denom != 0.0, F.abs(ld - rd) * 2 / denom).otherwise(F.lit(0.0))
             )
             names["max_abs_diff"] = F.max(F.abs(ld - rd))
+            # exact percentile buffers every diff of a group in executor
+            # memory — fine under ConsistencyJob's sampling, a scale
+            # hazard on full-volume comparisons; approx_median switches to
+            # percentile_approx (sketch IR, bounded memory; the trade-off
+            # is it no longer mirrors an exact SQL oracle)
+            median_fn = "approx_percentile" if approx_median else "percentile"
             names["median_diff"] = F.expr(
-                f"percentile(abs(CAST({c + LEFT_SUFFIX} AS DOUBLE) - "
+                f"{median_fn}(abs(CAST({c + LEFT_SUFFIX} AS DOUBLE) - "
                 f"CAST({mapping.get(c, c) + RIGHT_SUFFIX} AS DOUBLE)), 0.5)"
             )
         for m, expr in names.items():

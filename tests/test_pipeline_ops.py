@@ -347,3 +347,106 @@ def test_compare_metrics_map_columns(spark):
     m = {r.metric: r.value for r in metrics.collect() if r.column == "hist"}
     assert m["mismatch"] == 1.0  # only id=2 differs; key order must not
     assert m["both_null"] == 1.0
+
+
+def test_duplicate_clusters_and_keep_canonical(spark):
+    """Hash-min connected components: components get min-id labels, chain
+    graphs converge, keep_canonical drops exactly the non-minimum ids."""
+    import pandas as pd
+
+    from chronon_spark.operators.dedup import duplicate_clusters, keep_canonical
+
+    #  components: {1,2,3,4} (path), {10,11}, {20,21,22} (triangle+tail)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 2, 3, 10, 20, 20, 21],
+                "id_b": [2, 3, 4, 11, 21, 22, 22],
+            }
+        )
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 20, 21, 22, 99], "text": ["x"] * 10})
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_canonical(corpus, duplicate_clusters(pairs), "doc_id").collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one per cluster + the untouched singleton
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    from chronon_spark.operators.sampling import hash_sample, stratified_sample, top_k_per_key
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id").withColumn(
+        "grp", F.pmod("doc_id", F.lit(4))
+    )
+    s1 = hash_sample(df, 0.25, "doc_id", seed=7)
+    s2 = hash_sample(df.repartition(17), 0.25, "doc_id", seed=7)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert ids1 == ids2, "sampling must be partitioning-independent"
+    assert abs(len(ids1) / 20_000 - 0.25) < 0.02
+
+    st = stratified_sample(df, "grp", {0: 0.5, 1: 0.1}, "doc_id", seed=7).toPandas()
+    frac = st.groupby("grp").size() / 5000
+    assert abs(frac.get(0, 0) - 0.5) < 0.04 and abs(frac.get(1, 0) - 0.1) < 0.03
+    assert 2 not in frac.index and 3 not in frac.index  # absent keys -> 0
+
+    tk = top_k_per_key(df, "grp", 100, "doc_id").groupBy("grp").count().toPandas()
+    assert (tk["count"] == 100).all()
+    # order_col selection takes the BEST k
+    best = top_k_per_key(df, "grp", 3, "doc_id", order_col="doc_id").toPandas()
+    assert set(best[best.grp == 0].doc_id) == {19996, 19992, 19988}
+
+
+def test_pack_sequences_next_fit(spark):
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.operators.packing import pack_sequences, pack_stats
+
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(3000), "n_tok": rng.randint(50, 1500, 3000)}
+    )
+    pdf.loc[5, "n_tok"] = 9000  # oversize doc
+    df = spark.createDataFrame(pdf)
+    MAX = 4096
+    packed = pack_sequences(df, "doc_id", "n_tok", MAX, n_shards=8).toPandas()
+    assert len(packed) == 3000
+    assert packed[packed.id == 5].oversize.iloc[0]
+
+    # next-fit invariants per shard: ids ascending within (shard, bin)
+    # order; no bin exceeds MAX unless it holds a single oversize doc
+    stats = (
+        pack_stats(
+            pack_sequences(df, "doc_id", "n_tok", MAX, n_shards=8), MAX
+        ).toPandas()
+    )
+    over = stats[stats.tokens > MAX]
+    assert (over.docs == 1).all()
+    # utilization sanity: mean fill of multi-doc bins is high
+    multi = stats[stats.docs > 1]
+    assert multi.fill_ratio.mean() > 0.7
+
+    # exact semantics vs a local reference implementation
+    for shard, grp in packed.groupby("shard"):
+        grp = grp.sort_values("id").reset_index(drop=True)
+        cur_bin, fill = 0, 0
+        for r in grp.itertuples():
+            if fill > 0 and fill + r.tokens > MAX:
+                cur_bin, fill = cur_bin + 1, 0
+            fill += r.tokens
+            assert r.bin == cur_bin, (shard, r.id)
+
+    # determinism across partitionings
+    packed2 = pack_sequences(
+        df.repartition(23), "doc_id", "n_tok", MAX, n_shards=8
+    ).toPandas()
+    a = packed.sort_values("id").reset_index(drop=True)
+    b = packed2.sort_values("id").reset_index(drop=True)
+    assert (a[["id", "shard", "bin"]].to_numpy() == b[["id", "shard", "bin"]].to_numpy()).all()
