@@ -243,6 +243,12 @@ HEADLINE = [
     "repetition_quality",
     "sketch_percentile",
     "compare_job",
+    # round-3 additions
+    "drift_dist",
+    "dedup_clusters",
+    "pack_sequences",
+    "model_transforms",
+    "consistency",
 ]
 
 
