@@ -361,8 +361,35 @@ def _compute_unbucketed(
         return out
 
     if op is Operation.HISTOGRAM:
-        out = []
         trunc = part.arg_map.get("k")
+        strs = np.array([str(objs[j]) for j in valid], dtype=object)
+        codes, uniques = pd.factorize(pd.Series(strs), use_na_sentinel=False)
+        V = len(uniques)
+        # small categorical domain (the histogram norm): per-code prefix
+        # counts answer any [lo, hi) window in O(V) instead of rebuilding
+        # a Counter over the window slice (O(window)) — the HISTOGRAM
+        # analogue of the UNIQUE_COUNT vectorization. Truncated (k)
+        # histograms keep the Counter path: most_common's tie-break is
+        # first-seen-IN-WINDOW order, which a global prefix cannot see.
+        # The (n+1) x V prefix matrix is memory-bounded (<= ~64 MB).
+        if trunc is None and 0 < V <= 256 and (len(valid) + 1) * V <= 16_000_000:
+            onehot = np.zeros((len(codes), V), dtype=np.int32)
+            onehot[np.arange(len(codes)), codes] = 1
+            prefix = np.concatenate(
+                [np.zeros((1, V), dtype=np.int32), np.cumsum(onehot, axis=0, dtype=np.int32)]
+            )
+            win_counts = prefix[hi_p] - prefix[lo_p]  # (nq, V)
+            names = [str(u) for u in uniques]
+            out = []
+            for i in range(nq):
+                row = win_counts[i]
+                nz = np.flatnonzero(row)
+                if len(nz) == 0:
+                    out.append(None)
+                    continue
+                out.append({names[v]: int(row[v]) for v in nz})
+            return out
+        out = []
         for i in range(len(lo)):
             w = valid[lo_p[i] : hi_p[i]]
             if len(w) == 0:
