@@ -2642,7 +2642,15 @@ GROUP BY q.user_id, q.ts
 _CONS_DIR = "/tmp/chronon_consistency_drv"
 
 
-def _consistency_fixture(sf_dir: str) -> None:
+def _cons_dir(sf_dir: str) -> str:
+    # fixture content derives from sf_dir — key the cache path by sf so a
+    # correctness run (sf0.01) and a bench run (sf0.1) never share a file
+    import os
+
+    return f"{_CONS_DIR}_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _consistency_fixture(sf_dir: str) -> str:
     """Deterministic flattened serving log: ~1/7 of the event points with
     their TRUE as-of features (computed by DuckDB, independent of the
     engine under test) perturbed on user_id % 10 == 0 rows — so the
@@ -2651,9 +2659,10 @@ def _consistency_fixture(sf_dir: str) -> None:
 
     import duckdb
 
-    if os.path.exists(f"{_CONS_DIR}/logged.parquet"):
-        return
-    os.makedirs(_CONS_DIR, exist_ok=True)
+    d = _cons_dir(sf_dir)
+    if os.path.exists(f"{d}/logged.parquet"):
+        return d
+    os.makedirs(d, exist_ok=True)
     con = duckdb.connect()
     con.sql(
         f"""
@@ -2673,9 +2682,10 @@ COPY (
      cnt7 + CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END AS user_value_value_count_7d,
      sum7 + CASE WHEN user_id % 10 = 0 THEN 100.0 ELSE 0.0 END AS user_value_value_sum_7d
   FROM agg
-) TO '{_CONS_DIR}/logged.parquet' (FORMAT PARQUET)
+) TO '{d}/logged.parquet' (FORMAT PARQUET)
 """
     )
+    return d
 
 
 def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,7 +2696,7 @@ def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.api.types import Aggregation, GroupBy, Join, JoinPart, Operation, Window
     from chronon_spark.plans.consistency import consistency_job
 
-    _consistency_fixture(sf_dir)
+    logged_dir = _consistency_fixture(sf_dir)
     gb = GroupBy(
         sources=(_events_source(sf_dir, cents=True),),
         key_columns=("user_id",),
@@ -2702,7 +2712,7 @@ def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="user_join",
     )
     _, metrics = consistency_job(
-        spark, j, f"{_CONS_DIR}/logged.parquet", time_column="ts_millis"
+        spark, j, f"{logged_dir}/logged.parquet", time_column="ts_millis"
     )
     return metrics.select(
         "ds", "column", "metric", _r6(F.col("value")).alias("value")
@@ -2712,7 +2722,7 @@ def q_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _consistency_oracle() -> str:
     return f"""
 WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
-logged AS (SELECT * FROM '{_CONS_DIR}/logged.parquet'),
+logged AS (SELECT * FROM '{_cons_dir("/root/testdata/sf0.01")}/logged.parquet'),
 offline AS (
   SELECT l.user_id, l.ts_millis, l.ds,
      count(CASE WHEN e.ts > l.ts_millis - {7 * DAY_MS} THEN e.c END) AS cnt7,

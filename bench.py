@@ -203,7 +203,8 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
 
     docs = spark.read.parquet(path).select(
         F.col("url").alias("doc_id"), "text"
-    )
+    ).persist()
+    docs.count()  # materialize once: op timings measure the OP, not the scan
 
     def run(name, fn):
         t0 = time.time()
@@ -226,7 +227,9 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
             ),
         ),
     ]
-    return dict(run(n, f) for n, f in ops)
+    out = dict(run(n, f) for n, f in ops)
+    docs.unpersist()
+    return out
 
 
 HEADLINE = [
@@ -359,8 +362,10 @@ def record_scaling(entry: dict) -> None:
     ]
     pairs.append(entry)
     pairs.sort(key=lambda p: (p["rows"], p["n"]))
+    art["pairs"] = pairs  # keep protocol/notes keys intact
+    art.pop("note", None)
     with open(SCALING_ARTIFACT, "w") as f:
-        json.dump({"pairs": pairs}, f, indent=1)
+        json.dump(art, f, indent=1)
 
 
 def main() -> None:
@@ -380,14 +385,17 @@ def main() -> None:
             times = {"webtext_flagship": round(flagship_wall, 3)}
             times.update(headline_queries(spark, SF_DIR))
 
+            # per-op suite BEFORE the 3M steady run: the steady flagship
+            # leaves the JVM heap pressured (measured 95s-vs-18s doc_stats
+            # inversion when ops ran after it)
+            ops = webtext_ops_bench(spark, path, n_webtext)
+
             # steady-state flagship at the BASELINE.md anchor scale —
             # comparable round-over-round, not overhead-dominated
             steady_path = webtext_parquet(spark, STEADY_ROWS)
             t0 = time.time()
             force(flagship_join(spark, steady_path))
             steady_wall = time.time() - t0
-
-            ops = webtext_ops_bench(spark, path, n_webtext)
 
             with open(EXPLAIN_ARTIFACT, "w") as f:
                 json.dump(explain_digests(spark, SF_DIR, path), f, indent=1)

@@ -390,7 +390,6 @@ def duplicate_clusters(
         "label", F.col("id")
     ).persist()
 
-    prev_sig = None
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -408,14 +407,19 @@ def duplicate_clusters(
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist()
-        # convergence: the sum of labels strictly decreases until fixpoint
-        sig = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        # convergence: exact, id-type-agnostic — any node whose label
+        # changed this round? (isEmpty stops at the first changed row)
+        changed = not (
+            new_labels.withColumnRenamed("label", "__new")
+            .join(labels, "id")
+            .where(F.col("__new") != F.col("label"))
+            .isEmpty()
+        )
         old = labels
         labels = new_labels
         old.unpersist()
-        if sig == prev_sig:
+        if not changed:
             break
-        prev_sig = sig
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} rounds"

@@ -72,17 +72,45 @@ def curate(spark: SparkSession, crawl: DataFrame, verbose: bool = True) -> dict:
         .select("doc_id", "text"),
     )
 
-    # 6. near-dup removal: LSH pairs -> drop the larger id of each pair
+    # 6. near-dup removal: LSH pairs -> connected components -> keep the
+    # canonical (min-id) document per cluster. Dropping id_b per pair
+    # would over-drop under transitive chains (a~b, b~c keeps only a
+    # correct set when resolved as ONE cluster).
+    from chronon_spark.operators.dedup import duplicate_clusters, keep_canonical
+
+    # each audited stage is persisted so later stage counts (and the
+    # iterative cluster resolution) do not recompute the whole upstream
+    # pipeline per action
+    docs = docs.persist()
     pairs = minhash_lsh_pairs(
         docs, "doc_id", n_hashes=16, bands=4, shingle_k=3, verify_threshold=0.85
-    )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    ).localCheckpoint()
     docs = stage(
-        "near-dup removal (MinHash LSH)",
-        docs.join(losers, "doc_id", "left_anti"),
-    )
+        "near-dup removal (LSH + CC)",
+        keep_canonical(docs, duplicate_clusters(pairs), "doc_id"),
+    ).persist()
 
-    return {"stages": stages, "result": docs}
+    # 7. deterministic downsample (reproducible across runs/partitionings)
+    from chronon_spark.operators.sampling import hash_sample
+
+    docs = stage("hash downsample (90%)", hash_sample(docs, 0.9, "doc_id", seed=11))
+
+    # 8. pack into fixed-token training rows
+    from chronon_spark.operators.packing import pack_sequences, pack_stats
+
+    packed = pack_sequences(
+        docs.selectExpr("doc_id", "length(text) div 4 AS n_tok"),
+        "doc_id", "n_tok", max_tokens=4096, n_shards=16,
+    )
+    bins = pack_stats(packed, 4096)
+    n_bins = bins.count()
+    stages.append(("packed training rows", n_bins))
+    if verbose:
+        fill = bins.agg(F.avg("fill_ratio")).first()[0]
+        print(f"  {'packed training rows':<28s} {n_bins:>10,d} bins "
+              f"(mean fill {fill:.2f})")
+
+    return {"stages": stages, "result": docs, "packed": packed}
 
 
 def main():
