@@ -660,6 +660,45 @@ SELECT id, tokens, shard, bin, tokens > {_PACK_MAX} AS oversize FROM rec
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (published n-gram-overlap method): flag
+    training docs sharing any word 4-gram with the eval subset
+    (doc_id % 50 == 0). Eval gram hashes broadcast; corpus side prunes
+    via the broadcast semi-join before any shuffle."""
+    from chronon_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.where("doc_id % 50 = 0")
+    out = benchmark_contamination(docs, eval_df, "doc_id", k=4)
+    return out.select("id", "n_hits", "contaminated")
+
+
+_DECONTAM_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+     unnest(CASE WHEN len(w) >= 4
+            THEN list_distinct([array_to_string(w[i:i+3], ' ')
+                                for i in generate_series(1, len(w) - 3)])
+            ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM corpus
+),
+gh AS (SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h FROM g),
+ev AS (SELECT DISTINCT h FROM gh WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT gh.doc_id, count(DISTINCT gh.h) AS n_hits
+  FROM gh JOIN ev ON gh.h = ev.h GROUP BY gh.doc_id
+)
+SELECT c.doc_id AS id,
+   COALESCE(h.n_hits, 0) AS n_hits,
+   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents) c
+LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.dedup import simhash_near_dups
 
@@ -2878,6 +2917,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "doc_sample": q_doc_sample,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "embedding_topk": q_embedding_topk,
@@ -2937,6 +2977,7 @@ def _raw_oracles() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "doc_sample": _DOC_SAMPLE_ORACLE,
         "pack_sequences": _PACK_ORACLE,
+        "decontaminate": _DECONTAM_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,
         "webtext_flagship": _WEBTEXT_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

@@ -252,6 +252,7 @@ HEADLINE = [
     "pack_sequences",
     "model_transforms",
     "consistency",
+    "decontaminate",
 ]
 
 

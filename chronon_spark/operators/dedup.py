@@ -441,3 +441,70 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return corpus.join(losers, on=id_col, how="left_anti")
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination check (the published n-gram-overlap
+    method: GPT-3 appendix C / PaLM-style 8-13-gram collision): flag every
+    training document sharing >= ``min_hits`` distinct word k-grams with
+    ANY eval/benchmark document.
+
+    -> (id, n_hits, contaminated) for every corpus document.
+
+    Scale shape: the eval side is the SMALL side by construction
+    (benchmarks are thousands of docs) — its distinct gram hashes
+    broadcast; the corpus side explodes k-grams but the broadcast
+    semi-join prunes before any shuffle, and the per-doc hit count is
+    map-side combined. Grams compare as 60-bit md5 hashes (compact
+    broadcast; collisions only ADD false hits at ~2^-60 — conservative
+    in the safe direction for decontamination).
+    """
+    gh = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    eval_grams = (
+        eval_df.select(F.explode(shingles(eval_text_col, k)).alias("g"))
+        .select(gh(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("g")
+    ).select("id", gh(F.col("g")).alias("gh"))
+    hits = (
+        grams.join(F.broadcast(eval_grams), on="gh")
+        .groupBy("id")
+        .agg(F.count_distinct("gh").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(hits, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop contaminated documents (one anti-join on the flag table)."""
+    flagged = benchmark_contamination(
+        corpus, eval_df, id_col, text_col, eval_text_col, k, min_hits
+    )
+    bad = flagged.where("contaminated").select(F.col("id").alias(id_col))
+    return corpus.join(bad, on=id_col, how="left_anti")

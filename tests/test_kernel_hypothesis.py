@@ -19,6 +19,11 @@ PARTS = [
     AggregationPart("v", Operation.MIN, {}, None),
     AggregationPart("v", Operation.LAST, {}, Window.hours(2)),
     AggregationPart("v", Operation.LAST_K, {"k": 2}, None),
+    # the two vectorized fast paths (prev-occurrence sweep / per-code
+    # prefix counts) must agree with the naive slice-rebuild under
+    # duplicate timestamps, bursts, and empty windows
+    AggregationPart("v", Operation.UNIQUE_COUNT, {}, Window.hours(5)),
+    AggregationPart("v", Operation.HISTOGRAM, {}, Window.hours(3)),
 ]
 
 

@@ -450,3 +450,33 @@ def test_pack_sequences_next_fit(spark):
     a = packed.sort_values("id").reset_index(drop=True)
     b = packed2.sort_values("id").reset_index(drop=True)
     assert (a[["id", "shard", "bin"]].to_numpy() == b[["id", "shard", "bin"]].to_numpy()).all()
+
+
+def test_benchmark_contamination(spark):
+    """Docs sharing a k-gram with the eval set are flagged; clean docs are
+    not; decontaminate drops exactly the flagged set."""
+    import pandas as pd
+
+    from chronon_spark.operators.dedup import benchmark_contamination, decontaminate
+
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"text": ["the quick brown fox jumps over the lazy dog"]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "prefix words the quick brown fox jumps over the lazy dog suffix",
+                    "completely different content with no overlap at all here",
+                    "quick brown fox jumps over the lazy",  # shares 4-grams? k=4 window
+                ],
+            }
+        )
+    )
+    got = benchmark_contamination(corpus, eval_df, "doc_id", k=4).toPandas().set_index("id")
+    assert got.loc[1, "contaminated"] and got.loc[1, "n_hits"] >= 1
+    assert not got.loc[2, "contaminated"] and got.loc[2, "n_hits"] == 0
+    assert got.loc[3, "contaminated"]  # eval 4-grams appear verbatim
+    kept = decontaminate(corpus, eval_df, "doc_id", k=4).toPandas()
+    assert set(kept.doc_id) == {2}
