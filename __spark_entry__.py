@@ -1662,6 +1662,7 @@ def q_drift_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "date_format(ts, 'yyyy-MM-dd') AS ds",
             "CAST(floor(value * 100 + 0.5) AS DOUBLE) AS value",
+            "event_type",
         )
     )
     out = drift_distances(
@@ -1669,6 +1670,7 @@ def q_drift_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         baseline=("2024-01-01", "2024-01-15"),
         current=("2024-01-16", "2024-01-31"),
         columns=["value"],
+        categorical_columns=["event_type"],
     )
     return out.select(
         "column",
@@ -1682,35 +1684,45 @@ def q_drift_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drift_dist_oracle() -> str:
     bucket, _ = _dds_sql()
+
+    def block(name: str, col_label: str, bexpr: str, notnull: str) -> str:
+        return f"""
+{name}_bb AS (
+  SELECT {bexpr} AS bucket, count(*) AS cnt
+  FROM ev WHERE {notnull} AND ds >= '2024-01-01' AND ds <= '2024-01-15' GROUP BY 1
+),
+{name}_cc AS (
+  SELECT {bexpr} AS bucket, count(*) AS cnt
+  FROM ev WHERE {notnull} AND ds >= '2024-01-16' AND ds <= '2024-01-31' GROUP BY 1
+),
+{name}_j AS (
+  SELECT COALESCE(b.cnt, 0) AS b_cnt, COALESCE(c.cnt, 0) AS c_cnt
+  FROM {name}_bb b FULL JOIN {name}_cc c ON b.bucket = c.bucket
+),
+{name}_t AS (SELECT CAST(sum(b_cnt) AS DOUBLE) AS b_tot, CAST(sum(c_cnt) AS DOUBLE) AS c_tot
+             FROM {name}_j),
+{name}_pq AS (SELECT b_cnt / t.b_tot AS p, c_cnt / t.c_tot AS q FROM {name}_j, {name}_t t),
+{name}_out AS (
+  SELECT '{col_label}' AS column,
+     (SELECT CAST(b_tot AS BIGINT) FROM {name}_t) AS baseline_rows,
+     (SELECT CAST(c_tot AS BIGINT) FROM {name}_t) AS current_rows,
+     round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS jsd,
+     round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+               * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
+     round(sqrt(greatest(0.0, 1.0 - sum(sqrt(p * q)))), 6) AS hellinger
+  FROM {name}_pq
+)"""
+
     return f"""
 WITH ev AS (
   SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds,
-         CAST(floor(value * 100 + 0.5) AS DOUBLE) AS value
+         CAST(floor(value * 100 + 0.5) AS DOUBLE) AS value,
+         event_type
   FROM events
-),
-bb AS (
-  SELECT {bucket('value')} AS bucket, count(*) AS cnt
-  FROM ev WHERE value IS NOT NULL AND ds >= '2024-01-01' AND ds <= '2024-01-15' GROUP BY 1
-),
-cc AS (
-  SELECT {bucket('value')} AS bucket, count(*) AS cnt
-  FROM ev WHERE value IS NOT NULL AND ds >= '2024-01-16' AND ds <= '2024-01-31' GROUP BY 1
-),
-j AS (
-  SELECT COALESCE(bb.cnt, 0) AS b_cnt, COALESCE(cc.cnt, 0) AS c_cnt
-  FROM bb FULL JOIN cc ON bb.bucket = cc.bucket
-),
-t AS (SELECT CAST(sum(b_cnt) AS DOUBLE) AS b_tot, CAST(sum(c_cnt) AS DOUBLE) AS c_tot FROM j),
-pq AS (SELECT b_cnt / t.b_tot AS p, c_cnt / t.c_tot AS q FROM j, t)
-SELECT 'value' AS column,
-   (SELECT CAST(b_tot AS BIGINT) FROM t) AS baseline_rows,
-   (SELECT CAST(c_tot AS BIGINT) FROM t) AS current_rows,
-   round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
-           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS jsd,
-   round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
-             * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6) AS psi,
-   round(sqrt(greatest(0.0, 1.0 - sum(sqrt(p * q)))), 6) AS hellinger
-FROM pq
+),{block('num', 'value', bucket('value'), 'value IS NOT NULL')},
+{block('cat', 'event_type', 'event_type', 'event_type IS NOT NULL')}
+SELECT * FROM num_out UNION ALL SELECT * FROM cat_out
 """
 
 

@@ -84,3 +84,34 @@ def top_k_per_key(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    key_col: str,
+    target_weights: dict,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample toward a target group mix (domain/language rebalancing —
+    the standard pretraining-mix knob).
+
+    ``target_weights``: {key: relative weight}; keys absent from the map
+    are DROPPED (explicit mix = explicit membership). The acceptance
+    fraction per key is scaled so the most-underrepresented kept group
+    passes whole (fraction 1.0) and every other group is hash-downsampled
+    to match the target RATIOS — downsample-only, no duplication, so the
+    output is the largest subset of the input with the target mix.
+
+    Two passes: one map-side-combined count per key (tiny result), then
+    one narrow hash filter. Deterministic for fixed (seed, id).
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()
+              if r[0] in target_weights}
+    if not counts:
+        return df.where(F.lit(False))
+    # fraction_k ∝ target_k / count_k, scaled so max fraction == 1
+    raw = {k: target_weights[k] / counts[k] for k in counts}
+    scale = 1.0 / max(raw.values())
+    fractions = {k: min(1.0, v * scale) for k, v in raw.items()}
+    return stratified_sample(df, key_col, fractions, id_col, seed)

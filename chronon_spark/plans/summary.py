@@ -184,57 +184,40 @@ def drift_series(
     )
 
 
-def drift_distances(
+def categorical_histograms(
     df: DataFrame,
     partition_col: str,
-    baseline: tuple,
-    current: tuple,
-    columns: Optional[list] = None,
-    alpha: float = DEFAULT_ALPHA,
-    psi_eps: float = 1e-6,
+    columns: list,
 ) -> DataFrame:
-    """Sketch-based distribution distances per column between two ranges
-    (reference stats/drift/Expressions.scala: Jensen-Shannon divergence,
-    Population Stability Index, Hellinger distance — all computed between
-    the stored percentile-sketch summaries, never the raw rows).
-
-    Both sides reduce to DDSketch bucket histograms; the distances fold
-    over the union of buckets:
-    - ``jsd``        0.5*KL(p||m) + 0.5*KL(q||m), m=(p+q)/2 (0*ln0 := 0),
-    - ``psi``        sum((p-q)*ln(p/q)) with ``psi_eps`` substituted for
-                     empty buckets (the standard PSI zero-handling),
-    - ``hellinger``  sqrt(1 - sum(sqrt(p*q))).
-
-    Output: (column, baseline_rows, current_rows, jsd, psi, hellinger) —
-    a handful of rows regardless of input size. The whole job is two
-    map-side-combined aggregations + one tiny-table fold; no exact
-    percentile, no driver collect.
-    """
-    ds = F.col(partition_col).cast("string")
-
-    def side_hist(rng, name):
-        part = df.where((ds >= rng[0]) & (ds <= rng[1]))
-        return column_sketches(part, partition_col, columns, alpha).groupBy(
-            "column", "bucket"
-        ).agg(F.sum("count").alias(name))
-
-    b = side_hist(baseline, "b_cnt")
-    c = side_hist(current, "c_cnt")
-    both = (
-        b.join(c, on=["column", "bucket"], how="full")
-        .select(
-            "column",
-            "bucket",
-            F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
-            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
-        )
+    """Value-count histograms for string/categorical columns in ONE pass:
+    (ds, column, bucket, count) with the VALUE as the bucket (reference
+    drift summaries keep value histograms for categorical features)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("bucket"),
+            )
+            for c in columns
+        ]
     )
-    w = {"b_tot": F.sum("b_cnt"), "c_tot": F.sum("c_cnt")}
+    return (
+        df.select(F.col(partition_col).cast("string").alias("ds"), F.explode(entries).alias("e"))
+        .select("ds", "e.column", "e.bucket")
+        .where(F.col("bucket").isNotNull())
+        .groupBy("ds", "column", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _distance_fold(both: DataFrame, psi_eps: float) -> DataFrame:
+    """JSD / PSI / Hellinger over (column, bucket, b_cnt, c_cnt) rows —
+    bucket type is irrelevant (DDSketch index or categorical value)."""
     from pyspark.sql import Window as W
 
     win = W.partitionBy("column")
-    both = both.withColumn("b_tot", w["b_tot"].over(win)).withColumn(
-        "c_tot", w["c_tot"].over(win)
+    both = both.withColumn("b_tot", F.sum("b_cnt").over(win)).withColumn(
+        "c_tot", F.sum("c_cnt").over(win)
     )
     p = F.col("b_cnt").cast("double") / F.col("b_tot")
     q = F.col("c_cnt").cast("double") / F.col("c_tot")
@@ -257,3 +240,67 @@ def drift_distances(
         F.sum("__psi_term").alias("psi"),
         F.sqrt(F.greatest(F.lit(0.0), 1.0 - F.sum("__bc_term"))).alias("hellinger"),
     )
+
+
+def drift_distances(
+    df: DataFrame,
+    partition_col: str,
+    baseline: tuple,
+    current: tuple,
+    columns: Optional[list] = None,
+    categorical_columns: Optional[list] = None,
+    alpha: float = DEFAULT_ALPHA,
+    psi_eps: float = 1e-6,
+) -> DataFrame:
+    """Sketch-based distribution distances per column between two ranges
+    (reference stats/drift/Expressions.scala: Jensen-Shannon divergence,
+    Population Stability Index, Hellinger distance — all computed between
+    the stored summary sketches, never the raw rows).
+
+    Numeric ``columns`` reduce to DDSketch bucket histograms;
+    ``categorical_columns`` to value-count histograms (the reference's
+    categorical summaries). The distances fold over the union of buckets:
+    - ``jsd``        0.5*KL(p||m) + 0.5*KL(q||m), m=(p+q)/2 (0*ln0 := 0),
+    - ``psi``        sum((p-q)*ln(p/q)) with ``psi_eps`` substituted for
+                     empty buckets (the standard PSI zero-handling),
+    - ``hellinger``  sqrt(1 - sum(sqrt(p*q))).
+
+    Output: (column, baseline_rows, current_rows, jsd, psi, hellinger) —
+    a handful of rows regardless of input size. The whole job is two
+    map-side-combined aggregations per side + one tiny-table fold; no
+    exact percentile, no driver collect.
+    """
+    ds = F.col(partition_col).cast("string")
+
+    def side(rng):
+        return df.where((ds >= rng[0]) & (ds <= rng[1]))
+
+    def both_of(hist_fn, cols) -> DataFrame:
+        b = hist_fn(side(baseline), partition_col, cols).groupBy("column", "bucket").agg(
+            F.sum("count").alias("b_cnt")
+        )
+        c = hist_fn(side(current), partition_col, cols).groupBy("column", "bucket").agg(
+            F.sum("count").alias("c_cnt")
+        )
+        return (
+            b.join(c, on=["column", "bucket"], how="full")
+            .select(
+                "column",
+                F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+                F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+            )
+        )
+
+    outs = []
+    if columns:
+        sk = lambda part, pc, cols: column_sketches(part, pc, cols, alpha)  # noqa: E731
+        outs.append(_distance_fold(both_of(sk, columns), psi_eps))
+    if categorical_columns:
+        outs.append(
+            _distance_fold(both_of(categorical_histograms, categorical_columns), psi_eps)
+        )
+    assert outs, "drift_distances needs columns and/or categorical_columns"
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -480,3 +480,32 @@ def test_benchmark_contamination(spark):
     assert got.loc[3, "contaminated"]  # eval 4-grams appear verbatim
     kept = decontaminate(corpus, eval_df, "doc_id", k=4).toPandas()
     assert set(kept.doc_id) == {2}
+
+
+def test_rebalance_sample_hits_target_mix(spark):
+    from chronon_spark.operators.sampling import rebalance_sample
+
+    df = (
+        spark.range(0, 30_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "domain",
+            F.when(F.col("doc_id") % 10 < 7, "common.com")  # 70%
+            .when(F.col("doc_id") % 10 < 9, "mid.org")      # 20%
+            .otherwise("rare.net"),                          # 10%
+        )
+    )
+    out = rebalance_sample(
+        df, "domain", {"common.com": 1.0, "rare.net": 1.0}, "doc_id", seed=3
+    ).toPandas()
+    mix = out.groupby("domain").size()
+    # rare.net is the binding group: kept whole; common.com downsampled to
+    # match 1:1; mid.org (absent from the mix) dropped entirely
+    assert "mid.org" not in mix.index
+    assert mix["rare.net"] == 3000
+    assert abs(mix["common.com"] - 3000) < 250  # hash-sample variance
+    # determinism across partitionings
+    out2 = rebalance_sample(
+        df.repartition(13), "domain", {"common.com": 1.0, "rare.net": 1.0}, "doc_id", seed=3
+    ).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
