@@ -954,6 +954,65 @@ FROM ranked WHERE rank <= {TOPK_K}
 # Sawtooth (hopped Catalyst) as-of path — the 100 TB scale plan
 # ---------------------------------------------------------------------------
 
+def q_chained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source.JoinSource batch chaining (GroupBy.scala:412-477): a parent
+    Join's PIT feature (7d count per user at every event) feeds a
+    downstream GroupBy (running average of that feature). The oracle
+    nests the two as-of computations in SQL."""
+    from chronon_spark.api.types import (
+        Aggregation, GroupBy, Join, JoinPart, JoinSource, Operation, Query, Window,
+    )
+    from chronon_spark.operators.asof_join import group_by_asof
+
+    src = _events_source(sf_dir, cents=True)
+    parent_gb = GroupBy(
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),),
+        name="p",
+    )
+    parent = Join(left=src, join_parts=(JoinPart(parent_gb),), name="parent_join")
+    child_gb = GroupBy(
+        sources=(
+            JoinSource(
+                join=parent,
+                query=Query(
+                    selects={"user_id": "user_id", "cnt7": "p_value_count_7d"}
+                ),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("cnt7", Operation.AVERAGE),),
+        name="chained",
+    )
+    out = group_by_asof(spark, child_gb, _event_queries(spark, sf_dir))
+    return out.select(
+        "user_id", "ts", _r6(F.col("cnt7_average")).alias("cnt7_average")
+    )
+
+
+_CHAINED_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+pts AS (SELECT DISTINCT user_id, ts FROM ev),
+feat AS (
+  SELECT q.user_id, q.ts,
+     count(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS cnt7
+  FROM pts q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+  GROUP BY q.user_id, q.ts
+),
+parent AS (
+  SELECT ev.user_id, ev.ts, f.cnt7
+  FROM ev JOIN feat f ON ev.user_id = f.user_id AND ev.ts = f.ts
+),
+child AS (
+  SELECT q.user_id, q.ts, round(avg(p.cnt7), 6) AS cnt7_average
+  FROM pts q LEFT JOIN parent p ON p.user_id = q.user_id AND p.ts <= q.ts
+  GROUP BY q.user_id, q.ts
+)
+SELECT * FROM child
+"""
+
+
 def q_asof_sawtooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
     from chronon_spark.operators.asof_hopped import group_by_asof_hopped
@@ -2935,6 +2994,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "asof_sawtooth": q_asof_sawtooth,
+        "chained_join": q_chained_join,
         "snapshot_join": q_snapshot_join,
         "entity_snapshot": q_entity_snapshot,
         "staging_q1": q_staging_q1,
@@ -2996,6 +3056,7 @@ def _raw_oracles() -> dict[str, str]:
         "doc_stats": _doc_stats_oracle(),
         "embedding_topk": _TOPK_ORACLE,
         "asof_sawtooth": _SAWTOOTH_ORACLE,
+        "chained_join": _CHAINED_ORACLE,
         "snapshot_join": _SNAPSHOT_JOIN_ORACLE,
         "entity_snapshot": _ENTITY_SNAPSHOT_ORACLE,
         "staging_q1": _STAGING_Q1_ORACLE,

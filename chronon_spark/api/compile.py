@@ -227,7 +227,22 @@ def _source_semantics(source, key_columns) -> list:
         table, mutation, cumulative, q = (
             source.snapshot_table, source.mutation_table or "", "", source.query,
         )
-    else:  # ModelTransforms / JoinSource-like: hash the inner sources + models
+    elif isinstance(source, TY.JoinSource):
+        # chained source: the parent join's identity is its name + left
+        # semantics + every part's column hashes (a parent change flows
+        # into every downstream column hash)
+        comps = [f"join_source:{source.join.name}", f"table:{source.table or ''}"]
+        comps += _source_semantics(source.join.left, key_columns)
+        for jp in source.join.join_parts:
+            comps.append(
+                f"part:{jp.full_prefix()}="
+                + ",".join(sorted(group_by_column_hashes(jp.group_by).values()))
+            )
+        selects = source.query.selects or {}
+        for k in sorted(key_columns or []):
+            comps.append(f"select:{k}={selects.get(k, k)}")
+        return sorted(comps)
+    else:  # ModelTransforms-like: hash the inner sources + models
         comps = []
         for s in getattr(source, "sources", ()):
             comps += _source_semantics(s, key_columns)

@@ -241,7 +241,7 @@ class EntitySource:
     mutation_table: Optional[str] = None
 
 
-Source = object  # EventSource | EntitySource
+Source = object  # EventSource | EntitySource | JoinSource | ModelTransforms
 
 
 @dataclass(frozen=True)
@@ -291,6 +291,23 @@ class Join:
     skew_keys: Optional[dict] = None  # key col -> list of hot values to exclude
     derivations: Optional[dict] = None
     row_ids: Optional[tuple] = None
+
+
+@dataclass(frozen=True)
+class JoinSource:
+    """Output of one Join used as the source of a downstream GroupBy —
+    batch chaining (reference: thrift/api.thrift:183-186; the parent join
+    is materialized then substituted, GroupBy.scala:412-477).
+
+    ``table``: optional pre-materialized parent output (a prior backfill);
+    when absent the parent join computes inline for the needed range.
+    ``query`` re-projects the parent's output columns (selects/wheres);
+    the parent's ``ts`` carries through unless query.time_column overrides.
+    """
+
+    join: Join
+    query: Query = Query()
+    table: Optional[str] = None
 
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")

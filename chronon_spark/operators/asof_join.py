@@ -150,6 +150,7 @@ def events_df_for_group_by(
         # event scan (reference Source.ModelTransforms,
         # thrift/api.thrift:188-193; ModelTransformsJob feeds GroupBy
         # backfills the same way)
+        from chronon_spark.api.types import JoinSource
         from chronon_spark.operators.model_transforms import (
             ModelTransforms,
             model_transforms_source,
@@ -157,6 +158,27 @@ def events_df_for_group_by(
 
         if isinstance(s, ModelTransforms):
             return model_transforms_source(spark, s, min_ts=scan_min, max_ts=max_ts)
+        if isinstance(s, JoinSource):
+            # batch chaining (reference GroupBy.scala:412-477: the parent
+            # Join is materialized then substituted as the source table).
+            # A pre-backfilled table short-circuits; otherwise the parent
+            # computes inline, bounded to the lookback-extended range.
+            from dataclasses import replace as _rep
+
+            from chronon_spark.sources.scan import apply_query, load_table
+
+            q = s.query
+            if q.selects and not q.time_column:
+                # the parent output already carries ts — keep it through a
+                # narrowing select unless the query rebinds time itself
+                q = _rep(q, time_column=TS)
+            if s.table is not None:
+                return apply_query(load_table(spark, s.table), q)
+            parent = join_asof(
+                spark, s.join,
+                left_ts_range=(scan_min, max_ts) if (scan_min or max_ts) else None,
+            )
+            return apply_query(parent, q)
         return scan_source(spark, s, min_ts=scan_min, max_ts=max_ts)
 
     dfs = [one(s).select(*need) for s in group_by.sources]

@@ -165,3 +165,92 @@ def test_derivation_star_with_shadowing_alias(spark):
     assert sorted(out.columns) == ["k", "x", "y", "z"]
     r = out.first()
     assert r.x == 20 and r.z == 101 and r.y == 100 and r.k == 1
+
+
+def test_join_source_batch_chaining(spark, tmp_path):
+    """Source.JoinSource: a parent Join's output feeds a downstream
+    GroupBy (reference GroupBy.scala:412-477 materialize-then-substitute).
+    The chained as-of average over the parent's count feature must match
+    a pandas recomputation, and a pre-materialized parent table must give
+    identical results to inline computation."""
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.api.types import (
+        Aggregation,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        JoinSource,
+        Operation,
+        Query,
+        Window,
+    )
+    from chronon_spark.operators.asof_join import group_by_asof, join_asof
+
+    DAY = 86_400_000
+    T0 = 1_704_067_200_000
+    rng = np.random.RandomState(33)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 40, n),
+            "ts": (T0 + rng.randint(0, 20 * DAY, n)).astype(np.int64),
+            "amount": rng.randint(1, 100, n).astype(float),
+        }
+    )
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    src = EventSource(
+        table=path,
+        query=Query(selects={"user_id": "user_id", "amount": "amount"}, time_column="ts"),
+    )
+    parent_gb = GroupBy(
+        sources=(src,),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("amount", Operation.COUNT, windows=(Window.days(7),)),),
+        name="amt",
+    )
+    parent = Join(left=src, join_parts=(JoinPart(parent_gb),), name="parent")
+
+    child_gb = GroupBy(
+        sources=(
+            JoinSource(
+                join=parent,
+                query=Query(selects={
+                    "user_id": "user_id",
+                    "cnt7": "amt_amount_count_7d",
+                }),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("cnt7", Operation.AVERAGE),),
+        name="chained",
+    )
+    q_ts = T0 + 15 * DAY
+    queries = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 2, 3], "ts": [q_ts] * 3})
+    )
+    got = group_by_asof(spark, child_gb, queries).toPandas().set_index("user_id")
+
+    # pandas recomputation of the chain
+    parent_pdf = join_asof(spark, parent).toPandas()
+    for uid in (1, 2, 3):
+        rows = parent_pdf[(parent_pdf.user_id == uid) & (parent_pdf.ts <= q_ts)]
+        exp = rows["amt_amount_count_7d"].astype(float).mean()
+        assert got.loc[uid, "cnt7_average"] == pytest.approx(exp), uid
+
+    # pre-materialized parent table path gives identical output
+    mat = str(tmp_path / "parent_out.parquet")
+    join_asof(spark, parent).write.parquet(mat)
+    from dataclasses import replace
+
+    child2 = replace(
+        child_gb,
+        sources=(replace(child_gb.sources[0], table=mat),),
+    )
+    got2 = group_by_asof(spark, child2, queries).toPandas().set_index("user_id")
+    for uid in (1, 2, 3):
+        assert got2.loc[uid, "cnt7_average"] == got.loc[uid, "cnt7_average"]
