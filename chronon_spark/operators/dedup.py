@@ -356,7 +356,6 @@ def simhash_near_dups(
 def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id).
 
@@ -370,10 +369,10 @@ def duplicate_clusters(
     current labels. Near-dup graphs are a forest of tiny cliques — the
     effective diameter is a few hops, so convergence is typically 2-4
     rounds (the O(log n) worst case only arises on long path graphs,
-    which dedup clusters are not). Lineage is checkpointed with
-    localCheckpoint every ``checkpoint_every`` rounds so a 10^9-edge run
-    does not accumulate an unbounded plan. The per-round convergence
-    check compares label sums (one scalar action — no collect of labels).
+    which dedup clusters are not). Labels are eagerly localCheckpoint-ed
+    every round: they feed TWO consumers per round, so the un-truncated
+    logical plan doubles per round. The per-round convergence check is an
+    exact changed-row probe (isEmpty — no collect of labels).
 
     Reference scope note: the reference stops at pair emission; cluster
     resolution + canonical selection is the part a real curation pipeline
@@ -403,10 +402,14 @@ def duplicate_clusters(
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
+        # localCheckpoint EVERY round: labels feed two consumers per round
+        # (neighbor_min + the join), so an un-truncated logical plan
+        # doubles per round — the digest showed 1300+ exchange NODES in
+        # the analyzed plan after ~10 rounds even with persist (persist
+        # caches execution, not the plan). Eager checkpoint both
+        # materializes (the convergence probe needs it anyway) and cuts
+        # the lineage to one round.
+        new_labels = new_labels.localCheckpoint()
         # convergence: exact, id-type-agnostic — any node whose label
         # changed this round? (isEmpty stops at the first changed row)
         changed = not (

@@ -22,9 +22,35 @@ from chronon_spark.sources.scan import TS, load_table, apply_query
 
 def _source_schema(spark: SparkSession, source) -> T.StructType:
     """Schema of a rendered source WITHOUT scanning data: apply the query
-    to an empty frame with the table's schema (Catalyst analysis only)."""
-    from chronon_spark.api.types import EntitySource, EventSource
+    to an empty frame with the table's/derived schema (Catalyst analysis
+    only — the reference Analyzer/Eval's no-job schema derivation)."""
+    from dataclasses import replace
 
+    from chronon_spark.api.types import EntitySource, EventSource, JoinSource
+    from chronon_spark.operators.model_transforms import ModelTransforms
+
+    if isinstance(source, JoinSource):
+        # chained source: the parent join's DERIVED schema is the table
+        raw_schema = analyze_join(spark, source.join)
+        q = source.query
+        if q.selects and not q.time_column:
+            q = replace(q, time_column=TS)
+        empty = spark.createDataFrame([], raw_schema)
+        return apply_query(empty, q).schema
+    if isinstance(source, ModelTransforms):
+        # inner-source schema + one typed field per model output (the
+        # reference's determineInferenceOutputSchema, no inference run)
+        inner = _source_schema(spark, source.sources[0])
+        fields = [f for f in inner.fields if f.name in set(source.passthrough_fields) | {TS, "ds"}]
+        for m in source.models:
+            # raw value-schema fields; output-mapped expression types
+            # resolve at runtime (the reference also derives from the
+            # model's declared valueSchema here)
+            fields += [
+                T.StructField(f"{m.name}__{f.name}", f.dataType, True)
+                for f in m.value_fields()
+            ]
+        return T.StructType(fields)
     table = source.table if isinstance(source, EventSource) else source.snapshot_table
     raw_schema = load_table(spark, table).schema
     empty = spark.createDataFrame([], raw_schema)

@@ -121,3 +121,73 @@ def test_local_table_exporter(spark, sf_dir, tmp_path):
         rows = list(csv.reader(f))
     assert rows[0][:2] == ["n_nationkey", "n_name"] or "n_nationkey" in rows[0]
     assert len(rows) == 26  # header + 25 nations
+
+
+def test_analyze_group_by_over_join_source(spark, tmp_path):
+    """Schema derivation must work for chained (JoinSource) and
+    model-scored (ModelTransforms) sources without running any job."""
+    import pandas as pd
+
+    from chronon_spark.api.types import (
+        Aggregation, EventSource, GroupBy, Join, JoinPart, JoinSource,
+        Operation, Query, Window,
+    )
+    from chronon_spark.plans.analyzer import analyze_group_by
+
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "amount": [1.0], "ts": [1_704_067_200_000]})
+    ).write.parquet(path)
+    src = EventSource(
+        table=path,
+        query=Query(selects={"user_id": "user_id", "amount": "amount"}, time_column="ts"),
+    )
+    pgb = GroupBy(
+        sources=(src,), key_columns=("user_id",),
+        aggregations=(Aggregation("amount", Operation.COUNT, windows=(Window.days(7),)),),
+        name="p",
+    )
+    parent = Join(left=src, join_parts=(JoinPart(pgb),), name="pj")
+    cgb = GroupBy(
+        sources=(JoinSource(join=parent, query=Query(
+            selects={"user_id": "user_id", "f": "p_amount_count_7d"}
+        )),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("f", Operation.AVERAGE),),
+        name="c",
+    )
+    schema = analyze_group_by(spark, cgb)
+    names = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert names["f_average"] == "double"
+    assert names["user_id"] == "bigint" and names["ts"] == "bigint"
+
+
+def test_analyze_group_by_over_model_transforms(spark, tmp_path):
+    import pandas as pd
+
+    from chronon_spark.api.types import Aggregation, EventSource, GroupBy, Operation, Query
+    from chronon_spark.operators.model_transforms import Model, ModelTransforms
+    from chronon_spark.plans.analyzer import analyze_group_by
+
+    path = str(tmp_path / "ev2.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "amount": [1.0], "ts": [1_704_067_200_000]})
+    ).write.parquet(path)
+    src = EventSource(
+        table=path,
+        query=Query(selects={"user_id": "user_id", "amount": "amount"}, time_column="ts"),
+    )
+    mt = ModelTransforms(
+        sources=(src,),
+        models=(Model(name="m", scorer=lambda x: x, input_mapping={"v": "amount"},
+                      value_schema="score double"),),
+        passthrough_fields=("user_id",),
+    )
+    gb = GroupBy(
+        sources=(mt,), key_columns=("user_id",),
+        aggregations=(Aggregation("m__score", Operation.AVERAGE),),
+        name="ms",
+    )
+    schema = analyze_group_by(spark, gb)
+    names = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert names["m__score_average"] == "double"

@@ -196,3 +196,34 @@ def test_digest_invariants_flagship_and_groupby(spark, tmp_path_factory):
     d2 = bench.plan_digest(gb)
     assert d2["exchanges"] <= 2, d2
     assert d2["python_stages"] == 1, d2
+
+
+def test_digest_invariants_round3_queries(spark):
+    """Pin round-3 query plan shapes: packing is ONE shuffle + one Arrow
+    stage; model inference adds exactly its mapInPandas stages (no
+    row-Python); drift distances stay pure Catalyst; cluster labels come
+    back as a checkpointed scan (bounded plan — the unchecked iterative
+    lineage doubled per round)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    d = bench.plan_digest(qs["pack_sequences"](spark, sf))
+    assert d["exchanges"] <= 1 and d["python_stages"] == 1, d
+
+    d = bench.plan_digest(qs["model_transforms"](spark, sf))
+    assert d["python_stages"] <= 2 and d["exchanges"] <= 2, d
+
+    d = bench.plan_digest(qs["drift_dist"](spark, sf))
+    assert d["python_stages"] == 0, d
+
+    d = bench.plan_digest(qs["dedup_clusters"](spark, sf))
+    assert d["exchanges"] <= 2 and d["python_stages"] == 0, d
+
+    d = bench.plan_digest(qs["decontaminate"](spark, sf))
+    assert d["python_stages"] == 0 and d["broadcast_joins"] >= 1, d
