@@ -227,3 +227,43 @@ def test_digest_invariants_round3_queries(spark):
 
     d = bench.plan_digest(qs["decontaminate"](spark, sf))
     assert d["python_stages"] == 0 and d["broadcast_joins"] >= 1, d
+
+
+def test_round3_ops_parallelism_invariant(spark):
+    """Results must be identical across shuffle-partition settings
+    (the repo's standing probe for every new operator): packing, cluster
+    resolution, sampling, drift distances."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = {}
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in ("pack_sequences", "dedup_clusters", "doc_sample", "drift_dist"):
+                df = qs[name](spark, sf).toPandas()
+                key = sorted(df.columns)
+
+                def norm(v):
+                    # NaN != NaN would false-flag the full-join nulls
+                    import math
+
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        return None
+                    return round(v, 9) if isinstance(v, float) else v
+
+                rows = sorted(
+                    (tuple(norm(x) for x in r)
+                     for r in df[key].itertuples(index=False, name=None)),
+                    key=lambda r: tuple(str(x) for x in r),
+                )
+                outs.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in outs.items():
+        assert a == b, f"{name} differs across shuffle partitionings"
