@@ -115,6 +115,66 @@ def test_minhash_lsh_superset_of_exact(docs):
     assert lsh <= exact
 
 
+def test_ngram_jaccard_prefix_filter_equivalence(docs):
+    """PPJoin-style prefix filtering must return EXACTLY the brute-force
+    inverted-index pairs (it over-generates candidates, then verifies
+    exactly) — at two thresholds, including one low enough to make
+    prefixes several tokens long."""
+    small = docs.where("doc_id < 200")
+    for t in (0.8, 0.35):
+        brute = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                small, "doc_id", threshold=t, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                small, "doc_id", threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pref == brute, f"threshold={t}: {pref ^ brute}"
+
+
+def test_ngram_jaccard_prefix_handles_identical_docs(docs, spark):
+    """Planted exact duplicates (jaccard=1.0) must surface, and tiny docs
+    (single whole-text shingle, prefix length 1) must not crash."""
+    dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 30_000_000)
+    tiny = spark.createDataFrame(
+        [(41_000_000, "hi"), (41_000_001, "hi")], "doc_id long, text string"
+    )
+    d = docs.limit(50).select("doc_id", "text").unionByName(dup.select("doc_id", "text")).unionByName(tiny)
+    out = ngram_jaccard_pairs(d, "doc_id", threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    for r in dup.select("doc_id").collect():
+        assert (r.doc_id - 30_000_000, r.doc_id) in got
+    assert (41_000_000, 41_000_001) in got
+
+
+def test_ngram_jaccard_prefix_boilerplate_bounded(spark):
+    """Docs sharing a boilerplate footer (fat postings lists) must not
+    enter the candidate join: boilerplate shingles have maximal document
+    frequency so they never appear in a rare-first prefix. The brute
+    inverted index OOMs on this shape at 20k docs (see BASELINE.md);
+    prefix filtering stays linear-ish."""
+    boiler = "all rights reserved terms of service apply contact us for details"
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.lit(f"w{i}:"), F.col("id").cast("string")))
+                for i in range(12)
+            ],
+            F.lit(boiler),
+        ).alias("text"),
+    )
+    out = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    # unique 12-word prefixes -> jaccard well below 0.5 for every pair
+    assert out.count() == 0
+
+
 def test_simhash_self_duplicate(docs, spark):
     dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 20_000_000)
     both = docs.where("doc_id < 100").unionByName(dup)
