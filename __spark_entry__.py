@@ -622,6 +622,86 @@ SELECT st.doc_id, st.lang, best.best_doc_id, best.best_lang
 FROM st FULL JOIN best ON st.doc_id = best.best_doc_id
 """
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: membership is a pure function
+    of (seed, doc_id) via integer bucket thresholds — stable across
+    partitionings, appends, and engines."""
+    from chronon_spark.operators.sampling import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return train_val_test_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11
+    ).select("doc_id", "split")
+
+
+_CORPUS_SPLIT_ORACLE = """
+SELECT doc_id,
+   CASE WHEN b < 900000 THEN 'train'
+        WHEN b < 950000 THEN 'val'
+        ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+     CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       % 1000000 AS b
+  FROM documents
+)
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mix (count^alpha target mass,
+    alpha=0.5 — the multilingual pretraining sampling knob): head
+    languages are hash-downsampled toward the damped distribution, the
+    smallest kept whole. Oracle recomputes the per-key acceptance
+    fractions in SQL with the identical FP operations."""
+    from chronon_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", alpha=0.5, id_col="doc_id", seed=13).select(
+        "doc_id", "lang"
+    )
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+raw AS (SELECT lang, pow(c, -0.5) AS r FROM counts),
+fr AS (SELECT lang, least(1.0, r / (SELECT max(r) FROM raw)) AS f FROM raw)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN fr ON d.lang = fr.lang
+WHERE (CAST('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+     % 1000000) < CAST(floor(f * 1000000) AS BIGINT)
+"""
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle without a global sort:
+    shard = hash % 8, pos = hash rank within shard — one shuffle on the
+    shard key + local sort (vs a range-partitioned orderBy over the whole
+    corpus)."""
+    from chronon_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=8, seed=5).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_SHARD_SHUFFLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+     CAST('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+   CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh ASC, doc_id ASC)
+     AS INTEGER) AS pos
+FROM h
+"""
+
+
 _PACK_MAX = 4096
 _PACK_SHARDS = 8
 
@@ -2987,6 +3067,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "doc_sample": q_doc_sample,
+        "corpus_split": q_corpus_split,
+        "temperature_mix": q_temperature_mix,
+        "shard_shuffle": q_shard_shuffle,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "simhash_near_dups": q_simhash_near_dups,
@@ -3048,6 +3131,9 @@ def _raw_oracles() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "doc_sample": _DOC_SAMPLE_ORACLE,
+        "corpus_split": _CORPUS_SPLIT_ORACLE,
+        "temperature_mix": _TEMPERATURE_MIX_ORACLE,
+        "shard_shuffle": _SHARD_SHUFFLE_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "decontaminate": _DECONTAM_ORACLE,
         "simhash_near_dups": _SIMHASH_ORACLE,

@@ -22,11 +22,16 @@ from pyspark.sql import Window as W
 _BUCKETS = 1_000_000
 
 
-def _hash_bucket(id_col: str, seed: int) -> Column:
-    """Deterministic uniform bucket in [0, 1e6) from md5(seed:id) — the
-    same construction the dedup/similarity ops use for portable hashing."""
+def _hash60(id_col: str, seed: int) -> Column:
+    """Deterministic 60-bit hash from md5(seed:id) — the same construction
+    the dedup/similarity ops use for portable hashing."""
     h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _hash_bucket(id_col: str, seed: int) -> Column:
+    """Deterministic uniform bucket in [0, 1e6)."""
+    return _hash60(id_col, seed) % _BUCKETS
 
 
 def hash_sample(
@@ -115,3 +120,84 @@ def rebalance_sample(
     scale = 1.0 / max(raw.values())
     fractions = {k: min(1.0, v * scale) for k, v in raw.items()}
     return stratified_sample(df, key_col, fractions, id_col, seed)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Optional[dict] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named partition by
+    deterministic hash — the standard leakage-safe train/val/test cut
+    (membership is a pure function of (seed, id): stable when the corpus
+    is re-read, re-partitioned, appended to, or processed by another
+    engine). ``weights`` is an ordered {name: relative weight} map
+    (default 90/5/5); cumulative integer bucket thresholds, so the split
+    is exact to 1e-6 and mirrorable in SQL with integer comparisons only.
+    Narrow projection — no shuffle."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    assert len(weights) >= 2
+    total = float(sum(weights.values()))
+    b = _hash_bucket(id_col, seed)
+    names = list(weights)
+    chain = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = b < int(round(acc * _BUCKETS))
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    return df.withColumn("split", chain.otherwise(names[-1]))
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    alpha: float,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source mixing: keep each group with target mass
+    proportional to count^alpha (the multilingual/pretraining mix knob —
+    alpha=1 keeps the natural distribution, alpha=0 targets uniform,
+    alpha in between damps head groups; cf. the sampling temperature in
+    the XLM-R / mT5 papers). Downsample-only: acceptance fraction per key
+    is count^(alpha-1) scaled so the smallest surviving group passes
+    whole. Two passes — one map-side-combined count per key (tiny
+    collect), then one narrow deterministic hash filter."""
+    assert 0.0 <= alpha <= 1.0
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(key_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    raw = {k: float(c) ** (alpha - 1.0) for k, c in counts.items()}
+    # divide (not multiply by a reciprocal): r_k / max_r is the exact FP
+    # operation the SQL oracle performs, so memberships agree bit-for-bit
+    mx = max(raw.values())
+    fractions = {k: min(1.0, v / mx) for k, v in raw.items()}
+    return stratified_sample(df, key_col, fractions, id_col, seed)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle for training order WITHOUT a global
+    sort: shard = hash(id) % n_shards, position = rank of the hash within
+    the shard (ties broken by id). Readers stream shards in index order
+    and rows by position — a reproducible pseudo-random permutation of
+    the corpus whose cost is ONE shuffle on the shard key plus a local
+    sort, instead of a full range-partitioned orderBy. Adds ``shard``
+    and ``pos`` columns."""
+    assert n_shards >= 1
+    h = _hash60(id_col, seed)
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("int")
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h")

@@ -542,6 +542,72 @@ def test_benchmark_contamination(spark):
     assert set(kept.doc_id) == {2}
 
 
+def test_train_val_test_split(spark):
+    from chronon_spark.operators.sampling import train_val_test_split
+
+    df = spark.range(0, 50_000).withColumnRenamed("id", "doc_id")
+    out = train_val_test_split(df, "doc_id", seed=9).toPandas()
+    sizes = out.groupby("split").size()
+    # every row assigned exactly one split; proportions within hash variance
+    assert sizes.sum() == 50_000
+    assert abs(sizes["train"] - 45_000) < 600
+    assert abs(sizes["val"] - 2_500) < 300
+    assert abs(sizes["test"] - 2_500) < 300
+    # stable across partitionings (Bernoulli sample is not)
+    out2 = (
+        train_val_test_split(df.repartition(17), "doc_id", seed=9)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out.sort_values("doc_id").reset_index(drop=True) == out2).all().all()
+
+
+def test_temperature_mix_damps_head_groups(spark):
+    from chronon_spark.operators.sampling import temperature_mix
+
+    df = (
+        spark.range(0, 40_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 20 < 16, "en")   # 80%
+            .when(F.col("doc_id") % 20 < 19, "de")    # 15%
+            .otherwise("sw"),                          # 5%
+        )
+    )
+    # alpha=1: natural distribution — everything kept
+    assert temperature_mix(df, "lang", 1.0, "doc_id").count() == 40_000
+    # alpha=0: uniform target — every group ~ the smallest (2000)
+    uni = temperature_mix(df, "lang", 0.0, "doc_id", seed=5).toPandas()
+    mix = uni.groupby("lang").size()
+    assert mix["sw"] == 2000  # binding group kept whole
+    assert abs(mix["en"] - 2000) < 250 and abs(mix["de"] - 2000) < 250
+    # alpha=0.5: between natural and uniform, order preserved
+    mid = temperature_mix(df, "lang", 0.5, "doc_id", seed=5).toPandas()
+    m = mid.groupby("lang").size()
+    assert m["sw"] == 2000 and 2000 < m["de"] < 6000 and m["en"] > m["de"]
+
+
+def test_shuffle_shards_is_permutation(spark):
+    from chronon_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", n_shards=8, seed=2).toPandas()
+    assert len(out) == 10_000 and out.doc_id.nunique() == 10_000
+    for s, g in out.groupby("shard"):
+        # positions are contiguous ranks 1..n within each shard
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # the order is shuffled, not id order (vanishingly unlikely otherwise)
+    g0 = out[out.shard == 0].sort_values("pos")
+    assert list(g0.doc_id) != sorted(g0.doc_id)
+    # deterministic across partitionings
+    out2 = shuffle_shards(df.repartition(13), "doc_id", n_shards=8, seed=2).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a == b).all().all()
+
+
 def test_rebalance_sample_hits_target_mix(spark):
     from chronon_spark.operators.sampling import rebalance_sample
 
