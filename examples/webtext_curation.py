@@ -9,7 +9,12 @@ curation job does:
   4. exact-dedup identical texts
   5. quality filtering: doc stats + Gopher repetition rules
   6. near-dup removal with banded MinHash LSH (keep min doc per cluster)
-  7. emit per-stage survivor counts (the pipeline's audit trail)
+  7. benchmark decontamination (8-gram overlap vs a held-out eval set)
+  8. temperature-scaled language mix (count^0.7 target mass)
+  9. leakage-safe train/val/test split; pack the TRAIN split into
+     fixed-token training rows; shard-shuffle the packed bins into a
+     reproducible training order
+ 10. emit per-stage survivor counts (the pipeline's audit trail)
 
 Run:  python examples/webtext_curation.py [n_rows]
 """
@@ -23,8 +28,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def curate(spark: SparkSession, crawl: DataFrame, verbose: bool = True) -> dict:
-    """Returns {"stages": [(name, rows)], "result": DataFrame}."""
+def curate(
+    spark: SparkSession,
+    crawl: DataFrame,
+    eval_set: DataFrame = None,
+    verbose: bool = True,
+) -> dict:
+    """Returns {"stages": [(name, rows)], "result": DataFrame}.
+
+    ``eval_set``: optional (text) benchmark frame to decontaminate
+    against; when None the decontamination stage is skipped."""
     from chronon_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
     from chronon_spark.operators.text_extract import extract_text
     from chronon_spark.operators.textstats import (
@@ -56,10 +69,12 @@ def curate(spark: SparkSession, crawl: DataFrame, verbose: bool = True) -> dict:
         "latest per canonical url",
         docs.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn"),
     )
-    docs = docs.select(F.col("curl").alias("doc_id"), "text").persist()
+    docs = docs.select(F.col("curl").alias("doc_id"), "text", "lang").persist()
 
     # 4. exact dedup of identical normalized texts
-    docs = stage("exact text dedup", exact_dedup(docs, "doc_id").select("doc_id", "text"))
+    docs = stage(
+        "exact text dedup", exact_dedup(docs, "doc_id").select("doc_id", "text", "lang")
+    )
 
     # 5. quality filters
     stats = document_stats(docs, "doc_id").select("doc_id", "quality", "n_tokens")
@@ -69,7 +84,7 @@ def curate(spark: SparkSession, crawl: DataFrame, verbose: bool = True) -> dict:
         docs.join(stats, "doc_id")
         .join(rep, "doc_id")
         .where("quality >= 0.3 AND n_tokens >= 20 AND passes_repetition")
-        .select("doc_id", "text"),
+        .select("doc_id", "text", "lang"),
     )
 
     # 6. near-dup removal: LSH pairs -> connected components -> keep the
@@ -90,27 +105,61 @@ def curate(spark: SparkSession, crawl: DataFrame, verbose: bool = True) -> dict:
         keep_canonical(docs, duplicate_clusters(pairs), "doc_id"),
     ).persist()
 
-    # 7. deterministic downsample (reproducible across runs/partitionings)
-    from chronon_spark.operators.sampling import hash_sample
+    # 7. benchmark decontamination: drop any doc sharing an 8-gram with
+    # the held-out eval set (broadcast semi-join on gram hashes)
+    from chronon_spark.operators.dedup import decontaminate
 
-    docs = stage("hash downsample (90%)", hash_sample(docs, 0.9, "doc_id", seed=11))
+    if eval_set is not None:
+        docs = stage(
+            "benchmark decontamination",
+            decontaminate(docs, eval_set, "doc_id", k=8).persist(),
+        )
+    corpus = docs  # the curated corpus; stages below assemble training data
 
-    # 8. pack into fixed-token training rows
+    # 8. temperature-scaled language mix: head languages damped toward
+    # count^0.7 target mass, smallest kept whole (deterministic hash
+    # membership — reproducible across runs/partitionings)
+    from chronon_spark.operators.sampling import (
+        shuffle_shards,
+        temperature_mix,
+        train_val_test_split,
+    )
+
+    docs = stage(
+        "temperature mix (alpha=0.7)",
+        temperature_mix(docs, "lang", 0.7, "doc_id", seed=23).persist(),
+    )
+
+    # 9. leakage-safe split; only the TRAIN split is packed
+    split = train_val_test_split(docs, "doc_id", seed=29)
+    train = stage("train split (90%)", split.where("split = 'train'"))
+
+    # 10. pack into fixed-token training rows, then shard-shuffle the
+    # packed bins into a reproducible pseudo-random training order
     from chronon_spark.operators.packing import pack_sequences, pack_stats
 
     packed = pack_sequences(
-        docs.selectExpr("doc_id", "length(text) div 4 AS n_tok"),
+        train.selectExpr("doc_id", "length(text) div 4 AS n_tok"),
         "doc_id", "n_tok", max_tokens=4096, n_shards=16,
     )
-    bins = pack_stats(packed, 4096)
-    n_bins = bins.count()
+    bins = pack_stats(packed, 4096).withColumn(
+        "bin_id", F.col("shard").cast("long") * 1_000_000 + F.col("bin")
+    )
+    order = shuffle_shards(bins, "bin_id", n_shards=4, seed=31)
+    n_bins = order.count()
     stages.append(("packed training rows", n_bins))
     if verbose:
         fill = bins.agg(F.avg("fill_ratio")).first()[0]
         print(f"  {'packed training rows':<28s} {n_bins:>10,d} bins "
-              f"(mean fill {fill:.2f})")
+              f"(mean fill {fill:.2f}; shuffled into 4 read shards)")
 
-    return {"stages": stages, "result": docs, "packed": packed}
+    return {
+        "stages": stages,
+        "result": corpus,
+        "train": train,
+        "packed": packed,
+        "order": order,
+    }
 
 
 def main():
@@ -122,8 +171,10 @@ def main():
                           extra_conf={"spark.ui.enabled": "false"})
     print(f"curating {n:,d} synthetic crawl records:")
     crawl = generate_webtext(spark, n, seed=7, n_domains=max(n // 600, 10))
-    out = curate(spark, crawl)
-    print("final corpus:", out["stages"][-1][1], "documents")
+    # a disjoint held-out "benchmark" set for the decontamination stage
+    eval_set = generate_webtext(spark, 200, seed=99, n_domains=5).select("text")
+    out = curate(spark, crawl, eval_set=eval_set)
+    print("final packed training rows:", out["stages"][-1][1])
 
 
 if __name__ == "__main__":

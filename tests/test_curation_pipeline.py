@@ -79,3 +79,31 @@ def test_curation_stages(spark, planted):
     assert counts == sorted(counts, reverse=True)
     assert stages["latest per canonical url"] < stages["crawl records"]
     assert stages["exact text dedup"] < stages["latest per canonical url"] + 1
+
+    # training-assembly tail: split/pack/shuffle produce a valid order
+    order = out["order"].toPandas()
+    assert stages["packed training rows"] == len(order)
+    for _, g in order.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+
+
+def test_curation_decontamination_stage(spark, planted):
+    """Docs sharing 8-grams with the eval set are dropped; the pipeline
+    with an eval set built FROM the corpus removes those documents."""
+    from webtext_curation import curate
+
+    # eval set = extracted text of a few corpus docs -> guaranteed overlap
+    from chronon_spark.operators.text_extract import extract_text
+
+    eval_set = (
+        planted.limit(3)
+        .select(extract_text(F.col("html")).alias("text"))
+        .where("length(text) > 0")
+    )
+    base = curate(spark, planted, verbose=False)
+    out = curate(spark, planted, eval_set=eval_set, verbose=False)
+    stages = dict(out["stages"])
+    assert "benchmark decontamination" in stages
+    assert stages["benchmark decontamination"] < dict(base["stages"])[
+        "near-dup removal (LSH + CC)"
+    ]
