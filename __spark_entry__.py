@@ -779,6 +779,221 @@ LEFT JOIN hits h ON c.doc_id = h.doc_id
 """
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-INTERNAL exact-substring duplication at doc granularity
+    (Lee et al. 2022 ExactSubstr signal): per doc, how many of its
+    normalized word 8-grams appear in >= 2 documents."""
+    from chronon_spark.operators.dedup import duplicated_span_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_span_flags(docs, "doc_id", k=8).select(
+        "id", "n_spans", "n_dup_spans", "dup_span_frac", "flagged"
+    )
+
+
+_DUP_SPANS_ORACLE = r"""
+WITH nt AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+c AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w FROM nt),
+g AS (
+  SELECT doc_id,
+     unnest(CASE WHEN len(w) >= 8
+            THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                for i in generate_series(1, len(w) - 7)])
+            ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM c
+),
+gh AS (SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h FROM g),
+dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+per AS (SELECT doc_id, count(*) AS n_spans FROM gh GROUP BY doc_id),
+dupd AS (
+  SELECT gh.doc_id, count(*) AS n_dup FROM gh JOIN dup USING (h) GROUP BY gh.doc_id
+)
+SELECT p.doc_id AS id, p.n_spans, COALESCE(d.n_dup, 0) AS n_dup_spans,
+   CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_spans AS dup_span_frac,
+   COALESCE(d.n_dup, 0) > 0 AS flagged
+FROM per p LEFT JOIN dupd d ON p.doc_id = d.doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with deterministically PLANTED PII (the
+    testdata documents carry none): every doc gets an email + phone
+    appended, every 7th an IPv4, every 11th a card number — so the
+    cascade's counts and the redacted text are all exercised. The oracle
+    evaluates the IDENTICAL RE2-safe pattern list (chronon_spark
+    operators/pii.py builds both sides from one table)."""
+    from chronon_spark.operators.pii import pii_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+            F.when(
+                F.pmod(F.col("doc_id"), 7) == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    F.pmod(F.col("doc_id"), 256).cast("string"),
+                    F.lit("."),
+                    F.pmod(F.col("doc_id"), 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(F.col("doc_id"), 11) == 0,
+                F.lit(" card 4012-8888-8888-1881"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(planted, "doc_id")
+
+
+def _pii_oracle() -> str:
+    from chronon_spark.operators.pii import pii_oracle_sql
+
+    planted = """
+planted AS (
+  SELECT doc_id,
+     text || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com or 555-123-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          || CASE WHEN doc_id % 7 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN doc_id % 11 = 0
+                  THEN ' card 4012-8888-8888-1881' ELSE '' END AS text
+  FROM documents
+)"""
+    body = pii_oracle_sql(table="planted")
+    # splice the planted CTE in front of the generated WITH
+    return body.replace("WITH c AS", f"WITH {planted},\nc AS", 1)
+
+
+KMEANS_K, KMEANS_ITERS, SEMDEDUP_THRESHOLD = 8, 3, 0.35
+
+
+def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table (deterministic
+    md5-order init, integer-quantized update sums, 1e-6-rounded argmax
+    assignment). The oracle replays every iteration as unrolled CTEs."""
+    from chronon_spark.operators.clustering import kmeans_cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_cluster(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return out.select(F.col("id").alias("vec_id"), "cell", "sim")
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled-Lloyd CTE chain shared by the kmeans + semdedup oracles.
+
+    Exactness story (why a float-iterative algorithm can hash-match):
+    vectors quantized to BIGINT 1e-6 units -> iteration-1 cosines are
+    sums of integer-valued doubles < 2^53 (exact, order-free); centroid
+    updates are exact integer sums / counts; later cosines round to 1e-6
+    before argmax, absorbing sub-quantum float noise."""
+    cos = (
+        "floor((list_sum(list_transform(range(1, len(q.qv)+1),"
+        " j -> CAST(q.qv[j] AS DOUBLE) * c.cv[j]))"
+        " / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.cv, x -> x * x))))) * 1000000 + 0.5)"
+        " / 1000000"
+    )
+    parts = [
+        """q0 AS (
+  SELECT vec_id,
+     list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell,
+         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM q0
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) <= %d
+)""" % k
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""score{i} AS (
+  SELECT q.vec_id, c.cell, {cos} AS s
+  FROM q0 q CROSS JOIN cent{i - 1} c
+),
+assign{i} AS (
+  SELECT vec_id, cell FROM score{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+),
+upd{i} AS (
+  SELECT cell, pos, CAST(SUM(qq) AS DOUBLE) / COUNT(*) AS v
+  FROM (SELECT a.cell, unnest(q.qv) AS qq, unnest(range(1, len(q.qv)+1)) AS pos
+        FROM assign{i} a JOIN q0 q USING (vec_id))
+  GROUP BY cell, pos
+),
+cent{i} AS (
+  SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
+  FROM cent{i - 1} c
+  LEFT JOIN (SELECT cell, list(v ORDER BY pos) AS cv
+             FROM upd{i} GROUP BY cell) u USING (cell)
+)""")
+    parts.append(f"""scoref AS (
+  SELECT q.vec_id, c.cell, {cos} AS s
+  FROM q0 q CROSS JOIN cent{iters} c
+),
+assignf AS (
+  SELECT vec_id, cell, s FROM scoref
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+)""")
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+        + "\nSELECT vec_id, cell, s AS sim FROM assignf"
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-dup pairs WITHIN k-means clusters only —
+    the cluster blocks bound the pair join (vs all-pairs cosine)."""
+    from chronon_spark.operators.clustering import semdedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup_pairs(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
+    )
+    return out.select("id_a", "id_b", "cell", "cosine")
+
+
+def _semdedup_oracle() -> str:
+    pair_dot = (
+        "list_sum(list_transform(range(1, len(x.qv)+1),"
+        " j -> CAST(x.qv[j] AS DOUBLE) * CAST(y.qv[j] AS DOUBLE)))"
+    )
+    return (
+        "WITH "
+        + _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+        + f""",
+src AS (
+  SELECT a.vec_id, a.cell, q.qv,
+     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+  FROM assignf a JOIN q0 q USING (vec_id)
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cell AS cell,
+     floor(({pair_dot} / (x.nn * y.nn)) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM src x JOIN src y ON x.cell = y.cell AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cell, cosine FROM pairs WHERE cosine >= {SEMDEDUP_THRESHOLD}"""
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.dedup import simhash_near_dups
 
@@ -3072,6 +3287,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "duplicated_spans": q_duplicated_spans,
+        "pii_redact": q_pii_redact,
+        "kmeans_cluster": q_kmeans_cluster,
+        "semdedup": q_semdedup,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "embedding_topk": q_embedding_topk,
@@ -3136,6 +3355,10 @@ def _raw_oracles() -> dict[str, str]:
         "shard_shuffle": _SHARD_SHUFFLE_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "decontaminate": _DECONTAM_ORACLE,
+        "duplicated_spans": _DUP_SPANS_ORACLE,
+        "pii_redact": _pii_oracle(),
+        "kmeans_cluster": _kmeans_oracle(),
+        "semdedup": _semdedup_oracle(),
         "simhash_near_dups": _SIMHASH_ORACLE,
         "webtext_flagship": _WEBTEXT_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

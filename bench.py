@@ -201,6 +201,11 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
 
     from chronon_spark.operators import dedup, textstats
 
+    def _pii(d):
+        from chronon_spark.operators.pii import pii_scan
+
+        return pii_scan(d, "doc_id")
+
     docs = spark.read.parquet(path).select(
         F.col("url").alias("doc_id"), "text"
     ).persist()
@@ -226,6 +231,8 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
                 docs, "doc_id", n_hashes=16, bands=4, verify_threshold=0.4
             ),
         ),
+        ("pii_scan", lambda: _pii(docs)),
+        ("duplicated_spans", lambda: dedup.duplicated_span_flags(docs, "doc_id", k=8)),
     ]
     out = dict(run(n, f) for n, f in ops)
     docs.unpersist()
@@ -253,6 +260,10 @@ HEADLINE = [
     "model_transforms",
     "consistency",
     "decontaminate",
+    "duplicated_spans",
+    "pii_redact",
+    "kmeans_cluster",
+    "semdedup",
 ]
 
 

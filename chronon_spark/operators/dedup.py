@@ -30,6 +30,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition expression-heavy inputs UP to the session's default
+    parallelism when the scan delivered fewer partitions (one small
+    parquet file -> one task doing all the shingling/regex work while 31
+    cores idle — measured 38 s -> 1.5 s on duplicated_span_flags at
+    sf0.1). A no-op when the input is already at least that wide, so at
+    real scale (thousands of splits) no extra shuffle is introduced."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def norm_text(col: str = "text") -> Column:
     """Normalization used before exact dedup: lowercase, collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
@@ -533,6 +546,71 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return corpus.join(losers, on=id_col, how="left_anti")
+
+
+def duplicated_span_flags(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CORPUS-INTERNAL exact-substring duplication at document granularity
+    (the published ExactSubstr signal — Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — which their suffix-array
+    pass detects at span granularity; here each doc reports how much of it
+    is an exact k-token span shared with OTHER documents).
+
+    -> (id, n_spans, n_dup_spans, dup_span_frac, flagged) per document.
+
+    Unlike near-dup LSH (whole-doc similarity) this catches the
+    boilerplate/licence/navigation spans that repeat across otherwise
+    unrelated pages — the dominant duplication mode in web corpora.
+
+    Scale shape: distinct k-gram 60-bit hashes per doc (one projection),
+    one map-side-combined groupBy for document frequency, one shuffle
+    join back, one map-side-combined per-doc count. Text is normalized
+    first so cosmetic whitespace/case differences don't hide duplication.
+    Gram-hash collisions only ADD flags at ~2^-60 — conservative in the
+    safe direction for dedup.
+    """
+    corpus = ensure_parallelism(corpus)
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    grams = (
+        corpus.select(
+            F.col(id_col).alias("id"), norm_text(text_col).alias("__nt")
+        )
+        .select("id", F.explode(shingles("__nt", k)).alias("g"))
+        .select("id", gh.alias("gh"))
+        .persist()
+    )
+    # shingles() emits distinct grams per doc, so count(1) = doc frequency
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+        .where(F.col("df_g") >= min_docs)
+        .select("gh")
+    )
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_per_doc = (
+        grams.join(dup, on="gh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    out = (
+        per_doc.join(dup_per_doc, on="id", how="left")
+        .select(
+            "id",
+            "n_spans",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+        .withColumn("flagged", F.col("n_dup_spans") > 0)
+    )
+    return out
 
 
 def benchmark_contamination(
