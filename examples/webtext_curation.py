@@ -8,13 +8,16 @@ curation job does:
   3. keep the latest crawl per canonical url (as-of dedup by url)
   4. exact-dedup identical texts
   5. quality filtering: doc stats + Gopher repetition rules
-  6. near-dup removal with banded MinHash LSH (keep min doc per cluster)
-  7. benchmark decontamination (8-gram overlap vs a held-out eval set)
-  8. temperature-scaled language mix (count^0.7 target mass)
-  9. leakage-safe train/val/test split; pack the TRAIN split into
+  6. PII redaction in place (email/card/SSN/IP/phone cascade)
+  7. duplicated-span filter (ExactSubstr doc signal: drop docs that are
+     mostly exact 8-gram spans shared with other docs)
+  8. near-dup removal with banded MinHash LSH (keep min doc per cluster)
+  9. benchmark decontamination (8-gram overlap vs a held-out eval set)
+ 10. temperature-scaled language mix (count^0.7 target mass)
+ 11. leakage-safe train/val/test split; pack the TRAIN split into
      fixed-token training rows; shard-shuffle the packed bins into a
      reproducible training order
- 10. emit per-stage survivor counts (the pipeline's audit trail)
+ 12. emit per-stage survivor counts (the pipeline's audit trail)
 
 Run:  python examples/webtext_curation.py [n_rows]
 """
@@ -87,7 +90,34 @@ def curate(
         .select("doc_id", "text", "lang"),
     )
 
-    # 6. near-dup removal: LSH pairs -> connected components -> keep the
+    # 6. PII redaction in place (same row count — audit-trail stage):
+    # training text must not ship raw emails/cards/SSNs/IPs/phones
+    from chronon_spark.operators.pii import pii_scan
+
+    red = pii_scan(docs, "doc_id").select("doc_id", "redacted")
+    docs = stage(
+        "pii redaction (in place)",
+        docs.join(red, "doc_id").select(
+            "doc_id", F.col("redacted").alias("text"), "lang"
+        ),
+    )
+
+    # 7. duplicated-span filter: drop docs that are MOSTLY exact 8-gram
+    # spans shared with other docs (boilerplate/licence pages survive
+    # whole-doc near-dup checks but still poison training data)
+    from chronon_spark.operators.dedup import duplicated_span_flags
+
+    spans = duplicated_span_flags(docs, "doc_id", k=8).select(
+        F.col("id").alias("doc_id"), "dup_span_frac"
+    )
+    docs = stage(
+        "duplicated-span filter (<=50%)",
+        docs.join(spans, "doc_id")
+        .where("dup_span_frac <= 0.5")
+        .select("doc_id", "text", "lang"),
+    )
+
+    # 8. near-dup removal: LSH pairs -> connected components -> keep the
     # canonical (min-id) document per cluster. Dropping id_b per pair
     # would over-drop under transitive chains (a~b, b~c keeps only a
     # correct set when resolved as ONE cluster).
@@ -105,7 +135,7 @@ def curate(
         keep_canonical(docs, duplicate_clusters(pairs), "doc_id"),
     ).persist()
 
-    # 7. benchmark decontamination: drop any doc sharing an 8-gram with
+    # 9. benchmark decontamination: drop any doc sharing an 8-gram with
     # the held-out eval set (broadcast semi-join on gram hashes)
     from chronon_spark.operators.dedup import decontaminate
 
@@ -116,7 +146,7 @@ def curate(
         )
     corpus = docs  # the curated corpus; stages below assemble training data
 
-    # 8. temperature-scaled language mix: head languages damped toward
+    # 10. temperature-scaled language mix: head languages damped toward
     # count^0.7 target mass, smallest kept whole (deterministic hash
     # membership — reproducible across runs/partitionings)
     from chronon_spark.operators.sampling import (
@@ -130,11 +160,11 @@ def curate(
         temperature_mix(docs, "lang", 0.7, "doc_id", seed=23).persist(),
     )
 
-    # 9. leakage-safe split; only the TRAIN split is packed
+    # 11. leakage-safe split; only the TRAIN split is packed
     split = train_val_test_split(docs, "doc_id", seed=29)
     train = stage("train split (90%)", split.where("split = 'train'"))
 
-    # 10. pack into fixed-token training rows, then shard-shuffle the
+    # 12. pack into fixed-token training rows, then shard-shuffle the
     # packed bins into a reproducible pseudo-random training order
     from chronon_spark.operators.packing import pack_sequences, pack_stats
 

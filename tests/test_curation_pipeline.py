@@ -92,15 +92,10 @@ def test_curation_decontamination_stage(spark, planted):
     with an eval set built FROM the corpus removes those documents."""
     from webtext_curation import curate
 
-    # eval set = extracted text of a few corpus docs -> guaranteed overlap
-    from chronon_spark.operators.text_extract import extract_text
-
-    eval_set = (
-        planted.limit(3)
-        .select(extract_text(F.col("html")).alias("text"))
-        .where("length(text) > 0")
-    )
+    # eval set = the text of a doc that SURVIVES the base pipeline ->
+    # guaranteed 8-gram overlap with the corpus fed to decontamination
     base = curate(spark, planted, verbose=False)
+    eval_set = base["result"].select("text").limit(1)
     out = curate(spark, planted, eval_set=eval_set, verbose=False)
     stages = dict(out["stages"])
     assert "benchmark decontamination" in stages

@@ -228,6 +228,22 @@ def test_digest_invariants_round3_queries(spark):
     d = bench.plan_digest(qs["decontaminate"](spark, sf))
     assert d["python_stages"] == 0 and d["broadcast_joins"] >= 1, d
 
+    # PII is a pure projection: no shuffle may ever appear
+    d = bench.plan_digest(qs["pii_redact"](spark, sf))
+    assert d["exchanges"] == 0 and d["python_stages"] == 0, d
+
+    # internal span dedup: bounded shuffles, no Python
+    d = bench.plan_digest(qs["duplicated_spans"](spark, sf))
+    assert d["exchanges"] <= 4 and d["python_stages"] == 0, d
+
+    # k-means assignment rides literal centroids: zero joins, zero Python
+    d = bench.plan_digest(qs["kmeans_cluster"](spark, sf))
+    assert d["exchanges"] == 0 and d["python_stages"] == 0, d
+    assert d["sort_merge_joins"] == 0 and d["broadcast_joins"] == 0, d
+
+    d = bench.plan_digest(qs["semdedup"](spark, sf))
+    assert d["exchanges"] <= 3 and d["python_stages"] == 0, d
+
 
 def test_round3_ops_parallelism_invariant(spark):
     """Results must be identical across shuffle-partition settings
@@ -245,7 +261,15 @@ def test_round3_ops_parallelism_invariant(spark):
     try:
         for parts in ("3", "17"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            for name in ("pack_sequences", "dedup_clusters", "doc_sample", "drift_dist"):
+            for name in (
+                "pack_sequences",
+                "dedup_clusters",
+                "doc_sample",
+                "drift_dist",
+                "duplicated_spans",
+                "kmeans_cluster",
+                "semdedup",
+            ):
                 df = qs[name](spark, sf).toPandas()
                 key = sorted(df.columns)
 
