@@ -779,6 +779,97 @@ LEFT JOIN hits h ON c.doc_id = h.doc_id
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: the new batch (doc_id % 3 != 0) deduped
+    against the existing snapshot (doc_id % 3 == 0) — exact hash anti-join
+    + banded-MinHash collisions verified at Jaccard >= 0.85. Output: the
+    surviving new doc ids."""
+    from chronon_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap = docs.where("doc_id % 3 = 0")
+    new = docs.where("doc_id % 3 != 0")
+    out = incremental_dedup(
+        new, snap, "doc_id", snapshot_id_col="doc_id", jaccard_threshold=0.85
+    )
+    return out.select("doc_id")
+
+
+def _incremental_oracle() -> str:
+    from chronon_spark.operators.dedup import minhash_params
+
+    mixes = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(({a} * (h & 1073741823)"
+        f" + (({a} * (h >> 30)) & 1073741823) * 1073741824)"
+        f" & 1152921504606846975, {c}::BIGINT)))"
+        for a, c in minhash_params(16)
+    )
+    return f"""
+WITH s AS ({_DUCK_SHINGLES}),
+hashed AS (
+  SELECT doc_id, sh,
+     list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+  FROM s
+),
+sig AS (SELECT doc_id, sh, [{mixes}] AS sg FROM hashed),
+banded AS (
+  SELECT doc_id,
+         unnest(range(0, 4)) AS band,
+         unnest([md5(array_to_string(sg[b*4+1:b*4+4], ',')) for b in range(0, 4)]) AS bucket
+  FROM sig
+),
+ex AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+  FROM documents
+),
+surv AS (
+  SELECT e.doc_id FROM ex e WHERE e.doc_id % 3 <> 0
+  AND NOT EXISTS (SELECT 1 FROM ex p WHERE p.doc_id % 3 = 0 AND p.hh = e.hh)
+),
+dup AS (
+  SELECT DISTINCT a.doc_id
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN surv sv ON sv.doc_id = a.doc_id
+  JOIN s sa ON sa.doc_id = a.doc_id
+  JOIN s sb ON sb.doc_id = b.doc_id
+  WHERE b.doc_id % 3 = 0
+    AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.85
+)
+SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM scoring: per-doc mean negative log-prob
+    under a self-trained unigram LM (per-token -logp quantized to 1e-6
+    units so the per-doc aggregate is exact integer arithmetic)."""
+    from chronon_spark.operators.textstats import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob_score(docs, "doc_id")
+
+
+_UNIGRAM_ORACLE = r"""
+WITH nt AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM nt),
+c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+q AS (
+  SELECT tk.doc_id,
+     CAST(floor((-(ln(CAST(c.c AS DOUBLE)) - ln(tot.n))) * 1000000 + 0.5) AS BIGINT) AS qn
+  FROM tk JOIN c USING (token) CROSS JOIN tot
+)
+SELECT doc_id AS id, count(*) AS n_tokens,
+   CAST(sum(qn) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_neg_logp
+FROM q GROUP BY doc_id
+"""
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-INTERNAL exact-substring duplication at doc granularity
     (Lee et al. 2022 ExactSubstr signal): per doc, how many of its
@@ -3288,6 +3379,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "duplicated_spans": q_duplicated_spans,
+        "incremental_dedup": q_incremental_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "pii_redact": q_pii_redact,
         "kmeans_cluster": q_kmeans_cluster,
         "semdedup": q_semdedup,
@@ -3356,6 +3449,8 @@ def _raw_oracles() -> dict[str, str]:
         "pack_sequences": _PACK_ORACLE,
         "decontaminate": _DECONTAM_ORACLE,
         "duplicated_spans": _DUP_SPANS_ORACLE,
+        "incremental_dedup": _incremental_oracle(),
+        "unigram_logprob": _UNIGRAM_ORACLE,
         "pii_redact": _pii_oracle(),
         "kmeans_cluster": _kmeans_oracle(),
         "semdedup": _semdedup_oracle(),

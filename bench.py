@@ -264,6 +264,8 @@ HEADLINE = [
     "pii_redact",
     "kmeans_cluster",
     "semdedup",
+    "incremental_dedup",
+    "unigram_logprob",
 ]
 
 

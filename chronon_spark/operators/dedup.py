@@ -548,6 +548,111 @@ def keep_canonical(
     return corpus.join(losers, on=id_col, how="left_anti")
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    snapshot: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    snapshot_text_col: str = "text",
+    snapshot_id_col: str | None = None,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float | None = 0.85,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus SNAPSHOT — the
+    incremental-crawl shape (every real pipeline re-crawls daily; an
+    all-pairs re-dedup of the whole corpus per day is the thing to avoid).
+
+    Drops new docs that are (a) exact normalized-text matches of any
+    snapshot doc, or (b) banded-MinHash near-dups of a snapshot doc
+    (verified with exact shingle Jaccard when ``jaccard_threshold`` is
+    set; pass None to drop on raw band collision).
+
+    Scale shape: the snapshot side reduces to its exact-hash set and its
+    (band, bucket) signature keys — NO text, NO shingle arrays cross the
+    shuffle for the snapshot; both probes are left_anti joins so the new
+    batch streams once. Signatures on both sides use the same portable
+    md5 mix family as ``minhash_lsh_pairs``. The batch-vs-snapshot join
+    shuffles O(|new| * bands) rows — independent of snapshot text size.
+    """
+    rows_per_band = n_hashes // bands
+    new_docs = ensure_parallelism(new_docs)
+    snapshot = ensure_parallelism(snapshot)
+
+    def _exact_hash(df, tc):
+        return F.md5(norm_text(tc)).alias("__h")
+
+    def _banded(df, idc, tc):
+        base = df.select(F.col(idc).alias("id"), F.explode(shingles(tc, shingle_k)).alias("s"))
+        h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        mins = [
+            F.min(_mix60(h, a, c)).alias(f"m{i}")
+            for i, (a, c) in enumerate(minhash_params(n_hashes))
+        ]
+        sig = base.groupBy("id").agg(*mins).select(
+            "id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
+        )
+        return sig.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # the snapshot needs SOME id to link band collisions to shingle sets
+    # for the verify join (output never references it — results stay
+    # deterministic either way); synthesize one only when absent
+    if snapshot_id_col is None:
+        snapshot = snapshot.withColumn("__sid", F.monotonically_increasing_id())
+        snapshot_id_col = "__sid"
+
+    # (a) exact: anti-join on the snapshot's normalized-text hash set
+    snap_hashes = snapshot.select(_exact_hash(snapshot, snapshot_text_col)).distinct()
+    new_hashed = new_docs.withColumn("__h", _exact_hash(new_docs, text_col))
+    survivors = new_hashed.join(snap_hashes, on="__h", how="left_anti").drop("__h")
+
+    # (b) near-dup: anti-join on banded signature collisions
+    new_banded = _banded(survivors, id_col, text_col)
+    snap_banded = _banded(
+        snapshot.select(
+            F.col(snapshot_id_col).alias("__sid2"),
+            F.col(snapshot_text_col).alias("__st"),
+        ),
+        "__sid2",
+        "__st",
+    ).withColumnRenamed("id", "sid")
+    coll = new_banded.join(snap_banded, on=["band", "bucket"]).select("id", "sid").distinct()
+    if jaccard_threshold is not None:
+        new_sh = survivors.select(
+            F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh_n")
+        )
+        snap_sh = snapshot.select(
+            F.col(snapshot_id_col).alias("sid"),
+            shingles(snapshot_text_col, shingle_k).alias("sh_s"),
+        )
+        inter = F.size(F.array_intersect("sh_n", "sh_s")).cast("double")
+        union = F.size(F.array_union("sh_n", "sh_s")).cast("double")
+        coll = (
+            coll.join(new_sh, "id")
+            .join(snap_sh, "sid")
+            .where(inter / union >= jaccard_threshold)
+            .select("id")
+        )
+    dup_ids = coll.select("id").distinct().withColumnRenamed("id", id_col)
+    return survivors.join(dup_ids, on=id_col, how="left_anti")
+
+
 def duplicated_span_flags(
     corpus: DataFrame,
     id_col: str,

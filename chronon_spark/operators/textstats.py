@@ -296,6 +296,68 @@ def repetition_flags(
 
 
 # ---------------------------------------------------------------------------
+# corpus-statistics language-model scoring (the CCNet-style perplexity
+# filter, reduced to a unigram LM so it stays pure Catalyst + oracle-able)
+# ---------------------------------------------------------------------------
+
+def unigram_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, c): corpus-wide token counts over normalized text — the
+    'training pass' of the unigram LM. One map-side-combined shuffle."""
+    toks = corpus.select(
+        F.explode(F.split(norm_text(text_col), " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str,
+    counts: Optional[DataFrame] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean negative log-probability under a corpus unigram LM
+    -> (id, n_tokens, mean_neg_logp). Lower = more typical text; the
+    published curation move (CCNet, Wenzek et al. 2020) thresholds this
+    to drop gibberish and boilerplate outliers.
+
+    ``counts``: a ``unigram_counts`` table to score AGAINST (e.g. a clean
+    reference slice); defaults to self-training on ``docs``. Unseen
+    tokens floor at count 1.
+
+    Determinism: per-token -logp is quantized to 1e-6 integer units
+    before the per-doc SUM, so the aggregate is exact integer arithmetic
+    — order- and partitioning-independent, and the DuckDB oracle matches
+    bit-for-bit. The LM total is a single driver scalar (one number, not
+    a collect of data).
+    """
+    if counts is None:
+        counts = unigram_counts(docs, text_col)
+    counts = counts.persist()
+    total = counts.agg(F.sum("c")).first()[0]
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    )
+    joined = toks.join(counts, on="token", how="left")
+    neg_logp = -(F.log(F.coalesce(F.col("c"), F.lit(1)).cast("double")) - F.log(F.lit(float(total))))
+    q = F.floor(neg_logp * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        joined.select("id", q.alias("qn"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("qn").alias("__s"))
+        .select(
+            "id",
+            "n_tokens",
+            (
+                F.col("__s").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_neg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (web-corpus dedup-by-url prerequisite)
 # ---------------------------------------------------------------------------
 

@@ -244,6 +244,13 @@ def test_digest_invariants_round3_queries(spark):
     d = bench.plan_digest(qs["semdedup"](spark, sf))
     assert d["exchanges"] <= 3 and d["python_stages"] == 0, d
 
+    # snapshot dedup: filters push to the scan, no Python anywhere
+    d = bench.plan_digest(qs["incremental_dedup"](spark, sf))
+    assert d["python_stages"] == 0 and d["has_pushed_filters"], d
+
+    d = bench.plan_digest(qs["unigram_logprob"](spark, sf))
+    assert d["exchanges"] <= 3 and d["python_stages"] == 0, d
+
 
 def test_round3_ops_parallelism_invariant(spark):
     """Results must be identical across shuffle-partition settings
@@ -269,6 +276,8 @@ def test_round3_ops_parallelism_invariant(spark):
                 "duplicated_spans",
                 "kmeans_cluster",
                 "semdedup",
+                "incremental_dedup",
+                "unigram_logprob",
             ):
                 df = qs[name](spark, sf).toPandas()
                 key = sorted(df.columns)
