@@ -1,0 +1,131 @@
+"""Streaming curation: stream results must match the batch operators."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_crawl(spark, tmp_path, rows):
+    src = str(tmp_path / "crawl")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms", utc=True).dt.tz_localize(None)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).toPandas()
+
+
+def test_stream_dedup_exact_one_per_hash(spark, tmp_path):
+    from chronon_spark.streaming.curation import stream_dedup_exact
+
+    t0 = 1_700_000_000_000
+    rows = [
+        (1, t0 + 1000, "the same page text body"),
+        (2, t0 + 2000, "the same page text body"),      # dup (later)
+        (3, t0 + 3000, "a different page entirely"),
+        (4, t0 + 4000, "The  Same   page TEXT body"),   # dup after normalize
+    ]
+    src = _write_crawl(spark, tmp_path, rows)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = _run_stream(
+        spark, stream_dedup_exact(stream, "ts"), "dedup_stream_t1"
+    )
+    # exactly one survivor per distinct normalized text
+    assert len(out) == 2
+    from chronon_spark.operators.dedup import exact_dedup
+
+    batch_hashes = {
+        r["__h"]
+        for r in exact_dedup(spark.read.parquet(src), "doc_id")
+        .select(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("__h"))
+        .collect()
+    }
+    got_hashes = {
+        r["__h"]
+        for r in spark.createDataFrame(out)
+        .select(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("__h"))
+        .collect()
+    }
+    assert got_hashes == batch_hashes
+
+
+def test_stream_quality_and_pii_match_batch(spark, tmp_path):
+    from chronon_spark.operators.pii import pii_scan
+    from chronon_spark.operators.textstats import quality_score, token_count
+    from chronon_spark.streaming.curation import (
+        stream_quality_filter,
+        stream_redact_pii,
+    )
+
+    t0 = 1_700_000_000_000
+    long_text = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on "
+        "the mat while the dog ran far away to the hills and back again. "
+        "contact me at jane.doe@example.org or 555-123-4567 for details."
+    )
+    rows = [
+        (1, t0 + 1000, long_text),
+        (2, t0 + 2000, "short junk 123"),
+        (3, t0 + 3000, long_text + " more of the usual filler text here."),
+    ]
+    src = _write_crawl(spark, tmp_path, rows)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = _run_stream(
+        spark,
+        stream_redact_pii(stream_quality_filter(stream)),
+        "quality_stream_t1",
+    )
+    batch = (
+        spark.read.parquet(src)
+        .where((quality_score("text") >= 0.3) & (token_count("text") >= 20))
+    )
+    red = pii_scan(batch, "doc_id").select("doc_id", "redacted")
+    batch_pdf = (
+        batch.join(red, "doc_id")
+        .select("doc_id", F.col("redacted").alias("text"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = out[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch_pdf)
+    assert (got.doc_id == [1, 3]).all()
+    assert got.text.str.contains("<EMAIL>").all()
+    assert not got.text.str.contains("example.org").any()
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    from chronon_spark.operators.dedup import decontaminate
+    from chronon_spark.streaming.curation import stream_decontaminate
+
+    t0 = 1_700_000_000_000
+    eval_text = "benchmark question about the capital of france and its rivers"
+    rows = [
+        (1, t0 + 1000, f"intro words then {eval_text} closing words"),
+        (2, t0 + 2000, "completely unrelated document about spark shuffles and joins"),
+        (3, t0 + 3000, "another clean document with plenty of ordinary words inside"),
+    ]
+    src = _write_crawl(spark, tmp_path, rows)
+    eval_df = spark.createDataFrame(pd.DataFrame({"text": [eval_text]}))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = _run_stream(
+        spark, stream_decontaminate(stream, eval_df, k=8), "decon_stream_t1"
+    )
+    batch = decontaminate(spark.read.parquet(src), eval_df, "doc_id", k=8)
+    assert sorted(out.doc_id) == sorted(r["doc_id"] for r in batch.collect())
+    assert 1 not in set(out.doc_id)
