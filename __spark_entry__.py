@@ -909,17 +909,12 @@ FROM per p LEFT JOIN dupd d ON p.doc_id = d.doc_id
 """
 
 
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over the corpus with deterministically PLANTED PII (the
-    testdata documents carry none): every doc gets an email + phone
-    appended, every 7th an IPv4, every 11th a card number — so the
-    cascade's counts and the redacted text are all exercised. The oracle
-    evaluates the IDENTICAL RE2-safe pattern list (chronon_spark
-    operators/pii.py builds both sides from one table)."""
-    from chronon_spark.operators.pii import pii_scan
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    planted = docs.select(
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Documents with deterministically PLANTED PII (the testdata docs
+    carry none): every doc gets an email + phone appended, every 7th an
+    IPv4, every 11th a card number. Shared by q_pii_redact and
+    q_stream_curation; `_PII_PLANTED_CTE` is the SQL twin."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -942,13 +937,20 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return pii_scan(planted, "doc_id")
 
 
-def _pii_oracle() -> str:
-    from chronon_spark.operators.pii import pii_oracle_sql
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with planted PII (see _plant_pii) so the
+    cascade's counts and the redacted text are all exercised. The oracle
+    evaluates the IDENTICAL RE2-safe pattern list (chronon_spark
+    operators/pii.py builds both sides from one table)."""
+    from chronon_spark.operators.pii import pii_scan
 
-    planted = """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii_scan(_plant_pii(docs), "doc_id")
+
+
+_PII_PLANTED_CTE = """
 planted AS (
   SELECT doc_id,
      text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -962,9 +964,103 @@ planted AS (
                   THEN ' card 4012-8888-8888-1881' ELSE '' END AS text
   FROM documents
 )"""
+
+
+def _pii_oracle() -> str:
+    from chronon_spark.operators.pii import pii_oracle_sql
+
     body = pii_oracle_sql(table="planted")
     # splice the planted CTE in front of the generated WITH
-    return body.replace("WITH c AS", f"WITH {planted},\nc AS", 1)
+    return body.replace("WITH c AS", f"WITH {_PII_PLANTED_CTE},\nc AS", 1)
+
+
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (streaming/curation.py) drained via
+    availableNow: quality gate -> PII redaction cascade -> watermark-
+    bounded exact dedup over a file-backed crawl stream with planted PII.
+    dropDuplicatesWithinWatermark keeps the FIRST-arriving duplicate
+    (partition-order-dependent), so the query emits only columns that are
+    functions of the surviving normalized text — which every member of a
+    duplicate class shares — making the result deterministic; the batch
+    oracle is one row per distinct surviving hash."""
+    import tempfile
+
+    from chronon_spark.streaming.curation import (
+        stream_dedup_exact,
+        stream_quality_filter,
+        stream_redact_pii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="cur_src_")
+    (
+        _plant_pii(docs)
+        .withColumn(
+            "ts",
+            F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id") * 1000),
+        )
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    cur = stream_quality_filter(stream, min_quality=0.3, min_tokens=20)
+    cur = stream_redact_pii(cur)
+    # Event times span minutes; a 30-day delay means the watermark never
+    # evicts dedup state mid-drain => exactly one survivor per hash no
+    # matter how availableNow batches the source files.
+    cur = stream_dedup_exact(cur, "ts", watermark_delay="30 days")
+    name = "drv_stream_curation"
+    q = (
+        cur.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return spark.table(name).select(
+        F.md5(norm).alias("h"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tok_norm"),
+    )
+
+
+def _stream_curation_oracle() -> str:
+    from chronon_spark.operators.pii import pii_redact_oracle_expr
+    from chronon_spark.operators.textstats import _STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    return rf"""
+WITH {_PII_PLANTED_CTE},
+tok AS (
+  SELECT doc_id, text,
+     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+     CAST(length(text) AS DOUBLE) AS n,
+     greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_n
+  FROM planted
+),
+q AS (
+  SELECT doc_id, text,
+     0.3 * least(n / 500.0, 1.0)
+   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / safe_n)
+   + 0.2 * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / safe_n * 5.0)
+   + 0.2 * least(CAST(len(list_filter(toks, t -> list_contains({stop}, t))) AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) * 5.0, 1.0) AS quality,
+     CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+  FROM tok
+),
+red AS (
+  SELECT {pii_redact_oracle_expr('text')} AS rt
+  FROM q WHERE quality >= 0.3 AND n_tok >= 20
+),
+nrm AS (SELECT regexp_replace(lower(trim(rt)), '\s+', ' ', 'g') AS norm FROM red)
+SELECT DISTINCT md5(norm) AS h,
+   CAST(length(norm) AS BIGINT) AS n_chars_norm,
+   CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok_norm
+FROM nrm
+"""
 
 
 KMEANS_K, KMEANS_ITERS, SEMDEDUP_THRESHOLD = 8, 3, 0.35
@@ -3382,6 +3478,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "unigram_logprob": q_unigram_logprob,
         "pii_redact": q_pii_redact,
+        "stream_curation": q_stream_curation,
         "kmeans_cluster": q_kmeans_cluster,
         "semdedup": q_semdedup,
         "simhash_near_dups": q_simhash_near_dups,
@@ -3452,6 +3549,7 @@ def _raw_oracles() -> dict[str, str]:
         "incremental_dedup": _incremental_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "pii_redact": _pii_oracle(),
+        "stream_curation": _stream_curation_oracle(),
         "kmeans_cluster": _kmeans_oracle(),
         "semdedup": _semdedup_oracle(),
         "simhash_near_dups": _SIMHASH_ORACLE,

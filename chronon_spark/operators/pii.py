@@ -85,12 +85,23 @@ def redact_pii(text_col: str = "text") -> Column:
     return _cascade(text_col, len(PII_PATTERNS))
 
 
+def _esc(p: str) -> str:
+    return p.replace("'", "''")
+
+
+def pii_redact_oracle_expr(text_expr: str) -> str:
+    """DuckDB expression: ``text_expr`` with the full redaction cascade
+    applied (the SQL twin of redact_pii, generated from PII_PATTERNS)."""
+    cur = text_expr
+    for _kind, pat, repl in PII_PATTERNS:
+        cur = f"regexp_replace({cur}, '{_esc(pat)}', '{repl}', 'g')"
+    return cur
+
+
 def pii_oracle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB mirror generated from the SAME pattern list: nested
     regexp_replace cascade + len(regexp_extract_all) counts per stage."""
-
-    def esc(p: str) -> str:
-        return p.replace("'", "''")
+    esc = _esc
 
     stage_sql = [text_col]
     for kind, pat, repl in PII_PATTERNS:
