@@ -1251,6 +1251,131 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal (dedup.boilerplate_lines). The
+    testdata docs are single-line, so the query PLANTS line structure
+    first — a newline after every 6th token (one deterministic regex both
+    engines apply identically) — then drops every line occurring in >= 2
+    distinct docs and rebuilds the docs in order."""
+    from chronon_spark.operators.dedup import boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"([^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+) ", "$1\n"
+        ).alias("text"),
+    )
+    return boilerplate_lines(docs, "doc_id", min_docs=2)
+
+
+_BOILERPLATE_ORACLE = r"""
+WITH p AS (
+  SELECT doc_id,
+     regexp_replace(text, '([^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+) ',
+                    '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM p),
+l AS (
+  SELECT doc_id, unnest(generate_series(1, len(a))) AS pos, unnest(a) AS line
+  FROM arr
+),
+h AS (
+  SELECT doc_id, pos, line,
+     md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS lh
+  FROM l
+),
+hot AS (SELECT lh FROM h GROUP BY lh HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM h WHERE lh NOT IN (SELECT lh FROM hot)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+     count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM h GROUP BY doc_id)
+SELECT t.doc_id AS doc_id, COALESCE(r.clean_text, '') AS clean_text,
+   t.n_lines AS n_lines, t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF keywords per document (textstats.tfidf_top_terms);
+    scores rounded to 6 dp BEFORE the (score DESC, term ASC) ranking so
+    both engines rank identically."""
+    from chronon_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_top_terms(docs, "doc_id", top_k=TFIDF_TOP_K)
+    return out.select("doc_id", "term", "rank", _r6("score").alias("score"))
+
+
+_TFIDF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+     unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+     floor(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) * 1e6 + 0.5) / 1e6 AS score
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+BLOCKED_DOMAINS = ("src3", "src7", "src11")
+BLOCKED_TERMS = ("slow", "skew")
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain + term blocklist flags (textstats.blocklist_flags): docs
+    from blocked sources or containing blocked tokens are flagged; the
+    term probe is arrays_overlap on the normalized token stream (InSet,
+    zero shuffle)."""
+    from chronon_spark.operators.textstats import blocklist_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_flags(
+        docs,
+        "doc_id",
+        domain_col="source",
+        blocked_domains=BLOCKED_DOMAINS,
+        blocked_terms=BLOCKED_TERMS,
+    )
+
+
+def _blocklist_oracle() -> str:
+    doms = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    terms = ", ".join(f"'{t}'" for t in BLOCKED_TERMS)
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+     source IN ({doms}) AS blocked_domain,
+     len(list_filter(
+       string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+       t -> list_contains([{terms}], t))) > 0 AS blocked_term
+  FROM documents
+)
+SELECT doc_id, blocked_domain, blocked_term,
+   NOT (blocked_domain OR blocked_term) AS kept
+FROM f
+"""
+
+
 def _doc_stats_oracle() -> str:
     from chronon_spark.operators.textstats import LANG_MARKERS, _STOPWORDS
 
@@ -3483,6 +3608,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
+        "boilerplate_lines": q_boilerplate_lines,
+        "tfidf_topk": q_tfidf_topk,
+        "blocklist": q_blocklist,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "asof_sawtooth": q_asof_sawtooth,
@@ -3556,6 +3684,9 @@ def _raw_oracles() -> dict[str, str]:
         "webtext_flagship": _WEBTEXT_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
         "doc_stats": _doc_stats_oracle(),
+        "boilerplate_lines": _BOILERPLATE_ORACLE,
+        "tfidf_topk": _TFIDF_ORACLE,
+        "blocklist": _blocklist_oracle(),
         "embedding_topk": _TOPK_ORACLE,
         "asof_sawtooth": _SAWTOOTH_ORACLE,
         "chained_join": _CHAINED_ORACLE,

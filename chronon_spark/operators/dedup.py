@@ -63,6 +63,61 @@ def words(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate-LINE removal: drop every line that
+    occurs (whitespace/case-normalized) in at least ``min_docs`` DISTINCT
+    documents — cookie banners, nav bars, "terms of service" footers.
+    Blank lines normalize to the same empty key, so they are removed too
+    once they repeat across documents (C4 drops them likewise).
+
+    Returns (id, clean_text, n_lines, n_removed) — one row per input doc,
+    clean_text = surviving lines rejoined in original order ('' if every
+    line was boilerplate).
+
+    Scale shape (100 TB): posexplode lines -> ONE map-side-combined
+    count-distinct-docs per line hash -> shuffle LEFT ANTI join of lines
+    against the hot-line set (the hot set is unbounded — a crawl has
+    billions of distinct repeated lines — so it is NOT broadcast) -> one
+    groupBy(doc) rebuild. Three hash shuffles, no Python, no driver
+    state. Reference scope note: the reference stops at document-level
+    ops; line-level boilerplate removal is the curation-pipeline layer on
+    top (C4: Raffel et al. 2020 §2.2; RefinedWeb: Penedo et al. 2023).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.regexp_replace(F.lower(F.trim("line")), r"\s+", " ")))
+    hot = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__lh")
+    )
+    kept = lines.join(hot, "__lh", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
 def shingles(text_col: str = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array<string>.
 

@@ -400,3 +400,105 @@ def canonical_url(url_col: str = "url") -> Column:
         path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: (id, term, rank, score).
+
+    tf = raw term count in the doc (whitespace tokens of the normalized
+    text); idf = ln((N + 1) / (df + 1)) + 1 (the smooth sklearn variant —
+    never zero, never divides by zero); score = tf * idf rounded to 6 dp
+    BEFORE ranking so the (score DESC, term ASC) order is identical
+    across engines; rank = 1..top_k.
+
+    Scale shape (100 TB): explode tokens -> map-side-combined
+    groupBy(doc, term) -> groupBy(term) doc-frequency (both partial-agg
+    shuffles on different keys); N is a one-row aggregate broadcast into
+    the score projection (no driver collect); final per-doc top-k is one
+    window over the (doc, term) frame — rows per doc are bounded by the
+    doc's distinct-term count, so no skew beyond document length itself.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(words_of_norm(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.floor(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("__id").alias(id_col), "term", "rank", "score")
+    )
+
+
+def words_of_norm(text_col: str = "text") -> Column:
+    """Whitespace tokens of the lower/collapsed normalized text — the
+    token stream shared by the stopword/language/tf-idf stats."""
+    return F.split(norm_text(text_col), " ")
+
+
+def blocklist_flags(
+    df: DataFrame,
+    id_col: str,
+    domain_col: Optional[str] = None,
+    text_col: str = "text",
+    blocked_domains: tuple = (),
+    blocked_terms: tuple = (),
+    blocked_domains_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """UT1/LDNOOBW-style blocklist filter flags: (id, blocked_domain,
+    blocked_term, kept).
+
+    A doc is flagged when its domain is on the blocklist or when any
+    normalized token matches a blocked term. Small lists inline as
+    literal InSet / arrays_overlap probes (zero shuffle, codegen); a
+    LARGE domain list goes through ``blocked_domains_df`` — a broadcast
+    LEFT join (the UT1 adult list is ~4M domains: broadcastable; beyond
+    that Spark falls back to a shuffle join on the domain key, which is
+    still one shuffle of the small side only).
+    """
+    dom_flag: Column = F.lit(False)
+    if blocked_domains and domain_col:
+        dom_flag = F.col(domain_col).isin(*blocked_domains)
+    term_flag: Column = F.lit(False)
+    if blocked_terms:
+        term_flag = F.arrays_overlap(
+            words_of_norm(text_col), F.array(*[F.lit(t) for t in blocked_terms])
+        )
+    out = df
+    if blocked_domains_df is not None and domain_col:
+        hit = blocked_domains_df.select(
+            F.col(blocked_domains_df.columns[0]).alias(domain_col),
+            F.lit(True).alias("__dom_hit"),
+        ).distinct()
+        out = out.join(F.broadcast(hit), domain_col, "left")
+        dom_flag = dom_flag | F.coalesce(F.col("__dom_hit"), F.lit(False))
+    return out.select(
+        F.col(id_col),
+        dom_flag.alias("blocked_domain"),
+        term_flag.alias("blocked_term"),
+        (~(dom_flag | term_flag)).alias("kept"),
+    )

@@ -635,3 +635,107 @@ def test_rebalance_sample_hits_target_mix(spark):
         df.repartition(13), "domain", {"common.com": 1.0, "rare.net": 1.0}, "doc_id", seed=3
     ).toPandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_boilerplate_lines_planted(spark):
+    from chronon_spark.operators.dedup import boilerplate_lines
+
+    rows = [
+        (1, "unique one\ncookie banner\nbody text alpha"),
+        (2, "cookie banner\nbody text beta"),
+        (3, "COOKIE   banner\nunique three"),  # normalizes to the hot line
+        (4, "all alone here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_lines(df, "doc_id").collect()}
+    assert out[1]["clean_text"] == "unique one\nbody text alpha"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "body text beta"
+    assert out[3]["clean_text"] == "unique three"
+    assert out[4]["clean_text"] == "all alone here" and out[4]["n_removed"] == 0
+
+
+def test_boilerplate_lines_all_removed_and_invariance(spark):
+    from chronon_spark.operators.dedup import boilerplate_lines
+
+    rows = [(i, "same line\nsame line") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_lines(df, "doc_id").collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 2 for r in out)
+
+    # parallelism invariance: identical result at different shuffle widths
+    docs = spark.createDataFrame(
+        [(i, f"shared header\nbody {i} content\nshared footer") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(map(tuple, boilerplate_lines(docs, "doc_id").collect()))
+            )
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from chronon_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, "doc_id", top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["apple", "banana"]
+    idf = lambda df_, n=3: math.log((n + 1) / (df_ + 1)) + 1  # noqa: E731
+    exp = math.floor(2 * idf(1) * 1e6 + 0.5) / 1e6
+    assert abs(sorted(by_doc[1])[0][2] - exp) < 1e-9
+    # doc 3: cherry tf=3 top; every doc has exactly top_k rows (or fewer terms)
+    assert sorted(by_doc[3])[0][1] == "cherry"
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_blocklist_flags(spark):
+    from chronon_spark.operators.textstats import blocklist_flags
+
+    rows = [
+        (1, "good.com", "clean words only"),
+        (2, "bad.com", "clean words only"),
+        (3, "good.com", "contains BADWORD here"),
+        (4, "other.org", "fine"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_flags(
+            df, "doc_id", domain_col="domain",
+            blocked_domains=("bad.com",), blocked_terms=("badword",),
+        ).collect()
+    }
+    assert out[1]["kept"] and not out[1]["blocked_domain"]
+    assert out[2]["blocked_domain"] and not out[2]["kept"]
+    assert out[3]["blocked_term"] and not out[3]["kept"]  # normalized lowercase probe
+    assert out[4]["kept"]
+
+    # large-list path: domains as a broadcast DataFrame
+    doms = spark.createDataFrame([("bad.com",)], ["domain"])
+    out2 = {
+        r["doc_id"]: r
+        for r in blocklist_flags(
+            df, "doc_id", domain_col="domain", blocked_domains_df=doms,
+            blocked_terms=("badword",),
+        ).collect()
+    }
+    assert out2[2]["blocked_domain"] and not out2[2]["kept"]
+    assert out2[1]["kept"]
