@@ -50,7 +50,14 @@ def _rng(seed: int, i: np.ndarray, salt: str) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
-def _make_batch(pdf: pd.DataFrame, seed: int, n_domains: int, start_ms: int, span_ms: int) -> pd.DataFrame:
+def _make_batch(
+    pdf: pd.DataFrame,
+    seed: int,
+    n_domains: int,
+    start_ms: int,
+    span_ms: int,
+    nav_boilerplate: bool = False,
+) -> pd.DataFrame:
     i = pdf["id"].to_numpy()
     r_dom = _rng(seed, i, "dom")
     r_path = _rng(seed, i, "path")
@@ -79,11 +86,25 @@ def _make_batch(pdf: pd.DataFrame, seed: int, n_domains: int, start_ms: int, spa
         words = [_WORDS[(w + 7 * j) % len(_WORDS)] for j in range(nwords)]
         text = " ".join(words)
         title = f"doc-{int(i[k])}"
-        html = (
-            f"<html><head><title>{title}</title>"
-            f'<script>var x = "ignored";</script></head>'
-            f"<body><h1>{title}</h1><p>{text}</p></body></html>"
-        )
+        if nav_boilerplate:
+            # per-domain nav + cookie footer: identical across every page
+            # of a domain — the cross-document line-frequency signal that
+            # line-level boilerplate removal exists to catch.
+            d = int(dom[k])
+            html = (
+                f"<html><head><title>{title}</title>"
+                f'<script>var x = "ignored";</script></head>'
+                f"<body><div>home | about | contact | domain{d} navigation</div>"
+                f"<h1>{title}</h1><p>{text}</p>"
+                f"<footer>domain{d} uses cookies - accept our cookie policy</footer>"
+                f"</body></html>"
+            )
+        else:
+            html = (
+                f"<html><head><title>{title}</title>"
+                f'<script>var x = "ignored";</script></head>'
+                f"<body><h1>{title}</h1><p>{text}</p></body></html>"
+            )
         texts.append(text)
         htmls.append(html.encode("utf-8"))
 
@@ -106,14 +127,19 @@ def generate_webtext(
     start: str = "2024-01-01",
     span_days: int = 90,
     partitions: int | None = None,
+    nav_boilerplate: bool = False,
 ) -> DataFrame:
-    """Distributed deterministic webtext generation."""
+    """Distributed deterministic webtext generation.
+
+    ``nav_boilerplate=True`` adds a per-domain nav line and cookie footer
+    to the html (NOT the text column) — opt-in so the default output stays
+    byte-identical to the pinned goldens."""
     start_ms = int(pd.Timestamp(start).value // 1_000_000)
     span_ms = span_days * 86_400_000
     base = spark.range(0, n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _make_batch(pdf, seed, n_domains, start_ms, span_ms)
+            yield _make_batch(pdf, seed, n_domains, start_ms, span_ms, nav_boilerplate)
 
     return base.mapInPandas(gen, schema=WEBTEXT_SCHEMA)

@@ -35,15 +35,26 @@ def curate(
     spark: SparkSession,
     crawl: DataFrame,
     eval_set: DataFrame = None,
+    blocked_domains: tuple = (),
+    blocked_terms: tuple = (),
+    boilerplate_min_docs: int = 10,
+    dup_span_max: float = 0.5,
     verbose: bool = True,
 ) -> dict:
     """Returns {"stages": [(name, rows)], "result": DataFrame}.
 
     ``eval_set``: optional (text) benchmark frame to decontaminate
-    against; when None the decontamination stage is skipped."""
-    from chronon_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-    from chronon_spark.operators.text_extract import extract_text
+    against; when None the decontamination stage is skipped.
+    ``blocked_domains``/``blocked_terms``: optional blocklists — when
+    empty the blocklist stage is skipped."""
+    from chronon_spark.operators.dedup import (
+        boilerplate_lines,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from chronon_spark.operators.text_extract import extract_text_lines
     from chronon_spark.operators.textstats import (
+        blocklist_flags,
         canonical_url,
         document_stats,
         repetition_flags,
@@ -60,8 +71,9 @@ def curate(
 
     docs = stage("crawl records", crawl)
 
-    # 2. extraction + canonical url
-    docs = docs.withColumn("text", extract_text(F.col("html")))
+    # 2. LINE-PRESERVING extraction + canonical url (block tags become
+    # newlines so the line-level boilerplate stage has lines to act on)
+    docs = docs.withColumn("text", extract_text_lines(F.col("html")))
     docs = docs.withColumn("curl", canonical_url("url"))
 
     # 3. latest crawl per canonical url
@@ -73,6 +85,44 @@ def curate(
         docs.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn"),
     )
     docs = docs.select(F.col("curl").alias("doc_id"), "text", "lang").persist()
+
+    # 3b. line-level boilerplate removal (C4 §2.2): drop every line that
+    # appears on >= boilerplate_min_docs distinct pages (per-domain nav
+    # bars, cookie footers), rebuild the doc, then collapse the surviving
+    # lines to single-line text for the document-level stages. Docs whose
+    # every line was boilerplate drop out here.
+    bp = boilerplate_lines(docs, "doc_id", min_docs=boilerplate_min_docs)
+    # localCheckpoint (not persist): the rebuild's plan is ~3x the input
+    # plan and every downstream op re-references docs several times — an
+    # un-truncated lineage grows multiplicatively from here (persist
+    # caches execution, not the plan).
+    docs = stage(
+        "boilerplate line removal",
+        docs.drop("text")
+        .join(bp.where("length(clean_text) > 0"), "doc_id")
+        .select(
+            "doc_id",
+            F.regexp_replace("clean_text", "\n", " ").alias("text"),
+            "lang",
+        )
+        .localCheckpoint(),
+    )
+
+    # 3c. optional domain/term blocklist (UT1/LDNOOBW-style)
+    if blocked_domains or blocked_terms:
+        flags = blocklist_flags(
+            docs.withColumn(
+                "domain", F.regexp_extract("doc_id", r"://([^/]+)", 1)
+            ),
+            "doc_id",
+            domain_col="domain",
+            blocked_domains=blocked_domains,
+            blocked_terms=blocked_terms,
+        )
+        docs = stage(
+            "blocklist filter",
+            docs.join(flags.where("kept").select("doc_id"), "doc_id"),
+        )
 
     # 4. exact dedup of identical normalized texts
     docs = stage(
@@ -111,9 +161,9 @@ def curate(
         F.col("id").alias("doc_id"), "dup_span_frac"
     )
     docs = stage(
-        "duplicated-span filter (<=50%)",
+        f"duplicated-span filter (<={dup_span_max:.0%})",
         docs.join(spans, "doc_id")
-        .where("dup_span_frac <= 0.5")
+        .where(F.col("dup_span_frac") <= dup_span_max)
         .select("doc_id", "text", "lang"),
     )
 
@@ -200,10 +250,18 @@ def main():
     spark = build_session(master="local[8]", shuffle_partitions=16,
                           extra_conf={"spark.ui.enabled": "false"})
     print(f"curating {n:,d} synthetic crawl records:")
-    crawl = generate_webtext(spark, n, seed=7, n_domains=max(n // 600, 10))
+    crawl = generate_webtext(
+        spark, n, seed=7, n_domains=max(n // 600, 10), nav_boilerplate=True
+    )
     # a disjoint held-out "benchmark" set for the decontamination stage
     eval_set = generate_webtext(spark, 200, seed=99, n_domains=5).select("text")
-    out = curate(spark, crawl, eval_set=eval_set)
+    out = curate(
+        spark,
+        crawl,
+        eval_set=eval_set,
+        blocked_domains=("domain1.example.com",),
+        blocked_terms=("casino",),
+    )
     print("final packed training rows:", out["stages"][-1][1])
 
 

@@ -102,3 +102,42 @@ def test_curation_decontamination_stage(spark, planted):
     assert stages["benchmark decontamination"] < dict(base["stages"])[
         "near-dup removal (LSH + CC)"
     ]
+
+
+def test_curation_boilerplate_and_blocklist(spark):
+    """With nav_boilerplate=True every page of a domain shares a nav line
+    and a cookie footer; the line-level stage must strip them (no
+    'cookie' survives) while the body text stays. Blocked domains vanish
+    entirely."""
+    from webtext_curation import curate
+
+    from chronon_spark.sources.webtext import generate_webtext
+
+    crawl = generate_webtext(
+        spark, 1200, seed=13, n_domains=6, nav_boilerplate=True
+    ).cache()
+    # min_docs=25: the generator has only ~200 distinct bodies, so at
+    # 1200 rows bodies repeat ~6 docs each — min_docs must sit between
+    # the body-repetition tail and the per-domain nav/footer frequency
+    # (every domain here has >= ~40 distinct pages).
+    # dup_span_max=1.0 disables the corpus-duplication gate: the synthetic
+    # vocabulary has only ~200 distinct bodies, so EVERY 8-gram here is
+    # corpus-duplicated and the default 50% gate would empty the corpus.
+    out = curate(
+        spark,
+        crawl,
+        blocked_domains=("domain0.example.com",),
+        boilerplate_min_docs=25,
+        dup_span_max=1.0,
+        verbose=False,
+    )
+    stages = dict(out["stages"])
+    assert "boilerplate line removal" in stages
+    assert "blocklist filter" in stages
+    texts = [r["text"] for r in out["result"].collect()]
+    assert texts, "corpus should survive curation"
+    assert not any("cookie" in t for t in texts)
+    assert not any("| about |" in t for t in texts)
+    assert all("the" in t or "data" in t or len(t) > 0 for t in texts)
+    # the hottest domain was blocked -> none of its urls survive
+    assert out["result"].where("doc_id LIKE '%domain0.example.com%'").count() == 0
