@@ -1667,6 +1667,71 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving lambda READ path run offline (plans/fetcher.fetch_join):
+    FinalBatchIr upload at a mid-corpus batch end ⊕ only the fresh rows
+    after it, fetchJoin fan-out with prefix + derivation. The oracle is a
+    direct sawtooth as-of SQL over the FULL event history — i.e. the
+    online/offline-consistency guarantee itself (reference
+    online/fetcher/Fetcher.scala + stats/ConsistencyJob.scala)."""
+    from chronon_spark.api.types import (
+        Aggregation,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+        Window,
+    )
+    from chronon_spark.plans.fetcher import fetch_join
+
+    boundary = 1_705_276_800_000  # 2024-01-15 midnight, hop-aligned
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.COUNT),  # unbounded -> collapsed IR
+            Aggregation("value", Operation.LAST),
+        ),
+        name="srv",
+    )
+    join_conf = Join(
+        left=_events_source(sf_dir, cents=True),
+        join_parts=(JoinPart(gb, prefix="f"),),
+        derivations={
+            "*": "*",
+            "ratio": "f_srv_value_sum_7d / (f_srv_value_count + 1)",
+        },
+        name="fetch_join",
+    )
+    requests = (
+        _event_queries(spark, sf_dir).where(F.col("ts") >= boundary).distinct()
+    )
+    out = fetch_join(spark, join_conf, requests, boundary, DAY_MS)
+    return out.select(
+        "user_id",
+        "ts",
+        _r6(F.col("f_srv_value_sum_7d") / 100).alias("sum_7d"),
+        F.col("f_srv_value_count").alias("cnt_all"),
+        _r6(F.col("f_srv_value_last") / 100).alias("last_v"),
+        _r6(F.col("ratio") / 100).alias("ratio"),
+    )
+
+
+_FETCH_JOIN_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev WHERE ts >= 1705276800000)
+SELECT q.user_id, q.ts,
+   round(CAST(sum(CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6) AS sum_7d,
+   count(e.c) AS cnt_all,
+   round(arg_max(e.c, e.ts) / 100, 6) AS last_v,
+   round((CAST(sum(CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS DOUBLE)
+          / (count(e.c) + 1)) / 100, 6) AS ratio
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # SNAPSHOT-accuracy join + entity snapshots
 # ---------------------------------------------------------------------------
@@ -3614,6 +3679,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "asof_sawtooth": q_asof_sawtooth,
+        "fetch_join": q_fetch_join,
         "chained_join": q_chained_join,
         "snapshot_join": q_snapshot_join,
         "entity_snapshot": q_entity_snapshot,
@@ -3689,6 +3755,7 @@ def _raw_oracles() -> dict[str, str]:
         "blocklist": _blocklist_oracle(),
         "embedding_topk": _TOPK_ORACLE,
         "asof_sawtooth": _SAWTOOTH_ORACLE,
+        "fetch_join": _FETCH_JOIN_ORACLE,
         "chained_join": _CHAINED_ORACLE,
         "snapshot_join": _SNAPSHOT_JOIN_ORACLE,
         "entity_snapshot": _ENTITY_SNAPSHOT_ORACLE,

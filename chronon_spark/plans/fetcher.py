@@ -1,0 +1,210 @@
+"""Offline Fetcher: the serving-side lambda READ path, run as one batch plan.
+
+Reference: ``online/fetcher/Fetcher.scala`` (fetchJoin → fetchGroupBys
+fan-out, prefix/key-mapping/derivation application), ``FetcherUtil.scala``
+(batch-IR ⊕ streaming-tile merge), ``GroupByServingInfoParsed.scala``
+(batch end / schemas), ``JoinCodec.scala`` (key/value/derived schemas) and
+``aggregator/.../SawtoothOnlineAggregator.scala:84-165`` (the lambda
+merge math itself).
+
+The reference serves point lookups from a KV store; this module is the
+same read path expressed as a *batch* DataFrame plan over a REQUESTS
+table — the shape used for bulk scoring, online/offline-consistency
+checks (``stats/ConsistencyJob.scala``) and replaying a day of serving
+traffic. The lambda contract is identical:
+
+- batch side: the FinalBatchIr upload table (``plans/upload.py`` —
+  collapsed row + tail hops at a hop-aligned ``batch_end_ms``),
+- fresh side: only rows with ``ts >= batch_end_ms`` (streaming tiles),
+- merge: ``group_by_asof_hopped(..., events_df=fresh,
+  extra_hop_irs=upload)`` — tails stitch batch hops with fresh tiles,
+  heads are event-exact. Sawtooth accuracy, same as the reference's
+  online results, which is exactly what its offline backfill reproduces.
+
+Scale: requests shuffle once per join part on (mapped keys, ts) — the
+same fold as ``join_asof`` — and the fresh-event scan is bounded below
+by ``batch_end_ms``, so a day of serving traffic reads one day of
+events plus the upload table, never full history.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chronon_spark.api.types import Accuracy, GroupBy, Join, validate_identifier
+from chronon_spark.operators.asof_hopped import group_by_asof_hopped, supports_hopped
+from chronon_spark.operators.asof_join import (
+    apply_derivations,
+    events_df_for_group_by,
+    null_out_nans,
+    part_output_field,
+)
+from chronon_spark.plans.upload import upload_group_by
+from chronon_spark.sources.scan import TS
+
+
+@dataclass(frozen=True)
+class GroupByServingInfo:
+    """What a fetcher needs to serve one GroupBy — the offline analogue of
+    ``GroupByServingInfoParsed`` (batch end, hop resolution, schemas)."""
+
+    group_by: GroupBy
+    batch_end_ms: int
+    hop_ms: int
+    key_schema: T.StructType
+    value_schema: T.StructType
+
+
+def group_by_serving_info(
+    spark: SparkSession, group_by: GroupBy, batch_end_ms: int, hop_ms: int
+) -> GroupByServingInfo:
+    assert batch_end_ms % hop_ms == 0, "batch end must align to a hop boundary"
+    assert supports_hopped(group_by, hop_ms), (
+        "fetcher serves hop-mergeable operations only "
+        "(reference serving set; see asof_hopped.HOPPED_OPS)"
+    )
+    assert group_by.accuracy is Accuracy.TEMPORAL, (
+        "SNAPSHOT GroupBys are served straight from the daily snapshot "
+        "table (plans/snapshot path), not the lambda merge"
+    )
+    ev_schema = events_df_for_group_by(spark, group_by, None, None).schema
+    keys = T.StructType(
+        [ev_schema[validate_identifier(k)] for k in group_by.key_columns]
+    )
+    vals = T.StructType([part_output_field(p, ev_schema) for p in group_by.unpack()])
+    return GroupByServingInfo(group_by, batch_end_ms, hop_ms, keys, vals)
+
+
+def join_codec(spark: SparkSession, join_conf: Join) -> dict:
+    """Key/value/derived schemas of a Join's serving response —
+    ``JoinCodec.scala`` (keyCodec/baseValueSchema/outputSchema).
+
+    Derived columns are typed by running the derivation expressions over
+    an EMPTY frame with the base schema — Catalyst's analyzer is the
+    type oracle, no re-implementation (CatalystUtil.scala does the same
+    trick online)."""
+    from chronon_spark.sources.scan import scan_source
+
+    left_schema = scan_source(spark, join_conf.left).schema
+    key_cols: list = []
+    value_fields: list = []
+    for jp in join_conf.join_parts:
+        gb = jp.group_by
+        mapping = jp.key_mapping or {k: k for k in gb.key_columns}
+        key_cols += [lc for lc in mapping if lc not in key_cols]
+        ev_schema = events_df_for_group_by(spark, gb, None, None).schema
+        for p in gb.unpack():
+            f = part_output_field(p, ev_schema)
+            value_fields.append(
+                T.StructField(f"{jp.full_prefix()}_{f.name}", f.dataType, True)
+            )
+    key_schema = T.StructType([left_schema[c] for c in key_cols])
+    base = T.StructType(list(left_schema.fields) + value_fields)
+    out_schema = base
+    if join_conf.derivations:
+        empty = spark.createDataFrame([], base)
+        base_cols = [f.name for f in left_schema.fields]
+        out_schema = apply_derivations(
+            empty, join_conf.derivations, base_cols
+        ).schema
+    return {
+        "key_schema": key_schema,
+        "base_value_schema": T.StructType(value_fields),
+        "output_schema": out_schema,
+    }
+
+
+def fetch_group_by(
+    spark: SparkSession,
+    group_by: GroupBy,
+    requests: DataFrame,
+    batch_end_ms: int,
+    hop_ms: int,
+    upload: Optional[DataFrame] = None,
+    fresh_events: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Serve one GroupBy at each request (keys, ts) via the lambda merge.
+
+    ``upload``: FinalBatchIr table (``upload_group_by`` output) — computed
+    inline when absent (tests); production passes the materialized table.
+    ``fresh_events``: rows at/after ``batch_end_ms`` (the streaming side);
+    scanned from the conf's source when absent. Requests BEFORE the batch
+    end are refused loudly: their head events live inside the batch
+    range, which the upload pre-collapsed — the reference fetcher can
+    only serve ts >= batchEndTs too (FetcherUtil lambda assumption)."""
+    info = group_by_serving_info(spark, group_by, batch_end_ms, hop_ms)
+    min_req = requests.agg(F.min(TS)).first()[0]
+    if min_req is not None and int(min_req) < batch_end_ms:
+        raise ValueError(
+            f"request ts {min_req} predates batch end {batch_end_ms}; "
+            "the lambda read path serves ts >= batch end only"
+        )
+    if upload is None:
+        upload = upload_group_by(spark, group_by, batch_end_ms, hop_ms)
+    if fresh_events is None:
+        fresh_events = events_df_for_group_by(spark, group_by, batch_end_ms, None)
+    parts = group_by.unpack()
+    fresh_events = null_out_nans(
+        fresh_events, list({p.input_column for p in parts})
+    ).where(F.col(TS) >= batch_end_ms)
+    return group_by_asof_hopped(
+        spark,
+        info.group_by,
+        requests,
+        hop_ms,
+        events_df=fresh_events,
+        extra_hop_irs=upload,
+    )
+
+
+def fetch_join(
+    spark: SparkSession,
+    join_conf: Join,
+    requests: DataFrame,
+    batch_end_ms: int,
+    hop_ms: int,
+    uploads: Optional[dict] = None,
+    fresh_events: Optional[dict] = None,
+) -> DataFrame:
+    """Serve a whole Join for a requests table — ``Fetcher.fetchJoin``:
+    fan out to each join part's GroupBy fetch (key-mapped), fold the
+    prefixed part outputs back onto the requests, apply derivations.
+
+    ``uploads`` / ``fresh_events``: optional per-GroupBy-name overrides
+    of the batch-IR table and the streaming rows (production wiring);
+    absent entries compute/scan inline."""
+    uploads = uploads or {}
+    fresh_events = fresh_events or {}
+    result = requests
+    part_value_cols: list = []
+    for jp in join_conf.join_parts:
+        gb = jp.group_by
+        mapping = jp.key_mapping or {k: k for k in gb.key_columns}
+        sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
+        part_requests = requests.select(*sel)
+        feats = fetch_group_by(
+            spark,
+            gb,
+            part_requests,
+            batch_end_ms,
+            hop_ms,
+            upload=uploads.get(gb.name),
+            fresh_events=fresh_events.get(gb.name),
+        )
+        inv = {rk: lc for lc, rk in mapping.items()}
+        key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in gb.key_columns]
+        out_names = [p.output_column for p in gb.unpack()]
+        out_cols = [F.col(c).alias(f"{jp.full_prefix()}_{c}") for c in out_names]
+        part_value_cols += [f"{jp.full_prefix()}_{c}" for c in out_names]
+        feats = feats.select(*key_cols, F.col(TS), *out_cols)
+        result = result.join(feats, on=list(mapping.keys()) + [TS], how="left")
+    if join_conf.derivations:
+        value_set = set(part_value_cols)
+        base_cols = [c for c in result.columns if c not in value_set]
+        result = apply_derivations(result, join_conf.derivations, base_cols)
+    return result

@@ -1,0 +1,203 @@
+"""Offline Fetcher (serving lambda read path) == sawtooth backfill.
+
+The reference's core serving guarantee — Fetcher.fetchJoin over
+(batch FinalBatchIr ⊕ streaming rows) returns exactly what the offline
+backfill computes for the same (keys, ts) — is what ConsistencyJob
+measures in production (stats/ConsistencyJob.scala). Here we assert it
+bitwise on the synthetic tables.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api.types import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.asof_join import join_asof
+from chronon_spark.plans.fetcher import (
+    fetch_group_by,
+    fetch_join,
+    group_by_serving_info,
+    join_codec,
+)
+from chronon_spark.sources.scan import millis_expr
+
+DAY_MS = 86_400_000
+BOUNDARY = 1_705_276_800_000  # 2024-01-15 midnight — mid-data batch end
+
+
+def _events_source(sf_dir, extra=()):
+    selects = {"user_id": "user_id", "value": "floor(value*100 + 0.5)"}
+    for c in extra:
+        selects[c] = c
+    return EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(selects=selects, time_column=millis_expr("ts")),
+    )
+
+
+def _gb(sf_dir, name="served"):
+    return GroupBy(
+        sources=(_events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.COUNT),  # unbounded -> collapsed row
+            Aggregation("value", Operation.LAST),
+            Aggregation("value", Operation.UNIQUE_COUNT, windows=(Window.days(7),)),
+        ),
+        name=name,
+    )
+
+
+def _requests(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", f"{millis_expr('ts')} AS ts")
+        .where(F.col("ts") >= BOUNDARY)
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+def _assert_frames_equal(got: pd.DataFrame, exp: pd.DataFrame):
+    assert len(got) == len(exp) > 0
+    assert sorted(got.columns) == sorted(exp.columns)
+    for col in sorted(got.columns):
+        g, e = got[col], exp[col]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            ok = (g.isna() & e.isna()) | (abs(g - e) < 1e-9)
+            assert ok.all(), (col, got[~ok].head())
+        else:
+            assert g.equals(e), col
+
+
+def test_fetch_group_by_equals_full_recompute(spark, sf_dir):
+    from chronon_spark.operators.asof_hopped import group_by_asof_hopped
+
+    gb = _gb(sf_dir)
+    req = _requests(spark, sf_dir)
+    served = _norm(fetch_group_by(spark, gb, req, BOUNDARY, DAY_MS).toPandas())
+    full = _norm(group_by_asof_hopped(spark, gb, req, DAY_MS).toPandas())
+    _assert_frames_equal(served, full)
+
+
+def test_fetch_join_consistent_with_backfill(spark, sf_dir):
+    """fetchJoin (key mapping + prefixes + derivations through the lambda
+    path) == join_asof sawtooth backfill on the same request rows."""
+    gb_a = _gb(sf_dir, name="a")
+    # key-mapped part: the left exposes the key under a different name
+    gb_b = GroupBy(
+        sources=(_events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.AVERAGE, windows=(Window.days(14),)),
+        ),
+        name="b",
+    )
+    left = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "uid_alias": "user_id",
+            },
+            time_column=millis_expr("ts"),
+            wheres=(f"{millis_expr('ts')} >= {BOUNDARY}",),
+        ),
+    )
+    join_conf = Join(
+        left=left,
+        join_parts=(
+            JoinPart(gb_a),
+            JoinPart(gb_b, key_mapping={"uid_alias": "user_id"}, prefix="p"),
+        ),
+        derivations={
+            "*": "*",
+            "ratio": "a_value_sum_7d / (p_b_value_average_14d + 1.0)",
+        },
+        name="served_join",
+    )
+    from chronon_spark.sources.scan import scan_source
+
+    req = scan_source(spark, left)
+    served = _norm(
+        fetch_join(spark, join_conf, req, BOUNDARY, DAY_MS).toPandas()
+    )
+    backfill = _norm(
+        join_asof(spark, join_conf, mode="sawtooth", tail_hop_ms=DAY_MS).toPandas()
+    )
+    _assert_frames_equal(served, backfill)
+
+
+def test_fetch_uses_materialized_upload(spark, sf_dir, tmp_path):
+    """Passing the written FinalBatchIr table (production wiring) gives
+    the same answer as inline computation."""
+    from chronon_spark.plans.upload import upload_group_by
+
+    gb = _gb(sf_dir)
+    up = upload_group_by(
+        spark, gb, BOUNDARY, DAY_MS, output_path=str(tmp_path / "up")
+    )
+    req = _requests(spark, sf_dir)
+    a = _norm(
+        fetch_group_by(spark, gb, req, BOUNDARY, DAY_MS, upload=up).toPandas()
+    )
+    b = _norm(fetch_group_by(spark, gb, req, BOUNDARY, DAY_MS).toPandas())
+    _assert_frames_equal(a, b)
+
+
+def test_fetch_rejects_requests_before_batch_end(spark, sf_dir):
+    gb = _gb(sf_dir)
+    early = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", f"{millis_expr('ts')} AS ts")
+        .where(F.col("ts") < BOUNDARY)
+    )
+    with pytest.raises(ValueError, match="predates batch end"):
+        fetch_group_by(spark, gb, early, BOUNDARY, DAY_MS)
+
+
+def test_group_by_serving_info_schemas(spark, sf_dir):
+    info = group_by_serving_info(spark, _gb(sf_dir), BOUNDARY, DAY_MS)
+    assert [f.name for f in info.key_schema.fields] == ["user_id"]
+    assert [f.name for f in info.value_schema.fields] == [
+        "value_sum_7d",
+        "value_count",
+        "value_last",
+        "value_unique_count_7d",
+    ]
+    with pytest.raises(AssertionError, match="hop boundary"):
+        group_by_serving_info(spark, _gb(sf_dir), BOUNDARY + 1, DAY_MS)
+
+
+def test_join_codec_types_derivations_via_catalyst(spark, sf_dir):
+    gb = _gb(sf_dir)
+    join_conf = Join(
+        left=_events_source(sf_dir, extra=("event_id",)),
+        join_parts=(JoinPart(gb, prefix="x"),),
+        derivations={"*": "*", "dbl": "x_served_value_sum_7d * 2.0"},
+        name="codec_join",
+    )
+    codec = join_codec(spark, join_conf)
+    assert [f.name for f in codec["key_schema"].fields] == ["user_id"]
+    assert [f.name for f in codec["base_value_schema"].fields] == [
+        "x_served_value_sum_7d",
+        "x_served_value_count",
+        "x_served_value_last",
+        "x_served_value_unique_count_7d",
+    ]
+    out = {f.name: f.dataType.simpleString() for f in codec["output_schema"].fields}
+    assert out["dbl"] == "double"
+    assert "x_served_value_count" in out
