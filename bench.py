@@ -266,6 +266,7 @@ HEADLINE = [
     "semdedup",
     "incremental_dedup",
     "unigram_logprob",
+    "fetch_join",
 ]
 
 

@@ -268,6 +268,7 @@ def group_by_asof_hopped(
     prune_keys: bool = False,
     events_df: Optional[DataFrame] = None,
     extra_hop_irs: Optional[DataFrame] = None,
+    verify_disjoint: bool = True,
 ) -> DataFrame:
     """Sawtooth as-of features at each distinct (keys, ts) query row —
     tail snapped to ``hop_ms`` boundaries, head exact (see module doc).
@@ -343,15 +344,19 @@ def group_by_asof_hopped(
     if extra_hop_irs is not None:
         # enforce the disjointness contract loudly: overlapping hop ranges
         # would double-count (each (key, hop) must come from exactly one
-        # side). Cheap driver-side check on the hop boundaries.
-        max_extra = extra_hop_irs.agg(F.max("__hop")).first()[0]
-        min_fresh = events.agg(F.min("__hop")).first()[0]
-        if max_extra is not None and min_fresh is not None and max_extra >= min_fresh:
-            raise ValueError(
-                f"extra_hop_irs hops (max {max_extra}) overlap fresh events "
-                f"(min hop {min_fresh}); batch end must align to a hop "
-                "boundary with fresh rows strictly after it"
-            )
+        # side). Driver-side check on the hop boundaries — costs one agg
+        # pass over EACH side, so callers that enforce disjointness
+        # structurally (plans/fetcher.py filters fresh rows to
+        # ts >= batch_end before calling) pass verify_disjoint=False.
+        if verify_disjoint:
+            max_extra = extra_hop_irs.agg(F.max("__hop")).first()[0]
+            min_fresh = events.agg(F.min("__hop")).first()[0]
+            if max_extra is not None and min_fresh is not None and max_extra >= min_fresh:
+                raise ValueError(
+                    f"extra_hop_irs hops (max {max_extra}) overlap fresh events "
+                    f"(min hop {min_fresh}); batch end must align to a hop "
+                    "boundary with fresh rows strictly after it"
+                )
         hop_irs = hop_irs.unionByName(extra_hop_irs)
 
     # 2. union query hops (null IRs) so every query hop has a tail row,

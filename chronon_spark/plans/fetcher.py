@@ -119,6 +119,17 @@ def join_codec(spark: SparkSession, join_conf: Join) -> dict:
     }
 
 
+def _validate_requests(requests: DataFrame, batch_end_ms: int) -> None:
+    """One agg pass: the lambda read path can only serve ts >= batch end
+    (earlier heads live inside the pre-collapsed batch range)."""
+    min_req = requests.agg(F.min(TS)).first()[0]
+    if min_req is not None and int(min_req) < batch_end_ms:
+        raise ValueError(
+            f"request ts {min_req} predates batch end {batch_end_ms}; "
+            "the lambda read path serves ts >= batch end only"
+        )
+
+
 def fetch_group_by(
     spark: SparkSession,
     group_by: GroupBy,
@@ -127,6 +138,7 @@ def fetch_group_by(
     hop_ms: int,
     upload: Optional[DataFrame] = None,
     fresh_events: Optional[DataFrame] = None,
+    _requests_validated: bool = False,
 ) -> DataFrame:
     """Serve one GroupBy at each request (keys, ts) via the lambda merge.
 
@@ -136,14 +148,13 @@ def fetch_group_by(
     scanned from the conf's source when absent. Requests BEFORE the batch
     end are refused loudly: their head events live inside the batch
     range, which the upload pre-collapsed — the reference fetcher can
-    only serve ts >= batchEndTs too (FetcherUtil lambda assumption)."""
+    only serve ts >= batchEndTs too (FetcherUtil lambda assumption).
+    ``fetch_join`` validates the requests ONCE and passes
+    ``_requests_validated=True`` so an N-part join doesn't re-aggregate
+    the request table N times."""
     info = group_by_serving_info(spark, group_by, batch_end_ms, hop_ms)
-    min_req = requests.agg(F.min(TS)).first()[0]
-    if min_req is not None and int(min_req) < batch_end_ms:
-        raise ValueError(
-            f"request ts {min_req} predates batch end {batch_end_ms}; "
-            "the lambda read path serves ts >= batch end only"
-        )
+    if not _requests_validated:
+        _validate_requests(requests, batch_end_ms)
     if upload is None:
         upload = upload_group_by(spark, group_by, batch_end_ms, hop_ms)
     if fresh_events is None:
@@ -152,6 +163,10 @@ def fetch_group_by(
     fresh_events = null_out_nans(
         fresh_events, list({p.input_column for p in parts})
     ).where(F.col(TS) >= batch_end_ms)
+    # disjointness holds structurally: fresh rows are filtered to
+    # ts >= batch_end above, and upload_group_by only emits hops strictly
+    # below the (hop-aligned) batch end — skip the hopped plan's extra
+    # verification scans over both sides.
     return group_by_asof_hopped(
         spark,
         info.group_by,
@@ -159,6 +174,7 @@ def fetch_group_by(
         hop_ms,
         events_df=fresh_events,
         extra_hop_irs=upload,
+        verify_disjoint=False,
     )
 
 
@@ -180,6 +196,7 @@ def fetch_join(
     absent entries compute/scan inline."""
     uploads = uploads or {}
     fresh_events = fresh_events or {}
+    _validate_requests(requests, batch_end_ms)
     result = requests
     part_value_cols: list = []
     for jp in join_conf.join_parts:
@@ -195,6 +212,7 @@ def fetch_join(
             hop_ms,
             upload=uploads.get(gb.name),
             fresh_events=fresh_events.get(gb.name),
+            _requests_validated=True,
         )
         inv = {rk: lc for lc, rk in mapping.items()}
         key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in gb.key_columns]

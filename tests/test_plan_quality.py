@@ -228,6 +228,12 @@ def test_digest_invariants_round3_queries(spark):
     d = bench.plan_digest(qs["decontaminate"](spark, sf))
     assert d["python_stages"] == 0 and d["broadcast_joins"] >= 1, d
 
+    # serving lambda read path: pure Catalyst end-to-end (upload merge +
+    # hopped tails + fold join + derivation), bounded exchanges, and no
+    # verification re-scans of the fresh side (digest records 12)
+    d = bench.plan_digest(qs["fetch_join"](spark, sf))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 12, d
+
     # PII is a pure projection: no shuffle may ever appear
     d = bench.plan_digest(qs["pii_redact"](spark, sf))
     assert d["exchanges"] == 0 and d["python_stages"] == 0, d
