@@ -79,6 +79,7 @@ def consistency_job(
     time_column: str = "ts_millis",
     mode: str = "auto",
     by_ds: bool = True,
+    tail_hop_ms: Optional[int] = None,
 ) -> tuple:
     """(comparison_df, metrics_df) — the ConsistencyJob.run equivalent.
 
@@ -91,9 +92,12 @@ def consistency_job(
     online but absent from the offline Join are dropped before comparing
     (reference ``loggedDfNoExternalCols``).
     """
+    # ``tail_hop_ms`` + mode="sawtooth": recompute offline with the SAME
+    # hop resolution the fetcher served (plans/fetcher.py) — required for
+    # a zero-drift comparison against lambda-served logs.
     comparison = join_asof(spark, build_comparison_join(
         join_conf, logged_table, sample_percent, time_column
-    ), mode=mode)
+    ), mode=mode, tail_hop_ms=tail_hop_ms)
 
     logged = load_table(spark, logged_table).withColumn(
         TS, F.col(time_column).cast("long")
