@@ -3619,6 +3619,174 @@ LEFT JOIN dom_f d ON d.domain = s.domain AND d.ts = s.ts
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer (operators/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+_BPE_MIN_COUNT = 2
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016) over the documents
+    corpus: 8 merges, bit-exact vs the unrolled SQL oracle (pair counts
+    weighted by word frequency, ties count DESC then pair ASC)."""
+    from chronon_spark.operators.tokenizer import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, num_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left_sym string, right_sym string, cnt long",
+    )
+
+
+def _bpe_train_oracle(num_merges: int = _BPE_MERGES, min_count: int = _BPE_MIN_COUNT) -> str:
+    """Unrolled-iteration SQL twin of bpe_train: one CTE trio per merge.
+    The merge application is the same `replace(w, ' a b ', ' ab ')` algebra
+    the engine uses — SQL's left-to-right non-overlapping replace IS the
+    BPE greedy merge rule."""
+    ctes = [
+        r"""wf0 AS (
+  SELECT regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  )
+  WHERE word <> '' AND regexp_matches(word, '^[\x21-\x7e]+$')
+  GROUP BY 1
+)"""
+    ]
+    for k in range(num_merges):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> syms[i] || ' ' || syms[i + 1])) AS p, cnt
+    FROM (SELECT string_split(trim(w), ' ') AS syms, cnt FROM wf{k})
+  ) GROUP BY p
+),
+t{k} AS (SELECT p, c FROM p{k} WHERE c >= {min_count} ORDER BY c DESC, p ASC LIMIT 1),
+wf{k + 1} AS (
+  SELECT replace(w, ' ' || t.p || ' ', ' ' || replace(t.p, ' ', '') || ' ') AS w, cnt
+  FROM wf{k}, t{k} t
+)"""
+        )
+    finals = [
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, split_part(p, ' ', 1) AS left_sym,"
+        f" split_part(p, ' ', 2) AS right_sym, c AS cnt FROM t{k}"
+        for k in range(num_merges)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+# fixed literal merges for the encode gate (typical English BPE openers);
+# embedded identically in the Spark query and the SQL oracle
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("s", "t"),
+]
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst BPE encoding of every document with a fixed merge
+    table: per-doc token count + md5 fingerprint of the token stream."""
+    from chronon_spark.operators.tokenizer import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_stats(docs, _BPE_FIXED_MERGES, "doc_id")
+
+
+def _bpe_tokens_oracle() -> str:
+    expr = "s"
+    for a, b in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return rf"""
+WITH enc AS (
+  SELECT doc_id,
+     array_to_string(
+       list_transform(
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+         w -> regexp_replace(w, '(.)', ' \1', 'g')),
+       ' § ') || ' ' AS s
+  FROM documents
+),
+m AS (SELECT doc_id, {expr} AS s2 FROM enc),
+tk AS (
+  SELECT doc_id,
+     list_filter(string_split(trim(s2), ' '), t -> t <> '' AND t <> '§') AS toks
+  FROM m
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+   md5(array_to_string(toks, '')) AS tokens_fp
+FROM tk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier distillation (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+_CLS_DIM = 128
+_CLS_EPOCHS = 3
+_CLS_LABEL = "IF(lang = 'en', 1, -1)"
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact batch-perceptron distillation of a label heuristic
+    (lang='en') into hashed bag-of-words weights; outputs every doc's
+    integer score + prediction after 3 epochs."""
+    from chronon_spark.operators.classifier import quality_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_classifier(
+        spark, docs, "doc_id", _CLS_LABEL, dim=_CLS_DIM, epochs=_CLS_EPOCHS
+    )
+
+
+def _classifier_oracle(dim: int = _CLS_DIM, epochs: int = _CLS_EPOCHS) -> str:
+    """Unrolled-epoch SQL twin of the batch perceptron. Every quantity is
+    integer arithmetic, so agreement is exact, not allclose."""
+    ctes = [
+        rf"""feats AS (
+  SELECT doc_id AS id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {dim} AS f,
+     CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  )
+  WHERE tok <> '' GROUP BY 1, 2
+)""",
+        "labels AS (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents)",
+        # epoch 1: w=0 => every doc misclassified => w1 = sum over ALL docs
+        "w1 AS (SELECT f, CAST(sum(y * c) AS BIGINT) AS w FROM feats JOIN labels USING (id) GROUP BY f)",
+    ]
+    for t in range(1, epochs):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT l.id, l.y, CAST(COALESCE(sum(w.w * fe.c), 0) AS BIGINT) AS s
+  FROM labels l LEFT JOIN feats fe ON fe.id = l.id LEFT JOIN w{t} w ON w.f = fe.f
+  GROUP BY l.id, l.y
+),
+m{t} AS (SELECT id, y FROM s{t} WHERE y * s <= 0),
+w{t + 1} AS (
+  SELECT COALESCE(a.f, b.f) AS f, CAST(COALESCE(a.w, 0) + COALESCE(b.d, 0) AS BIGINT) AS w
+  FROM w{t} a FULL OUTER JOIN (
+    SELECT f, sum(y * c) AS d FROM feats JOIN m{t} USING (id) GROUP BY f
+  ) b ON a.f = b.f
+)"""
+        )
+    final = f"""
+SELECT l.id, l.y,
+   CAST(COALESCE(sum(w.w * fe.c), 0) AS BIGINT) AS score,
+   CAST(CASE WHEN COALESCE(sum(w.w * fe.c), 0) > 0 THEN 1 ELSE -1 END AS INT) AS pred
+FROM labels l LEFT JOIN feats fe ON fe.id = l.id LEFT JOIN w{epochs} w ON w.f = fe.f
+GROUP BY l.id, l.y
+"""
+    return "WITH " + ",\n".join(ctes) + final
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3713,6 +3881,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "consistency": q_consistency,
         "model_transforms": q_model_transforms,
+        "bpe_train": q_bpe_train,
+        "bpe_tokens": q_bpe_tokens,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -3788,4 +3959,7 @@ def _raw_oracles() -> dict[str, str]:
         "skew_join": _SKEW_ORACLE,
         "consistency": _consistency_oracle(),
         "model_transforms": _MODEL_TRANSFORMS_ORACLE,
+        "bpe_train": _bpe_train_oracle(),
+        "bpe_tokens": _bpe_tokens_oracle(),
+        "quality_classifier": _classifier_oracle(),
     }

@@ -267,6 +267,9 @@ HEADLINE = [
     "incremental_dedup",
     "unigram_logprob",
     "fetch_join",
+    "bpe_train",
+    "bpe_tokens",
+    "quality_classifier",
 ]
 
 
