@@ -14,10 +14,13 @@ curation job does:
   8. near-dup removal with banded MinHash LSH (keep min doc per cluster)
   9. benchmark decontamination (8-gram overlap vs a held-out eval set)
  10. temperature-scaled language mix (count^0.7 target mass)
- 11. leakage-safe train/val/test split; pack the TRAIN split into
-     fixed-token training rows; shard-shuffle the packed bins into a
-     reproducible training order
- 12. emit per-stage survivor counts (the pipeline's audit trail)
+ 11. leakage-safe train/val/test split
+ 12. train a BPE vocabulary on the TRAIN split, tokenize with it, pack
+     the real token counts into fixed-token training rows, and
+     shard-shuffle the packed bins into a reproducible training order
+ 13. emit per-stage survivor counts (the pipeline's audit trail); along
+     the way the quality heuristic is distilled into a batch-perceptron
+     classifier (audit stage: reports training agreement)
 
 Run:  python examples/webtext_curation.py [n_rows]
 """
@@ -39,6 +42,7 @@ def curate(
     blocked_terms: tuple = (),
     boilerplate_min_docs: int = 10,
     dup_span_max: float = 0.5,
+    decontam_k: int = 8,
     verbose: bool = True,
 ) -> dict:
     """Returns {"stages": [(name, rows)], "result": DataFrame}.
@@ -132,13 +136,46 @@ def curate(
     # 5. quality filters
     stats = document_stats(docs, "doc_id").select("doc_id", "quality", "n_tokens")
     rep = repetition_flags(docs, "doc_id").select("doc_id", "passes_repetition")
-    docs = stage(
-        "quality + repetition filters",
+    labeled = (
         docs.join(stats, "doc_id")
         .join(rep, "doc_id")
-        .where("quality >= 0.3 AND n_tokens >= 20 AND passes_repetition")
-        .select("doc_id", "text", "lang"),
+        .withColumn(
+            "__y",
+            F.expr(
+                "IF(quality >= 0.3 AND n_tokens >= 20 AND passes_repetition, 1, -1)"
+            ),
+        )
+        .persist()
     )
+    docs = stage(
+        "quality + repetition filters",
+        labeled.where("__y = 1").select("doc_id", "text", "lang"),
+    )
+
+    # 5b. distill the quality heuristic into a hashed-bag-of-words batch
+    # perceptron (fastText-quality-filter recipe): at production scale the
+    # heuristic runs once to label, the linear model scores every future
+    # crawl for a fraction of the cost. Audit-only stage: reports training
+    # agreement, does not change survivorship.
+    from chronon_spark.operators.classifier import (
+        batch_perceptron,
+        hashed_features,
+        perceptron_scores,
+    )
+
+    cls_feats = hashed_features(labeled, "doc_id", dim=512).persist()
+    cls_labels = labeled.select(F.col("doc_id").alias("id"), F.col("__y").alias("y"))
+    cls_w = batch_perceptron(spark, cls_feats, cls_labels, epochs=3)
+    agree = (
+        perceptron_scores(spark, cls_feats, cls_labels, cls_w)
+        .agg(F.avg((F.col("pred") == F.col("y")).cast("double")))
+        .first()[0]
+    )
+    cls_feats.unpersist()
+    labeled.unpersist()
+    if verbose:
+        print(f"  {'quality classifier distilled':<28s} {agree:>9.1%} agreement "
+              f"({len(cls_w)} non-zero weights)")
 
     # 6. PII redaction in place (same row count — audit-trail stage):
     # training text must not ship raw emails/cards/SSNs/IPs/phones
@@ -192,7 +229,7 @@ def curate(
     if eval_set is not None:
         docs = stage(
             "benchmark decontamination",
-            decontaminate(docs, eval_set, "doc_id", k=8).persist(),
+            decontaminate(docs, eval_set, "doc_id", k=decontam_k).persist(),
         )
     corpus = docs  # the curated corpus; stages below assemble training data
 
@@ -214,12 +251,19 @@ def curate(
     split = train_val_test_split(docs, "doc_id", seed=29)
     train = stage("train split (90%)", split.where("split = 'train'"))
 
-    # 12. pack into fixed-token training rows, then shard-shuffle the
+    # 12. train a BPE vocabulary on the TRAIN split (batched merges: 4
+    # aggregation rounds for 32 merges), tokenize with it, and pack REAL
+    # token counts into fixed-token training rows; shard-shuffle the
     # packed bins into a reproducible pseudo-random training order
     from chronon_spark.operators.packing import pack_sequences, pack_stats
+    from chronon_spark.operators.tokenizer import bpe_token_stats, bpe_train
 
+    merges = bpe_train(train, num_merges=32, min_count=2, batch_size=8)
+    tokenized = bpe_token_stats(train, merges, "doc_id").select("doc_id", "n_tokens")
+    if verbose:
+        print(f"  {'bpe vocabulary trained':<28s} {len(merges):>10,d} merges")
     packed = pack_sequences(
-        train.selectExpr("doc_id", "length(text) div 4 AS n_tok"),
+        train.join(tokenized, "doc_id").selectExpr("doc_id", "n_tokens AS n_tok"),
         "doc_id", "n_tok", max_tokens=4096, n_shards=16,
     )
     bins = pack_stats(packed, 4096).withColumn(
@@ -229,7 +273,7 @@ def curate(
     n_bins = order.count()
     stages.append(("packed training rows", n_bins))
     if verbose:
-        fill = bins.agg(F.avg("fill_ratio")).first()[0]
+        fill = bins.agg(F.avg("fill_ratio")).first()[0] or 0.0
         print(f"  {'packed training rows':<28s} {n_bins:>10,d} bins "
               f"(mean fill {fill:.2f}; shuffled into 4 read shards)")
 
@@ -253,15 +297,46 @@ def main():
     crawl = generate_webtext(
         spark, n, seed=7, n_domains=max(n // 600, 10), nav_boilerplate=True
     )
-    # a disjoint held-out "benchmark" set for the decontamination stage
-    eval_set = generate_webtext(spark, 200, seed=99, n_domains=5).select("text")
+    # Decontamination demo: the generator walks a tiny cyclic word list, so
+    # a same-generator eval set shares unbounded word runs with EVERY doc
+    # and would (correctly) flag the whole corpus. Instead: a hand-written
+    # disjoint benchmark set, plus 5 PLANTED crawl pages that leak eval
+    # questions verbatim — the stage must remove exactly those.
+    eval_qs = [
+        f"benchmark question {i} probes the unseen topic {i * 7 + 1} "
+        f"and the expected answer is {i * 13 + 5} according to the rubric"
+        for i in range(50)
+    ]
+    eval_set = spark.createDataFrame([(q,) for q in eval_qs], "text string")
+    base_row = crawl.select("warc_ts").limit(1).collect()[0]
+    filler = ("with some additional context about the methodology and the "
+              "evaluation protocol that was used when this question appeared")
+    leaks = [
+        (
+            f"https://leak.example.com/q{i}",
+            base_row["warc_ts"],
+            f"<html><body><p>as seen online {eval_qs[i]} {filler} part {i}"
+            f"</p></body></html>".encode(),
+            None,
+            "en",
+        )
+        for i in range(5)
+    ]
+    crawl = crawl.unionByName(spark.createDataFrame(leaks, crawl.schema))
     out = curate(
         spark,
         crawl,
         eval_set=eval_set,
         blocked_domains=("domain1.example.com",),
         blocked_terms=("casino",),
+        # the generator's cyclic word stream makes EVERY synthetic doc share
+        # 88-92% of its 8-grams with others (measured) — the real-data
+        # default (0.5) would zero the demo corpus; 0.95 keeps the filter
+        # exercised while dropping only outright near-copies
+        dup_span_max=0.95,
     )
+    survivors = out["result"].where("doc_id LIKE '%leak.example.com%'").count()
+    print("planted eval-leak pages surviving decontamination:", survivors)
     print("final packed training rows:", out["stages"][-1][1])
 
 

@@ -257,6 +257,26 @@ def test_digest_invariants_round3_queries(spark):
     d = bench.plan_digest(qs["unigram_logprob"](spark, sf))
     assert d["exchanges"] <= 3 and d["python_stages"] == 0, d
 
+    # BPE encode is a pure projection (nested string replaces): no shuffle,
+    # no Python may ever appear in the per-row path
+    d = bench.plan_digest(qs["bpe_tokens"](spark, sf))
+    assert d["exchanges"] == 0 and d["python_stages"] == 0, d
+
+    # BPE training's per-iteration plan (pair counts over the word-freq
+    # table) is one map-side-combined aggregation, zero Python
+    from chronon_spark.operators.tokenizer import _pair_counts, _spaced, word_frequencies
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    wf = word_frequencies(docs).select(_spaced(F.col("word")).alias("w"), "cnt")
+    d = bench.plan_digest(_pair_counts(wf))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 2, d
+
+    # classifier scoring: Catalyst-only — weights ride a broadcast join
+    d = bench.plan_digest(qs["quality_classifier"](spark, sf))
+    assert d["python_stages"] == 0, d
+    assert d["broadcast_joins"] >= 1, d
+
 
 def test_round3_ops_parallelism_invariant(spark):
     """Results must be identical across shuffle-partition settings
@@ -284,6 +304,9 @@ def test_round3_ops_parallelism_invariant(spark):
                 "semdedup",
                 "incremental_dedup",
                 "unigram_logprob",
+                "bpe_train",
+                "bpe_tokens",
+                "quality_classifier",
             ):
                 df = qs[name](spark, sf).toPandas()
                 key = sorted(df.columns)
