@@ -160,6 +160,26 @@ def _flagship_join_narrow(spark, narrow: str):
     return join_asof(spark, join, mode="sawtooth")
 
 
+def host_canary() -> dict:
+    """Fixed single-threaded numpy workload (never changes across rounds):
+    separates HOST speed from ENGINE speed in round-over-round comparisons.
+    This box is time-shared with invisible neighbors — the same bench
+    measured 0.21s..0.37s on the (also fixed) kernel microbench across
+    windows. Normalize wall-clock deltas by this before crediting/blaming
+    the engine."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.rand(2_000_000)
+    a = np.tanh(np.cumsum(np.sort(a)) / 1e6) + 1e-9  # warm pass (page-in)
+    t0 = time.time()
+    for _ in range(6):
+        a = np.tanh(np.cumsum(np.sort(a)) / 1e6) + 1e-9
+    wall = time.time() - t0
+    return {"wall_sec": round(wall, 4), "score": round(1.0 / wall, 2),
+            "workload": "6x (sort + cumsum + tanh) over 2M float64, single thread (no BLAS)"}
+
+
 def kernel_microbench() -> dict:
     """Reference parity: SawtoothUdfPerformanceTest.scala:24-80 — 20k events
     x 20k queries, LAST_K k=50, 180-day span, single key. Pure kernel (no
@@ -457,6 +477,7 @@ def main() -> None:
                 },
                 "webtext_ops": ops,
                 "kernel_microbench": kernel_microbench(),
+                "host_canary": host_canary(),
                 "scaling_recorded": recorded_scaling(),
             }
         )
