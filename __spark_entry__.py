@@ -3787,6 +3787,66 @@ GROUP BY l.id, l.y
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance-resampling data selection (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 2048
+_DSIR_N = 2
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance log-weights of every document
+    against a target domain (lang='de' docs): hashed-bigram unigram
+    models, add-one smoothed, log-ratios quantized to 1e-6 so each doc's
+    weight is an exact integer sum."""
+    from chronon_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where("lang = 'de'")
+    return dsir_log_weights(docs, target, "doc_id", n=_DSIR_N, dim=_DSIR_DIM)
+
+
+def _dsir_oracle(dim: int = _DSIR_DIM) -> str:
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+     unnest(list_transform(generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM norm
+),
+feats AS (
+  SELECT doc_id, lang,
+     CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {dim} AS f,
+     CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+rc AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM feats GROUP BY f),
+tc AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM feats WHERE lang = 'de' GROUP BY f),
+tot AS (
+  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM rc) AS R,
+     (SELECT CAST(sum(n) AS BIGINT) FROM tc) AS T
+),
+ratio AS (
+  SELECT COALESCE(rc.f, tc.f) AS f,
+     CAST(floor((ln((COALESCE(tc.n, 0) + 1) / CAST(tot.T + {dim} AS DOUBLE))
+               - ln((COALESCE(rc.n, 0) + 1) / CAST(tot.R + {dim} AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS q
+  FROM rc FULL OUTER JOIN tc ON rc.f = tc.f CROSS JOIN tot
+)
+SELECT feats.doc_id AS id,
+   CAST(sum(feats.c) AS BIGINT) AS n_feats,
+   CAST(sum(feats.c * ratio.q) AS BIGINT) AS log_w_micro
+FROM feats JOIN ratio USING (f)
+GROUP BY feats.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3884,6 +3944,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
         "quality_classifier": q_quality_classifier,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -3962,4 +4023,5 @@ def _raw_oracles() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(),
         "bpe_tokens": _bpe_tokens_oracle(),
         "quality_classifier": _classifier_oracle(),
+        "dsir_weights": _dsir_oracle(),
     }

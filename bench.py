@@ -293,6 +293,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_tokens",
     "quality_classifier",
+    "dsir_weights",
 ]
 
 
