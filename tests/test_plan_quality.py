@@ -277,6 +277,11 @@ def test_digest_invariants_round3_queries(spark):
     assert d["python_stages"] == 0, d
     assert d["broadcast_joins"] >= 1, d
 
+    # DSIR: ratio table broadcasts; no Python anywhere
+    d = bench.plan_digest(qs["dsir_weights"](spark, sf))
+    assert d["python_stages"] == 0, d
+    assert d["broadcast_joins"] >= 1, d
+
 
 def test_round3_ops_parallelism_invariant(spark):
     """Results must be identical across shuffle-partition settings
