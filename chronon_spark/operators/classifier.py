@@ -136,6 +136,41 @@ def perceptron_scores(
     )
 
 
+def scoring_expr(weights: dict, text_col: str = "text", dim: int = 256):
+    """Pure-expression scorer under trained weights: the DEPLOY-side twin
+    of batch_perceptron. The weight map rides as a literal (sorted for
+    plan determinism), the token fold is a Catalyst `aggregate` HOF — no
+    shuffle, no join, no Python — so the same distilled model that
+    trained offline scores rows in a `readStream` pipeline or a serving
+    projection unchanged.
+
+    Size note: a literal map holds fine to a few thousand entries
+    (perceptron weights are dim-bounded and zero-pruned); for 1M-feature
+    models use perceptron_scores' broadcast join instead.
+    """
+    if not weights:
+        return F.lit(0).cast("long")
+    m = F.create_map(
+        *[
+            F.lit(v).cast("long")
+            for f, w in sorted(weights.items())
+            for v in (int(f), int(w))
+        ]
+    )
+    toks = F.filter(F.split(_norm_text(text_col), " "), lambda t: t != "")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(
+                m, F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % dim
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
 def quality_classifier(
     spark: SparkSession,
     df: DataFrame,

@@ -66,6 +66,24 @@ def stream_quality_filter(
     )
 
 
+def stream_model_filter(
+    stream: DataFrame,
+    weights: dict,
+    text_col: str = "text",
+    dim: int = 256,
+    threshold: int = 0,
+) -> DataFrame:
+    """Stateless distilled-model gate: score each row under
+    batch-perceptron weights (operators.classifier.scoring_expr — literal
+    weight map + Catalyst aggregate HOF, no shuffle/join/Python) and keep
+    rows scoring above ``threshold``. The offline-trained quality model
+    deployed at ingest time unchanged — the lambda-consistency stance the
+    rest of this module takes, applied to a learned filter."""
+    from chronon_spark.operators.classifier import scoring_expr
+
+    return stream.where(scoring_expr(weights, text_col, dim) > F.lit(threshold))
+
+
 def stream_redact_pii(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless PII cascade in place (same cascade as operators.pii)."""
     return stream.withColumn(text_col, redact_pii(text_col))

@@ -115,6 +115,25 @@ def test_partition_invariance(spark, data):
     assert w1 == w2
 
 
+def test_scoring_expr_equals_join_scores(spark, data):
+    """The stream-safe literal-map scorer must agree bit-for-bit with the
+    broadcast-join scorer (and hence with training-time scores)."""
+    from chronon_spark.operators.classifier import scoring_expr
+
+    df, ldf, texts, labels = data
+    w = py_train(texts, labels, 3)
+    feats = hashed_features(df, "doc_id", dim=DIM)
+    via_join = {
+        r["id"]: r["score"]
+        for r in perceptron_scores(spark, feats, ldf, w).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scoring_expr(w, dim=DIM).alias("s")).collect()
+    }
+    assert via_expr == via_join
+
+
 def test_scores_are_integers_and_stable(spark, data):
     df, ldf, texts, labels = data
     feats = hashed_features(df, "doc_id", dim=DIM)

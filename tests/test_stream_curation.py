@@ -129,3 +129,40 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     batch = decontaminate(spark.read.parquet(src), eval_df, "doc_id", k=8)
     assert sorted(out.doc_id) == sorted(r["doc_id"] for r in batch.collect())
     assert 1 not in set(out.doc_id)
+
+
+def test_stream_model_filter_matches_batch(spark, tmp_path):
+    """Distilled-model ingest gate: offline-trained perceptron weights
+    score the stream identically to the batch scorer (lambda consistency
+    for a LEARNED filter)."""
+    from chronon_spark.operators.classifier import (
+        batch_perceptron,
+        hashed_features,
+        perceptron_scores,
+    )
+    from chronon_spark.streaming.curation import stream_model_filter
+
+    t0 = 1_700_000_000_000
+    good = "excellent coherent informative structured prose with substance"
+    bad = "spam click here buy now casino pills"
+    rows = [(i, t0 + i * 1000, (good if i % 2 == 0 else bad) + f" tail {i % 3}")
+            for i in range(20)]
+    src = _write_crawl(spark, tmp_path, rows)
+    train = spark.read.parquet(src)
+    feats = hashed_features(train, "doc_id", dim=64)
+    labels = train.selectExpr("doc_id AS id",
+                              "IF(text LIKE '%excellent%', 1, -1) AS y")
+    w = batch_perceptron(spark, feats, labels, epochs=3)
+
+    schema = train.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = _run_stream(
+        spark, stream_model_filter(stream, w, dim=64), "model_stream_t1"
+    )
+    batch_kept = {
+        r["id"]
+        for r in perceptron_scores(spark, feats, labels, w).collect()
+        if r["score"] > 0
+    }
+    assert set(out.doc_id) == batch_kept
+    assert all(i % 2 == 0 for i in out.doc_id)  # learned gate keeps the good half
