@@ -160,12 +160,16 @@ def dsir_select(
 
     The paper resamples with Gumbel noise; for an engine gate the
     deterministic top-k variant is the right contract (noisy resampling
-    is one extra seeded-hash column away)."""
+    is one extra seeded-hash column away).
+
+    Selection rides ``sampling.global_top_k`` (range-partitioned exact
+    top-k) — a plain ``orderBy().limit(k)`` would TakeOrdered k x P rows
+    onto the driver, and k here is a CORPUS FRACTION."""
+    from chronon_spark.operators.sampling import global_top_k
+
     weights = dsir_log_weights(raw, target, id_col, text_col, n, dim)
     k = max(int(raw.count() * keep_fraction), 1)
-    top = (
-        weights.orderBy(F.desc("log_w_micro"), F.asc("id"))
-        .limit(k)
-        .select(F.col("id").alias(id_col))
-    )
+    top = global_top_k(
+        weights, k, [F.desc("log_w_micro"), F.asc("id")]
+    ).select(F.col("id").alias(id_col))
     return raw.join(top, id_col)

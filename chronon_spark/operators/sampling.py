@@ -181,6 +181,60 @@ def temperature_mix(
     return stratified_sample(df, key_col, fractions, id_col, seed)
 
 
+def global_top_k(
+    df: DataFrame,
+    k: int,
+    order: list,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact deterministic global top-k that never merges k rows in one
+    place.
+
+    Spark plans ``orderBy().limit(k)`` as TakeOrderedAndProject, which
+    ships each partition's top-k to the DRIVER — O(k x partitions) driver
+    memory. Fine for profile-sized k; catastrophic when k is a corpus
+    FRACTION (DSIR keeps 10-25% of 10^12 docs). Here instead:
+    ``repartitionByRange`` on the order (the same one shuffle a global
+    sort pays), count rows per range partition (a collect of P longs),
+    keep every partition strictly before the one holding the k-th row
+    WHOLE, and sort only that boundary partition (~n/P rows) for its
+    first remainder rows. The selected SET is determined by the total
+    order alone, independent of where the sampled range boundaries fall.
+
+    ``order`` must be a total order (include a unique tiebreaker column)
+    or the boundary cut is nondeterministic.
+    """
+    assert k >= 1
+    spark = df.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        df.repartitionByRange(P, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {r["__pid"]: r["cnt"] for r in
+             part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(sizes.values())
+    if k >= total:
+        return part.drop("__pid")
+    cum = 0
+    p_star, remainder = 0, k
+    for pid in range(P):
+        n_p = sizes.get(pid, 0)
+        if cum + n_p >= k:
+            p_star, remainder = pid, k - cum
+            break
+        cum += n_p
+    head = part.where(F.col("__pid") < p_star).drop("__pid")
+    boundary = (
+        part.where(F.col("__pid") == p_star)
+        .orderBy(*order)
+        .limit(remainder)
+        .drop("__pid")
+    )
+    return head.unionByName(boundary)
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str,

@@ -739,3 +739,28 @@ def test_blocklist_flags(spark):
     }
     assert out2[2]["blocked_domain"] and not out2[2]["kept"]
     assert out2[1]["kept"]
+
+
+def test_global_top_k_exact_vs_order_limit(spark):
+    """global_top_k must select exactly the orderBy().limit(k) set for
+    every k, including boundary partitions and k >= n, while never
+    planning a TakeOrderedAndProject over the full frame."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.sampling import global_top_k
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("w"),  # heavy ties -> tiebreak matters
+    ).repartition(7)
+    order = [F.desc("w"), F.asc("id")]
+    for k in (1, 3, 100, 500, 996, 997, 5000):
+        want = [tuple(r) for r in df.orderBy(*order).limit(k).collect()]
+        got = [tuple(r) for r in global_top_k(df, k, order, num_partitions=5)
+               .orderBy(*order).collect()]
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+    # partition-invariance of the selected set
+    a = sorted(tuple(r) for r in global_top_k(df, 250, order).collect())
+    b = sorted(tuple(r) for r in global_top_k(df.repartition(13), 250, order).collect())
+    assert a == b
