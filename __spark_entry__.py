@@ -882,6 +882,79 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): cut every token run
+    covered by a cross-document-duplicated word 8-gram out of the
+    normalized text; unique prose survives verbatim."""
+    from chronon_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicated_spans(docs, "doc_id", k=8).select(
+        "id", "clean_text", "n_tokens", "n_removed", "removed_frac", "flagged"
+    )
+
+
+# Independent DuckDB formulation: positioned 8-grams via a list
+# comprehension, doc-frequency on DISTINCT (doc, gram-hash), covered
+# token positions as the union of [pos, pos+8) per duplicated gram,
+# rebuild via ORDER BY string_agg over the anti-joined token list.
+_SPAN_REMOVAL_ORACLE = r"""
+WITH nt AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+c AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w FROM nt),
+g AS (
+  SELECT doc_id,
+     unnest([{'pos': i - 1,
+              'h': CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15)
+                    AS BIGINT)}
+             for i in generate_series(1, len(w) - 7)],
+            recursive := true)
+  FROM c WHERE len(w) >= 8
+),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h
+  HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + d.d AS tpos
+  FROM g JOIN dup USING (h)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) d
+),
+tok AS (
+  SELECT doc_id,
+     unnest([{'tpos': i - 1, 'tok': w[i]} for i in generate_series(1, len(w))],
+            recursive := true)
+  FROM c
+),
+kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+  WHERE cov.tpos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS ct, count(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+fl AS (SELECT DISTINCT doc_id FROM cov)
+SELECT c.doc_id AS id,
+   CASE WHEN fl.doc_id IS NULL THEN nt.t ELSE COALESCE(reb.ct, '') END AS clean_text,
+   CAST(len(c.w) AS BIGINT) AS n_tokens,
+   CAST(CASE WHEN fl.doc_id IS NULL THEN 0
+             ELSE len(c.w) - COALESCE(reb.nk, 0) END AS BIGINT) AS n_removed,
+   CAST(CASE WHEN fl.doc_id IS NULL THEN 0
+             ELSE len(c.w) - COALESCE(reb.nk, 0) END AS DOUBLE)
+     / CAST(len(c.w) AS DOUBLE) AS removed_frac,
+   (CASE WHEN fl.doc_id IS NULL THEN 0
+         ELSE len(c.w) - COALESCE(reb.nk, 0) END) > 0 AS flagged
+FROM c
+JOIN nt USING (doc_id)
+LEFT JOIN fl ON c.doc_id = fl.doc_id
+LEFT JOIN reb ON c.doc_id = reb.doc_id
+"""
+
+
 _DUP_SPANS_ORACLE = r"""
 WITH nt AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
@@ -3893,6 +3966,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "duplicated_spans": q_duplicated_spans,
+        "span_removal": q_span_removal,
         "incremental_dedup": q_incremental_dedup,
         "unigram_logprob": q_unigram_logprob,
         "pii_redact": q_pii_redact,
@@ -3972,6 +4046,7 @@ def _raw_oracles() -> dict[str, str]:
         "pack_sequences": _PACK_ORACLE,
         "decontaminate": _DECONTAM_ORACLE,
         "duplicated_spans": _DUP_SPANS_ORACLE,
+        "span_removal": _SPAN_REMOVAL_ORACLE,
         "incremental_dedup": _incremental_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "pii_redact": _pii_oracle(),

@@ -773,6 +773,115 @@ def duplicated_span_flags(
     return out
 
 
+def positioned_grams(words_col: str, k: int) -> Column:
+    """Word k-grams WITH positions: entry i of the returned array is the
+    gram starting at token i (null past n-k, so posexplode positions stay
+    aligned). Same chained zip_with-shift construction as shingles()."""
+    w = F.col(words_col)
+    grams = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def remove_duplicated_spans(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): cut every token run
+    covered by a word k-gram that appears in >= ``min_docs`` distinct
+    documents, keeping the rest of the document intact. This is the
+    published pipeline step ``duplicated_span_flags`` only signals —
+    boilerplate/licence/navigation spans vanish while the unique prose
+    around them survives.
+
+    -> (id, clean_text, n_tokens, n_removed, removed_frac, flagged) per
+    document, over NORMALIZED text (lowercased, whitespace-collapsed —
+    grams are computed on it, so the cut offsets refer to it).
+
+    Scale shape (100 TB corpus): positioned-gram projection (linear,
+    zip_with shifts), one distinct + map-side-combined groupBy for gram
+    doc-frequency, covered-position explode bounded by k x dup-gram
+    count, and token-level rebuild ONLY for flagged documents (the
+    minority) via anti-join + per-doc sort — no windows over the corpus,
+    no driver state. Gram-hash collisions at ~2^-60 can only remove an
+    extra span — conservative in the safe direction for dedup.
+    """
+    corpus = ensure_parallelism(corpus)
+    toks = corpus.select(
+        F.col(id_col).alias("id"), norm_text(text_col).alias("__nt")
+    ).withColumn("__w", words("__nt")).withColumn("__n", F.size("__w"))
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    grams = (
+        toks.where(F.col("__n") >= k)
+        .select("id", F.posexplode(positioned_grams("__w", k)).alias("pos", "g"))
+        .where(F.col("g").isNotNull())
+        .select("id", "pos", gh.alias("gh"))
+        .persist()
+    )
+    dup = (
+        grams.select("id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+        .where(F.col("df_g") >= min_docs)
+        .select("gh")
+    )
+    cov = (
+        grams.join(dup, on="gh")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    flagged = cov.select("id").distinct().withColumn("__fl", F.lit(True))
+    ftoks = (
+        toks.join(flagged.select("id"), on="id")
+        .select("id", F.posexplode("__w").alias("tpos", "tok"))
+    )
+    rebuilt = (
+        ftoks.join(cov, on=["id", "tpos"], how="left_anti")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("__ct"),
+            F.count(F.lit(1)).alias("__nk"),
+        )
+    )
+    return (
+        toks.join(flagged, on="id", how="left")
+        .join(rebuilt, on="id", how="left")
+        .select(
+            "id",
+            F.when(F.col("__fl").isNull(), F.col("__nt"))
+            .otherwise(F.coalesce("__ct", F.lit("")))
+            .alias("clean_text"),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.when(F.col("__fl").isNull(), F.lit(0))
+            .otherwise(F.col("__n") - F.coalesce("__nk", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .withColumn(
+            "removed_frac",
+            F.col("n_removed").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn("flagged", F.col("n_removed") > 0)
+    )
+
+
 def benchmark_contamination(
     corpus: DataFrame,
     eval_df: DataFrame,

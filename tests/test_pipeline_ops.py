@@ -764,3 +764,44 @@ def test_global_top_k_exact_vs_order_limit(spark):
     a = sorted(tuple(r) for r in global_top_k(df, 250, order).collect())
     b = sorted(tuple(r) for r in global_top_k(df.repartition(13), 250, order).collect())
     assert a == b
+
+
+def test_remove_duplicated_spans(spark):
+    """ExactSubstr cut: shared 8-token boilerplate vanishes from every
+    doc carrying it; unique prose survives verbatim; short and unique
+    docs pass through untouched; a fully-boilerplate doc empties."""
+    from chronon_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "all rights reserved click here to subscribe now"  # 8 tokens
+    rows = [
+        ("a", f"alpha beta gamma {boiler} delta epsilon"),
+        ("b", f"{boiler} zeta eta theta iota kappa"),
+        ("c", boiler),                      # fully duplicated -> empty
+        ("d", "totally unique document with no shared spans at all"),
+        ("e", "short doc"),                 # < k tokens, never flagged
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in remove_duplicated_spans(df, "doc_id", k=8).collect()}
+
+    assert out["a"]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out["a"]["n_removed"] == 8 and out["a"]["flagged"]
+    assert out["b"]["clean_text"] == "zeta eta theta iota kappa"
+    assert out["c"]["clean_text"] == "" and out["c"]["removed_frac"] == 1.0
+    assert out["d"]["clean_text"] == rows[3][1] and not out["d"]["flagged"]
+    assert out["e"]["clean_text"] == "short doc" and out["e"]["n_removed"] == 0
+
+    # overlapping dup grams merge into one cut (docs share a 10-token run
+    # -> every 8-gram inside it is duplicated; covered union is the run)
+    run = "one two three four five six seven eight nine ten"
+    df2 = spark.createDataFrame(
+        [("x", f"pre {run} post"), ("y", f"{run} tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["id"]: r for r in remove_duplicated_spans(df2, "doc_id", k=8).collect()}
+    assert out2["x"]["clean_text"] == "pre post" and out2["x"]["n_removed"] == 10
+
+    # partition invariance
+    a = sorted(map(tuple, remove_duplicated_spans(df, "doc_id", k=8).collect()))
+    b = sorted(map(tuple,
+        remove_duplicated_spans(df.repartition(7), "doc_id", k=8).collect()))
+    assert a == b
