@@ -284,6 +284,7 @@ HEADLINE = [
     "consistency",
     "decontaminate",
     "duplicated_spans",
+    "span_removal",
     "pii_redact",
     "kmeans_cluster",
     "semdedup",
