@@ -870,6 +870,49 @@ FROM q GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail (Wenzek et al. 2020): per-language equal-
+    count perplexity tiers under the self-trained unigram LM (exact rank
+    mode — ntile over (lang ORDER BY score, id))."""
+    from chronon_spark.operators.textstats import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_buckets(docs, "doc_id", mode="rank")
+
+
+# Same integer-exact score CTE as _UNIGRAM_ORACLE, then SQL-standard
+# ntile within language (identical remainder-to-lower-tiles semantics in
+# Spark and DuckDB; the (score, id) order is total so tiles are unique).
+_CCNET_ORACLE = r"""
+WITH nt AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM nt),
+c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+q AS (
+  SELECT tk.doc_id,
+     CAST(floor((-(ln(CAST(c.c AS DOUBLE)) - ln(tot.n))) * 1000000 + 0.5) AS BIGINT) AS qn
+  FROM tk JOIN c USING (token) CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id AS id, count(*) AS n_tokens,
+     CAST(sum(qn) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_neg_logp
+  FROM q GROUP BY doc_id
+),
+b AS (
+  SELECT sc.id, d.lang, sc.n_tokens, sc.mean_neg_logp,
+     ntile(3) OVER (PARTITION BY d.lang
+                    ORDER BY sc.mean_neg_logp ASC, sc.id ASC) AS bucket
+  FROM sc JOIN documents d ON sc.id = d.doc_id
+)
+SELECT id, lang, n_tokens, mean_neg_logp, CAST(bucket AS INT) AS bucket,
+   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+FROM b
+"""
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-INTERNAL exact-substring duplication at doc granularity
     (Lee et al. 2022 ExactSubstr signal): per doc, how many of its
@@ -3967,6 +4010,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "duplicated_spans": q_duplicated_spans,
         "span_removal": q_span_removal,
+        "ccnet_buckets": q_ccnet_buckets,
         "incremental_dedup": q_incremental_dedup,
         "unigram_logprob": q_unigram_logprob,
         "pii_redact": q_pii_redact,
@@ -4047,6 +4091,7 @@ def _raw_oracles() -> dict[str, str]:
         "decontaminate": _DECONTAM_ORACLE,
         "duplicated_spans": _DUP_SPANS_ORACLE,
         "span_removal": _SPAN_REMOVAL_ORACLE,
+        "ccnet_buckets": _CCNET_ORACLE,
         "incremental_dedup": _incremental_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "pii_redact": _pii_oracle(),

@@ -285,6 +285,7 @@ HEADLINE = [
     "decontaminate",
     "duplicated_spans",
     "span_removal",
+    "ccnet_buckets",
     "pii_redact",
     "kmeans_cluster",
     "semdedup",

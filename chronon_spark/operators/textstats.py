@@ -502,3 +502,75 @@ def blocklist_flags(
         term_flag.alias("blocked_term"),
         (~(dom_flag | term_flag)).alias("kept"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    counts: Optional[DataFrame] = None,
+    n_buckets: int = 3,
+    mode: str = "rank",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): rank every
+    document by LM perplexity WITHIN its language and split each language
+    into ``n_buckets`` equal-count tiers — head (most-typical text, kept
+    for pretraining), middle, tail (gibberish/boilerplate outliers).
+
+    -> (id, lang, n_tokens, mean_neg_logp, bucket, label); bucket is
+    1-based, label is head/middle/tail for n_buckets=3 else ``b<i>``.
+
+    ``mode="rank"``: exact ntile over (lang ORDER BY score, id) — fully
+    deterministic and SQL-mirrorable. The sort runs over the 4-column
+    SCORE table, never the corpus text; per-language partitions at web
+    scale are large but ntile is a single window pass after one range
+    sort — acceptable for a per-snapshot curation job.
+
+    ``mode="sketch"``: per-language approximate quantile thresholds
+    (percentile_approx — a bounded-error JVM sketch), broadcast back as
+    a tiny (lang x n_buckets) table; assignment is one projection. No
+    global sort anywhere — the 10^12-doc path; boundary membership may
+    differ from rank mode by the sketch error, tiers are within-epsilon
+    equal-count.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_score(docs, id_col, counts=counts, text_col=text_col)
+    scored = scored.join(
+        docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang")), "id"
+    )
+    if mode == "rank":
+        w = Window.partitionBy("lang").orderBy(
+            F.col("mean_neg_logp").asc(), F.col("id").asc()
+        )
+        out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    elif mode == "sketch":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        thr = scored.groupBy("lang").agg(
+            F.percentile_approx("mean_neg_logp", qs, 10_000).alias("__thr")
+        )
+        out = scored.join(F.broadcast(thr), "lang").withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "__thr",
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(F.col("mean_neg_logp") > t, 1).otherwise(0),
+                )
+            ).cast("int"),
+        ).drop("__thr")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    names = (
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("bucket")
+        )
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    )
+    return out.select(
+        "id", "lang", "n_tokens", "mean_neg_logp", "bucket", names.alias("label")
+    )

@@ -805,3 +805,33 @@ def test_remove_duplicated_spans(spark):
     b = sorted(map(tuple,
         remove_duplicated_spans(df.repartition(7), "doc_id", k=8).collect()))
     assert a == b
+
+
+def test_ccnet_buckets_modes(spark):
+    """Rank mode: exact equal-count tiers per language with deterministic
+    boundaries. Sketch mode: no sort, tier sizes within sketch error."""
+    from chronon_spark.operators.textstats import ccnet_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = ccnet_buckets(docs, "doc_id", mode="rank")
+    per = {(x["lang"], x["bucket"]): x["cnt"] for x in
+           r.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    langs = {l for l, _ in per}
+    for l in langs:
+        sizes = [per.get((l, b), 0) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (l, sizes)  # ntile remainder rule
+        assert sizes == sorted(sizes, reverse=True)      # remainder to lower tiles
+
+    # head has lower perplexity than tail within every language
+    agg = {(x["lang"], x["label"]): x["m"] for x in
+           r.groupBy("lang", "label").agg(F.avg("mean_neg_logp").alias("m")).collect()}
+    for l in langs:
+        assert agg[(l, "head")] < agg[(l, "tail")]
+
+    s = ccnet_buckets(docs, "doc_id", mode="sketch")
+    n = docs.count()
+    sizes = {x["bucket"]: x["cnt"] for x in
+             s.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(sizes) <= {1, 2, 3}
+    for b, c in sizes.items():
+        assert abs(c - n / 3) < n * 0.2, sizes  # within sketch error at 500 docs

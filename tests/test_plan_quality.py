@@ -305,6 +305,9 @@ def test_round3_ops_parallelism_invariant(spark):
                 "doc_sample",
                 "drift_dist",
                 "duplicated_spans",
+                "span_removal",
+                "ccnet_buckets",
+                "dsir_weights",
                 "kmeans_cluster",
                 "semdedup",
                 "incremental_dedup",
