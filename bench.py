@@ -262,6 +262,47 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
     return out
 
 
+def curation_e2e_bench(spark, n_rows: int) -> dict:
+    """End-to-end curation pipeline throughput: the 13-stage
+    examples/webtext_curation.py job (extract -> url/exact/near dedup ->
+    quality -> PII -> decontaminate -> mix -> split -> BPE+pack+shuffle)
+    over freshly generated crawl records. Single pass (the pipeline's
+    per-stage audit counts already force every stage at least once);
+    demo parameterization — the synthetic generator's cyclic word stream
+    makes ~90% of 8-grams cross-doc duplicated, so dup_span_max=0.95
+    keeps the ExactSubstr filter exercised without zeroing the corpus
+    (examples/webtext_curation.py:main documents the measurement)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from chronon_spark.sources.webtext import generate_webtext
+    from examples.webtext_curation import curate
+
+    crawl = generate_webtext(
+        spark, n_rows, seed=7, n_domains=max(n_rows // 600, 10),
+        nav_boilerplate=True, partitions=max(CPUS * 2, 16),
+    ).localCheckpoint()  # generation cost excluded: measure the PIPELINE
+    eval_qs = [
+        f"benchmark question {i} probes the unseen topic {i * 7 + 1} "
+        f"and the expected answer is {i * 13 + 5} according to the rubric"
+        for i in range(50)
+    ]
+    eval_set = spark.createDataFrame([(q,) for q in eval_qs], "text string")
+    t0 = time.time()
+    out = curate(
+        spark, crawl, eval_set=eval_set,
+        blocked_domains=("domain1.example.com",), blocked_terms=("casino",),
+        dup_span_max=0.95, verbose=False,
+    )
+    wall = time.time() - t0
+    stages = {name: n for name, n in out["stages"]}
+    return {
+        "rows": n_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "stages": stages,
+    }
+
+
 HEADLINE = [
     "asof_groupby",
     "asof_join_multipart",
@@ -444,6 +485,9 @@ def main() -> None:
             # leaves the JVM heap pressured (measured 95s-vs-18s doc_stats
             # inversion when ops ran after it)
             ops = webtext_ops_bench(spark, path, n_webtext)
+            curation = curation_e2e_bench(
+                spark, int(os.environ.get("SPARK_GRAFT_CURATION_ROWS", "20000"))
+            )
 
             # steady-state flagship at the BASELINE.md anchor scale —
             # comparable round-over-round, not overhead-dominated
@@ -479,6 +523,7 @@ def main() -> None:
                     "rows_per_sec": round(STEADY_ROWS / steady_wall, 1),
                 },
                 "webtext_ops": ops,
+                "curation_e2e": curation,
                 "kernel_microbench": kernel_microbench(),
                 "host_canary": host_canary(),
                 "scaling_recorded": recorded_scaling(),

@@ -67,6 +67,18 @@ def curate(
     stages = []
 
     def stage(name, df):
+        # localCheckpoint, NOT persist: persist caches execution but the
+        # logical plan keeps growing — after ~10 chained stages Catalyst's
+        # project-collapse substitutes aliased expressions into each other
+        # until a single expression tree is exponentially large, and one
+        # driver thread burns minutes in Expression.toString/optimization
+        # (observed: 6-min single-thread stall between two trivial stages
+        # at 20k rows). Checkpointing every audited stage both caches the
+        # rows for the audit count AND truncates the plan, so every
+        # stage's optimization cost is one stage deep, independent of
+        # pipeline length. Old checkpoint blocks are GC-released once the
+        # frame goes out of scope.
+        df = df.localCheckpoint()
         n = df.count()
         stages.append((name, n))
         if verbose:
@@ -96,10 +108,6 @@ def curate(
     # lines to single-line text for the document-level stages. Docs whose
     # every line was boilerplate drop out here.
     bp = boilerplate_lines(docs, "doc_id", min_docs=boilerplate_min_docs)
-    # localCheckpoint (not persist): the rebuild's plan is ~3x the input
-    # plan and every downstream op re-references docs several times — an
-    # un-truncated lineage grows multiplicatively from here (persist
-    # caches execution, not the plan).
     docs = stage(
         "boilerplate line removal",
         docs.drop("text")
@@ -108,8 +116,7 @@ def curate(
             "doc_id",
             F.regexp_replace("clean_text", "\n", " ").alias("text"),
             "lang",
-        )
-        .localCheckpoint(),
+        ),
     )
 
     # 3c. optional domain/term blocklist (UT1/LDNOOBW-style)
@@ -210,17 +217,14 @@ def curate(
     # correct set when resolved as ONE cluster).
     from chronon_spark.operators.dedup import duplicate_clusters, keep_canonical
 
-    # each audited stage is persisted so later stage counts (and the
-    # iterative cluster resolution) do not recompute the whole upstream
-    # pipeline per action
-    docs = docs.persist()
+    # (docs is the live staged frame — already cached by stage())
     pairs = minhash_lsh_pairs(
         docs, "doc_id", n_hashes=16, bands=4, shingle_k=3, verify_threshold=0.85
     ).localCheckpoint()
     docs = stage(
         "near-dup removal (LSH + CC)",
         keep_canonical(docs, duplicate_clusters(pairs), "doc_id"),
-    ).persist()
+    )
 
     # 9. benchmark decontamination: drop any doc sharing an 8-gram with
     # the held-out eval set (broadcast semi-join on gram hashes)
@@ -229,7 +233,7 @@ def curate(
     if eval_set is not None:
         docs = stage(
             "benchmark decontamination",
-            decontaminate(docs, eval_set, "doc_id", k=decontam_k).persist(),
+            decontaminate(docs, eval_set, "doc_id", k=decontam_k),
         )
     corpus = docs  # the curated corpus; stages below assemble training data
 
@@ -244,7 +248,7 @@ def curate(
 
     docs = stage(
         "temperature mix (alpha=0.7)",
-        temperature_mix(docs, "lang", 0.7, "doc_id", seed=23).persist(),
+        temperature_mix(docs, "lang", 0.7, "doc_id", seed=23),
     )
 
     # 11. leakage-safe split; only the TRAIN split is packed
