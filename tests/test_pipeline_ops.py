@@ -835,3 +835,46 @@ def test_ccnet_buckets_modes(spark):
     assert set(sizes) <= {1, 2, 3}
     for b, c in sizes.items():
         assert abs(c - n / 3) < n * 0.2, sizes  # within sketch error at 500 docs
+
+
+def test_remove_duplicated_spans_hypothesis(spark):
+    """Randomized corpora from a 3-letter alphabet (maximal cross-doc
+    k-gram collision pressure) must match a pure-Python reference that
+    recomputes covered-position unions from scratch."""
+    from hypothesis import given, settings, strategies as st
+
+    from chronon_spark.operators.dedup import remove_duplicated_spans
+
+    K = 3
+
+    def python_oracle(rows):
+        toks = {i: t.lower().split() for i, t in rows}
+        grams = {}  # gram -> set of doc ids
+        for i, w in toks.items():
+            for p in range(len(w) - K + 1):
+                grams.setdefault(tuple(w[p:p + K]), set()).add(i)
+        out = {}
+        for i, w in toks.items():
+            cov = set()
+            for p in range(len(w) - K + 1):
+                if len(grams[tuple(w[p:p + K])]) >= 2:
+                    cov.update(range(p, p + K))
+            kept = [t for j, t in enumerate(w) if j not in cov]
+            out[i] = (" ".join(kept), len(w), len(w) - len(kept))
+        return out
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8))
+    def run(texts):
+        rows = [(str(i), t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+        got = {
+            r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicated_spans(df, "doc_id", k=K).collect()
+        }
+        assert got == python_oracle(rows)
+
+    run()
