@@ -521,18 +521,23 @@ def ccnet_buckets(
     -> (id, lang, n_tokens, mean_neg_logp, bucket, label); bucket is
     1-based, label is head/middle/tail for n_buckets=3 else ``b<i>``.
 
-    ``mode="rank"``: exact ntile over (lang ORDER BY score, id) — fully
-    deterministic and SQL-mirrorable. The sort runs over the 4-column
-    SCORE table, never the corpus text; per-language partitions at web
-    scale are large but ntile is a single window pass after one range
-    sort — acceptable for a per-snapshot curation job.
+    ``mode="rank"``: exact SQL ntile semantics over (lang ORDER BY
+    score, id) WITHOUT ``Window.partitionBy(lang)`` — a naive per-language
+    window puts a dominant language (en is ~half the web) into ONE
+    shuffle partition. Instead: range-partition the 4-column score table
+    on (lang, score, id), collect per-(partition, lang) counts (bounded
+    by partitions x #languages — a few hundred thousand longs at cluster
+    scale), rank locally within each (partition, lang) slice (every slice
+    is bounded by the range-partition size, never by language mass), add
+    the broadcast prefix offset, and map the exact global rank through
+    the SQL-standard ntile remainder formula. Output is bit-identical to
+    ntile (the driver oracle checks against DuckDB's ntile).
 
     ``mode="sketch"``: per-language approximate quantile thresholds
     (percentile_approx — a bounded-error JVM sketch), broadcast back as
     a tiny (lang x n_buckets) table; assignment is one projection. No
-    global sort anywhere — the 10^12-doc path; boundary membership may
-    differ from rank mode by the sketch error, tiers are within-epsilon
-    equal-count.
+    sort anywhere — boundary membership may differ from rank mode by the
+    sketch error, tiers are within-epsilon equal-count.
     """
     from pyspark.sql import Window
 
@@ -541,10 +546,62 @@ def ccnet_buckets(
         docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang")), "id"
     )
     if mode == "rank":
-        w = Window.partitionBy("lang").orderBy(
+        spark = docs.sparkSession
+        P = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        order = [
+            F.col("lang").asc(),
+            F.col("mean_neg_logp").asc(),
+            F.col("id").asc(),
+        ]
+        part = (
+            scored.repartitionByRange(P, *order)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+        sizes = part.groupBy("__pid", "lang").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+        totals: dict = {}
+        for r in sizes:
+            totals[r["lang"]] = totals.get(r["lang"], 0) + r["c"]
+        # prefix offset of each (pid, lang) slice within its language
+        offsets, seen = [], {}
+        for r in sorted(sizes, key=lambda r: (str(r["lang"]), r["__pid"])):
+            offsets.append((r["__pid"], r["lang"], seen.get(r["lang"], 0),
+                            totals[r["lang"]]))
+            seen[r["lang"]] = seen.get(r["lang"], 0) + r["c"]
+        if not offsets:
+            return scored.select(
+                "id", "lang", "n_tokens", "mean_neg_logp",
+                F.lit(None).cast("int").alias("bucket"),
+                F.lit(None).cast("string").alias("label"),
+            )
+        off = F.broadcast(
+            spark.createDataFrame(offsets, ["__pid", "lang", "__off", "__n"])
+        )
+        # local rank within the bounded (pid, lang) slice; the slice is at
+        # most a range-partition's rows no matter how big the language is
+        wloc = Window.partitionBy("__pid", "lang").orderBy(
             F.col("mean_neg_logp").asc(), F.col("id").asc()
         )
-        out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        rank = (F.col("__off") + F.row_number().over(wloc)).alias("__rank")
+        ranked = part.join(off, ["__pid", "lang"]).select(
+            "id", "lang", "n_tokens", "mean_neg_logp", "__n", rank
+        )
+        # SQL-standard ntile: n rows, k tiles -> first (n % k) tiles hold
+        # (n div k + 1) rows, the rest (n div k); rank maps exactly
+        k = F.lit(n_buckets)
+        size = (F.col("__n") / k).cast("long")
+        rem = F.col("__n") % k
+        big = size + F.lit(1)
+        head_rows = rem * big
+        bucket = F.when(
+            F.col("__rank") <= head_rows,
+            ((F.col("__rank") + big - 1) / big).cast("long"),
+        ).otherwise(
+            rem + ((F.col("__rank") - head_rows + size - 1) / size).cast("long")
+        )
+        out = ranked.withColumn("bucket", bucket.cast("int")).drop("__n", "__rank")
     elif mode == "sketch":
         qs = [i / n_buckets for i in range(1, n_buckets)]
         thr = scored.groupBy("lang").agg(
