@@ -74,18 +74,39 @@ def top_k_per_key(
     id_col: str,
     seed: Optional[int] = 42,
     order_col: Optional[str] = None,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """Exactly min(k, n) rows per key. With ``order_col`` the BEST k by
     that column (quality-score selection); otherwise a uniform draw via
-    the hash order (deterministic reservoir-sample equivalent). One
-    shuffle on the key; ties broken by id for stability."""
+    the hash order (deterministic reservoir-sample equivalent). Ties
+    broken by id for stability.
+
+    ``salt_partitions=0`` (default): one shuffle, one window on the key —
+    right when no key dominates. For HOT keys (one domain/language can be
+    a large fraction of a web corpus, and a window partition is one task)
+    set ``salt_partitions=s``: phase 1 takes the local top-k within each
+    of s deterministic hash slices of the key (every slice task-sized),
+    phase 2 re-ranks the surviving <= s*k rows per key. Top-k is
+    merge-associative, so the salted result is EXACTLY the unsalted one
+    (pytest-pinned, including duplicate order values)."""
     if order_col is not None:
         order = [F.col(order_col).desc(), F.col(id_col).asc()]
     else:
         order = [_hash_bucket(id_col, seed or 42).asc(), F.col(id_col).asc()]
+    if salt_partitions and salt_partitions > 1:
+        salt = (_hash60(id_col, (seed or 42) + 1) % salt_partitions).alias("__salt")
+        w1 = W.partitionBy(key_col, "__salt").orderBy(*order)
+        survivors = (
+            df.withColumn("__salt", salt)
+            .withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= k)
+            .drop("__rn", "__salt")
+        )
+    else:
+        survivors = df
     w = W.partitionBy(key_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )

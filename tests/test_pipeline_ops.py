@@ -878,3 +878,20 @@ def test_remove_duplicated_spans_hypothesis(spark):
         assert got == python_oracle(rows)
 
     run()
+
+
+def test_top_k_per_key_salted_exact(spark):
+    """Salted two-phase top-k (hot-key path) must equal the single-window
+    result exactly — both orderings, with heavy duplicate order values."""
+    from chronon_spark.operators.sampling import top_k_per_key
+
+    rows = [(f"d{i}", "hot" if i % 10 else f"g{i}", float(i % 7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score"]).repartition(9)
+    for order_col in (None, "score"):
+        base = sorted(map(tuple, top_k_per_key(
+            df, "grp", 25, "doc_id", order_col=order_col).collect()))
+        for s in (2, 16, 64):
+            salted = sorted(map(tuple, top_k_per_key(
+                df, "grp", 25, "doc_id", order_col=order_col,
+                salt_partitions=s).collect()))
+            assert salted == base, (order_col, s)
