@@ -13,6 +13,16 @@ are north-rule extensions expressed directly in Catalyst:
 Scale: both are a single hash-exchange on the entity key followed by an
 in-partition sort — the same shuffle the as-of kernel needs, so at 100 TB
 these reuse the dominant partitioning rather than adding exchanges.
+
+Hot-key honesty: per-entity time order is the SEMANTICS here (unlike
+top-k/ntile, lag and running session indexes are not merge-associative),
+so one pathological entity (a bot emitting 10^9 events) serializes into
+one sorted window partition. Spark's window sort spills, so it completes;
+the mitigations are upstream — cap per-entity event volume at ingest, or
+exclude known-degenerate keys via the join-level skew-key exclusion the
+as-of plans already expose (`Join.skew_keys`). The as-of paths themselves
+do NOT have this bound (hop spreading / pmod grouping); it is specific to
+the row-analytic family, as it is in every SQL engine's LAG/LEAD.
 """
 
 from __future__ import annotations
