@@ -272,8 +272,6 @@ def curation_e2e_bench(spark, n_rows: int) -> dict:
     makes ~90% of 8-grams cross-doc duplicated, so dup_span_max=0.95
     keeps the ExactSubstr filter exercised without zeroing the corpus
     (examples/webtext_curation.py:main documents the measurement)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from chronon_spark.sources.webtext import generate_webtext
     from examples.webtext_curation import curate
 

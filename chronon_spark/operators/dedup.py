@@ -812,9 +812,12 @@ def remove_duplicated_spans(
     extra span — conservative in the safe direction for dedup.
     """
     corpus = ensure_parallelism(corpus)
+    # persisted: toks feeds the gram projection, the flagged-doc token
+    # explode, AND the final left-join — without the cache that is three
+    # full corpus scans + normalizations in one job
     toks = corpus.select(
         F.col(id_col).alias("id"), norm_text(text_col).alias("__nt")
-    ).withColumn("__w", words("__nt")).withColumn("__n", F.size("__w"))
+    ).withColumn("__w", words("__nt")).withColumn("__n", F.size("__w")).persist()
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
     grams = (
         toks.where(F.col("__n") >= k)

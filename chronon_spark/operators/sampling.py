@@ -224,6 +224,12 @@ def global_top_k(
 
     ``order`` must be a total order (include a unique tiebreaker column)
     or the boundary cut is nondeterministic.
+
+    Memory note: the range-partitioned copy stays persisted (the returned
+    frame reads it; MEMORY_AND_DISK, LRU-evictable) — the same
+    persist-once pattern as dedup's shingle tables. Callers running many
+    selections in one session should force and release the result
+    (e.g. write it out) before the next call.
     """
     assert k >= 1
     spark = df.sparkSession

@@ -577,15 +577,23 @@ def ccnet_buckets(
                 F.lit(None).cast("string").alias("label"),
             )
         off = F.broadcast(
-            spark.createDataFrame(offsets, ["__pid", "lang", "__off", "__n"])
+            spark.createDataFrame(
+                offsets, "__pid int, __lang string, __off long, __n long"
+            )
         )
         # local rank within the bounded (pid, lang) slice; the slice is at
-        # most a range-partition's rows no matter how big the language is
+        # most a range-partition's rows no matter how big the language is.
+        # Null-safe lang match: NULL lang is its own tier group, exactly
+        # like SQL's PARTITION BY (the DuckDB oracle buckets NULLs too).
         wloc = Window.partitionBy("__pid", "lang").orderBy(
             F.col("mean_neg_logp").asc(), F.col("id").asc()
         )
         rank = (F.col("__off") + F.row_number().over(wloc)).alias("__rank")
-        ranked = part.join(off, ["__pid", "lang"]).select(
+        ranked = part.join(
+            off,
+            (part["__pid"] == off["__pid"])
+            & part["lang"].eqNullSafe(off["__lang"]),
+        ).drop(off["__pid"]).drop("__lang").select(
             "id", "lang", "n_tokens", "mean_neg_logp", "__n", rank
         )
         # SQL-standard ntile: n rows, k tiles -> first (n % k) tiles hold
@@ -604,10 +612,14 @@ def ccnet_buckets(
         out = ranked.withColumn("bucket", bucket.cast("int")).drop("__n", "__rank")
     elif mode == "sketch":
         qs = [i / n_buckets for i in range(1, n_buckets)]
-        thr = scored.groupBy("lang").agg(
+        thr = scored.groupBy(F.col("lang").alias("__lang")).agg(
             F.percentile_approx("mean_neg_logp", qs, 10_000).alias("__thr")
         )
-        out = scored.join(F.broadcast(thr), "lang").withColumn(
+        # eqNullSafe: NULL lang forms its own tier group (groupBy keeps it;
+        # a plain equi-join would silently drop those documents)
+        out = scored.join(
+            F.broadcast(thr), F.col("lang").eqNullSafe(F.col("__lang"))
+        ).drop("__lang").withColumn(
             "bucket",
             (
                 F.lit(1)

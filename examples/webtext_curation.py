@@ -100,7 +100,7 @@ def curate(
         "latest per canonical url",
         docs.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn"),
     )
-    docs = docs.select(F.col("curl").alias("doc_id"), "text", "lang").persist()
+    docs = docs.select(F.col("curl").alias("doc_id"), "text", "lang")
 
     # 3b. line-level boilerplate removal (C4 §2.2): drop every line that
     # appears on >= boilerplate_min_docs distinct pages (per-domain nav

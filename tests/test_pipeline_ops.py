@@ -812,7 +812,9 @@ def test_ccnet_buckets_modes(spark):
     boundaries. Sketch mode: no sort, tier sizes within sketch error."""
     from chronon_spark.operators.textstats import ccnet_buckets
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     r = ccnet_buckets(docs, "doc_id", mode="rank")
     per = {(x["lang"], x["bucket"]): x["cnt"] for x in
            r.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -895,3 +897,19 @@ def test_top_k_per_key_salted_exact(spark):
                 df, "grp", 25, "doc_id", order_col=order_col,
                 salt_partitions=s).collect()))
             assert salted == base, (order_col, s)
+
+
+def test_ccnet_buckets_null_lang_kept(spark):
+    """NULL lang is its own tier group (SQL PARTITION BY semantics) in
+    BOTH modes — a plain equi-join would silently drop those docs."""
+    from chronon_spark.operators.textstats import ccnet_buckets
+
+    rows = [(f"d{i}", f"text number {i} with some words here now", None if i % 3 == 0 else "en")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    for mode in ("rank", "sketch"):
+        out = ccnet_buckets(df, "doc_id", mode=mode)
+        assert out.count() == 30, mode
+        nl = out.where(F.col("lang").isNull())
+        assert nl.count() == 10, mode
+        assert nl.where(F.col("bucket").isNull()).count() == 0, mode
