@@ -521,23 +521,27 @@ def ccnet_buckets(
     -> (id, lang, n_tokens, mean_neg_logp, bucket, label); bucket is
     1-based, label is head/middle/tail for n_buckets=3 else ``b<i>``.
 
-    ``mode="rank"``: exact SQL ntile semantics over (lang ORDER BY
-    score, id) WITHOUT ``Window.partitionBy(lang)`` — a naive per-language
-    window puts a dominant language (en is ~half the web) into ONE
-    shuffle partition. Instead: range-partition the 4-column score table
-    on (lang, score, id), collect per-(partition, lang) counts (bounded
-    by partitions x #languages — a few hundred thousand longs at cluster
-    scale), rank locally within each (partition, lang) slice (every slice
-    is bounded by the range-partition size, never by language mass), add
-    the broadcast prefix offset, and map the exact global rank through
-    the SQL-standard ntile remainder formula. Output is bit-identical to
-    ntile (the driver oracle checks against DuckDB's ntile).
+    ``mode="rank"``: exact ntile over (lang ORDER BY score, id) in one
+    lazy plan — one window partition PER LANGUAGE, so a dominant language
+    (en is ~half the web) serializes into one task. Exact and cheapest at
+    small/medium scale; the oracle-checked default.
+
+    ``mode="rank_scaled"``: IDENTICAL output (pytest-pinned equal to
+    rank) without per-language window partitions — range-partition the
+    4-column score table on (lang, score, id), collect per-(partition,
+    lang) counts (bounded by partitions x #languages), rank locally
+    within each bounded slice, add the broadcast prefix offset, and map
+    the exact global rank through the SQL-standard ntile remainder
+    formula. Pays an eager materialization of the score table, so engage
+    it when a single language's mass breaks the one-task-per-language
+    bound — the 10^12-doc exact path.
 
     ``mode="sketch"``: per-language approximate quantile thresholds
     (percentile_approx — a bounded-error JVM sketch), broadcast back as
     a tiny (lang x n_buckets) table; assignment is one projection. No
     sort anywhere — boundary membership may differ from rank mode by the
-    sketch error, tiers are within-epsilon equal-count.
+    sketch error, tiers are within-epsilon equal-count. The cheapest
+    web-scale path when exact tile boundaries are not required.
     """
     from pyspark.sql import Window
 
@@ -546,6 +550,11 @@ def ccnet_buckets(
         docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang")), "id"
     )
     if mode == "rank":
+        w = Window.partitionBy("lang").orderBy(
+            F.col("mean_neg_logp").asc(), F.col("id").asc()
+        )
+        out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    elif mode == "rank_scaled":
         spark = docs.sparkSession
         P = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         order = [

@@ -830,6 +830,12 @@ def test_ccnet_buckets_modes(spark):
     for l in langs:
         assert agg[(l, "head")] < agg[(l, "tail")]
 
+    # rank_scaled must equal rank EXACTLY (same ntile semantics, no
+    # per-language window partitions)
+    rs = sorted(map(tuple, ccnet_buckets(docs, "doc_id", mode="rank_scaled").collect()))
+    rr = sorted(map(tuple, r.collect()))
+    assert rs == rr
+
     s = ccnet_buckets(docs, "doc_id", mode="sketch")
     n = docs.count()
     sizes = {x["bucket"]: x["cnt"] for x in
@@ -907,7 +913,7 @@ def test_ccnet_buckets_null_lang_kept(spark):
     rows = [(f"d{i}", f"text number {i} with some words here now", None if i % 3 == 0 else "en")
             for i in range(30)]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
-    for mode in ("rank", "sketch"):
+    for mode in ("rank", "rank_scaled", "sketch"):
         out = ccnet_buckets(df, "doc_id", mode=mode)
         assert out.count() == 30, mode
         nl = out.where(F.col("lang").isNull())
