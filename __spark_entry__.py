@@ -3962,6 +3962,37 @@ GROUP BY feats.doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR top-fraction selection gate: keep the highest-importance 25%
+    (ties broken by id). Exercises sampling.global_top_k — the
+    range-partitioned exact top-k that replaces orderBy().limit(k)'s
+    driver-side k x P merge — under the driver's hash-equality gate."""
+    from chronon_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where("lang = 'de'")
+    return dsir_select(
+        docs, target, "doc_id", keep_fraction=0.25, n=_DSIR_N, dim=_DSIR_DIM
+    ).select("doc_id", "lang")
+
+
+def _dsir_select_oracle(dim: int = _DSIR_DIM) -> str:
+    # the weights CTE is the dsir_weights oracle verbatim (a nested WITH
+    # inside the CTE body); the gate is a windowed rank over
+    # (log_w desc, id) against k = floor(N * 0.25)
+    weights = _dsir_oracle(dim).strip()
+    return rf"""
+WITH w AS ({weights}),
+k AS (SELECT greatest(CAST(count(*) * 0.25 AS BIGINT), 1) AS k FROM documents),
+r AS (
+  SELECT id, row_number() OVER (ORDER BY log_w_micro DESC, id ASC) AS rn FROM w
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.doc_id = r.id CROSS JOIN k
+WHERE r.rn <= k.k
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4063,6 +4094,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "quality_classifier": q_quality_classifier,
         "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -4144,4 +4176,5 @@ def _raw_oracles() -> dict[str, str]:
         "bpe_tokens": _bpe_tokens_oracle(),
         "quality_classifier": _classifier_oracle(),
         "dsir_weights": _dsir_oracle(),
+        "dsir_select": _dsir_select_oracle(),
     }

@@ -335,6 +335,7 @@ HEADLINE = [
     "bpe_tokens",
     "quality_classifier",
     "dsir_weights",
+    "dsir_select",
 ]
 
 
