@@ -3758,12 +3758,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train_oracle(num_merges: int = _BPE_MERGES, min_count: int = _BPE_MIN_COUNT) -> str:
     """Unrolled-iteration SQL twin of bpe_train: one CTE trio per merge.
-    The merge application is the same `replace(w, ' a b ', ' ab ')` algebra
-    the engine uses — SQL's left-to-right non-overlapping replace IS the
-    BPE greedy merge rule."""
+    The merge application is the same `replace(w, ' a  b ', ' ab ')`
+    double-space algebra the engine uses (every symbol owns its leading
+    AND trailing space) — with it, SQL's left-to-right non-overlapping
+    replace IS the BPE greedy merge rule, shared boundaries included."""
     ctes = [
         r"""wf0 AS (
-  SELECT regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS w, CAST(count(*) AS BIGINT) AS cnt
+  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS w, CAST(count(*) AS BIGINT) AS cnt
   FROM (
     SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
     FROM documents
@@ -3778,12 +3779,13 @@ def _bpe_train_oracle(num_merges: int = _BPE_MERGES, min_count: int = _BPE_MIN_C
   SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
     SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
                                  i -> syms[i] || ' ' || syms[i + 1])) AS p, cnt
-    FROM (SELECT string_split(trim(w), ' ') AS syms, cnt FROM wf{k})
+    FROM (SELECT string_split(trim(w), '  ') AS syms, cnt FROM wf{k})
   ) GROUP BY p
 ),
 t{k} AS (SELECT p, c FROM p{k} WHERE c >= {min_count} ORDER BY c DESC, p ASC LIMIT 1),
 wf{k + 1} AS (
-  SELECT replace(w, ' ' || t.p || ' ', ' ' || replace(t.p, ' ', '') || ' ') AS w, cnt
+  SELECT replace(w, ' ' || replace(t.p, ' ', '  ') || ' ',
+                 ' ' || replace(t.p, ' ', '') || ' ') AS w, cnt
   FROM wf{k}, t{k} t
 )"""
         )
@@ -3816,15 +3818,15 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_tokens_oracle() -> str:
     expr = "s"
     for a, b in _BPE_FIXED_MERGES:
-        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return rf"""
 WITH enc AS (
   SELECT doc_id,
      array_to_string(
        list_transform(
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
-         w -> regexp_replace(w, '(.)', ' \1', 'g')),
-       ' § ') || ' ' AS s
+         w -> regexp_replace(w, '(.)', ' \1 ', 'g')),
+       ' § ') AS s
   FROM documents
 ),
 m AS (SELECT doc_id, {expr} AS s2 FROM enc),
@@ -3983,7 +3985,7 @@ def _dsir_select_oracle(dim: int = _DSIR_DIM) -> str:
     weights = _dsir_oracle(dim).strip()
     return rf"""
 WITH w AS ({weights}),
-k AS (SELECT greatest(CAST(count(*) * 0.25 AS BIGINT), 1) AS k FROM documents),
+k AS (SELECT greatest(CAST(floor(count(*) * 0.25) AS BIGINT), 1) AS k FROM documents),
 r AS (
   SELECT id, row_number() OVER (ORDER BY log_w_micro DESC, id ASC) AS rn FROM w
 )

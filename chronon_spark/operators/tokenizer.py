@@ -7,12 +7,19 @@ iteration is one map-side-combined aggregation over a persisted small
 table plus a single-row driver collect of the winning pair.
 
 The load-bearing trick: a word's symbol sequence is stored as ONE
-space-delimited string with sentinel spaces (``" h e l l o "``), and
-applying a merge ``(a, b) -> ab`` is a literal
-``replace(w, ' a b ', ' ab ')``.  SQL's non-overlapping left-to-right
-replace IS the BPE greedy merge rule (``"aaa"`` + merge ``(a,a)`` ->
-``["aa","a"]``), so the whole trainer stays JVM-side — zero Python in the
-per-row path — and a DuckDB oracle can run the identical algebra.
+string where EVERY symbol carries its own leading and trailing space
+(``" h  e  l  l  o "`` — two spaces between symbols), and applying a
+merge ``(a, b) -> ab`` is a literal ``replace(w, ' a  b ', ' ab ')``.
+Because a match consumes only the pair's own padding — never a
+neighbor's — SQL's non-overlapping left-to-right replace IS the BPE
+greedy merge rule, including at shared boundaries: ``"banana"`` +
+``(a,n)`` -> ``[b,an,an,a]`` and ``"aaaaa"`` + ``(a,a)`` ->
+``[aa,aa,a]``, exactly like reference BPE. (A single-space encoding
+``" a b "`` gets this wrong: the match eats the shared boundary space,
+skipping adjacent occurrences. Lookaround regexes would also fix it but
+DuckDB's RE2 has none — the double-space algebra is portable.) The
+whole trainer stays JVM-side — zero Python in the per-row path — and a
+DuckDB oracle runs the identical algebra.
 
 Pair counting follows the reference BPE exactly: overlapping positions
 each count (``"aaa"`` contributes 2 to pair ``(a,a)``), weighted by word
@@ -49,8 +56,9 @@ def _norm_text(col: str) -> Column:
 
 
 def _spaced(word: Column) -> Column:
-    """'hello' -> ' h e l l o ' (sentinel spaces on both ends)."""
-    return F.concat(F.regexp_replace(word, "(.)", " $1"), F.lit(" "))
+    """'hello' -> ' h  e  l  l  o ' (each symbol owns a leading AND a
+    trailing space, so adjacent merge matches never share characters)."""
+    return F.regexp_replace(word, "(.)", " $1 ")
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,7 +80,7 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
 
     ``wf`` has columns (w: delimited symbol string, cnt). One narrow
     projection + one map-side-combined aggregation; no Python."""
-    syms = F.split(F.trim("w"), " ")
+    syms = F.split(F.trim("w"), "  ")
     left = F.slice(syms, F.lit(1), F.size(syms) - 1)
     right = F.slice(syms, F.lit(2), F.size(syms) - 1)
     pair = F.explode(F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b)))
@@ -84,7 +92,9 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
 
 
 def _apply_merge(col: Column, a: str, b: str) -> Column:
-    return F.replace(col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    # ' a  b ' -> ' ab ': consumes only the pair's own padding, so the
+    # very next symbol's leading space survives for the next match.
+    return F.replace(col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
 
 
 def bpe_train(
@@ -109,11 +119,15 @@ def bpe_train(
     ``checkpoint_every`` rounds so the plan never accretes an unbounded
     replace chain.
     """
-    wf = (
+    # keep a handle to the PERSISTED base frame: wf is rebound every round,
+    # so unpersisting the loop variable would target a never-persisted
+    # derived frame (a no-op) and leak the cache for the session.
+    wf0 = (
         word_frequencies(df, text_col)
         .select(_spaced(F.col("word")).alias("w"), "cnt")
         .persist()
     )
+    wf = wf0
     merges: list = []
     try:
         rounds = 0
@@ -151,23 +165,20 @@ def bpe_train(
                 wf = wf.localCheckpoint(eager=True)
     finally:
         try:
-            wf.unpersist()
+            wf0.unpersist()
         except Exception:
             pass
     return merges
 
 
 def _doc_symbol_string(text_col: str) -> Column:
-    """Doc-level delimited symbol string: words char-spaced, joined with an
-    inert boundary marker (double-spaced around it, so no merge pattern
-    ' a b ' can ever span two words)."""
+    """Doc-level delimited symbol string: words char-spaced (each symbol
+    owning its padding), joined with an inert boundary marker that owns
+    its padding too — no merge pattern ' a  b ' can ever span two words."""
     words = F.split(_norm_text(text_col), " ")
-    return F.concat(
-        F.array_join(
-            F.transform(words, lambda w: F.regexp_replace(w, "(.)", " $1")),
-            f" {_BOUNDARY} ",
-        ),
-        F.lit(" "),
+    return F.array_join(
+        F.transform(words, lambda w: F.regexp_replace(w, "(.)", " $1 ")),
+        f" {_BOUNDARY} ",
     )
 
 

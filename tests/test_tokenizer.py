@@ -164,3 +164,42 @@ def test_merges_compress(docs_df):
         .collect()[0]
     )
     assert agg["n"] < agg["chars"]
+
+
+# ------------------------------------------- shared-boundary regression
+# A single-space encoding (' a b ' -> ' ab ') consumes the boundary space
+# shared by adjacent occurrences, so 'banana'+(a,n) came out [b,an,a,n,a]
+# and the trainer re-selected the leftover pair, producing duplicate
+# merges. The double-space algebra must match reference BPE exactly.
+
+ABAB_CORPUS = ["banana banana bandana", "mama papa mama", "aaaaa aaa", "banana mama"]
+
+
+@pytest.fixture(scope="module")
+def abab_df(spark):
+    data = [(f"b{i}", t) for i, t in enumerate(ABAB_CORPUS)]
+    return spark.createDataFrame(data, "doc_id string, text string")
+
+
+def test_adjacent_occurrences_merge_like_reference(abab_df):
+    got = bpe_train(abab_df, num_merges=12, min_count=2)
+    want = py_train(ABAB_CORPUS, 12, 2)
+    assert [tuple(m) for m in got] == want
+    # the single-space bug produced duplicate merges; pin uniqueness too
+    assert len({(a, b) for a, b, _ in got}) == len(got)
+
+
+def test_encode_banana_and_runs(abab_df):
+    rows = (
+        bpe_encode(abab_df, [("a", "n"), ("a", "a")])
+        .select("doc_id", "text", "bpe_tokens")
+        .collect()
+    )
+    got = {r["doc_id"]: list(r["bpe_tokens"]) for r in rows}
+    texts = {f"b{i}": t for i, t in enumerate(ABAB_CORPUS)}
+    for did, toks in got.items():
+        assert toks == py_encode(texts[did], [("a", "n"), ("a", "a")]), did
+    # spot-pin the canonical cases
+    assert got["b3"] == ["b", "an", "an", "a", "m", "a", "m", "a"]
+    # 'aaaaa aaa' + (a,n)(a,a): greedy left-to-right pairs
+    assert got["b2"] == ["aa", "aa", "a", "aa", "a"]
