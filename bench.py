@@ -206,10 +206,21 @@ def kernel_microbench() -> dict:
         AggregationPart("value", Operation.SUM, {}, Window.days(30)),
         AggregationPart("value", Operation.COUNT, {}, Window.days(7)),
     ]
-    t0 = time.time()
-    compute_asof_features(events, q_ts, parts, tail_hop_ms=86_400_000)
-    wall = time.time() - t0
+    # warmup + best-of-3: the first call pays numpy/pandas first-touch
+    # (measured 2.6 s cold vs 0.24 s warm) and the shared host adds
+    # 30-60% run-to-run spread — r3's single cold shot misreported a 2x
+    # "regression" on an unchanged code path.
+    compute_asof_features(
+        events.head(1000), q_ts[:1000], parts, tail_hop_ms=86_400_000
+    )
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        compute_asof_features(events, q_ts, parts, tail_hop_ms=86_400_000)
+        walls.append(time.time() - t0)
+    wall = min(walls)
     return {"events": n, "queries": n, "wall_sec": round(wall, 3),
+            "walls": [round(w, 3) for w in walls],
             "qps": round(n / wall, 1)}
 
 
@@ -431,6 +442,7 @@ def run_flagship(master: str, cores: int, path: str, rows: int, repeats: int = 2
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 SCALING_ARTIFACT = os.path.join(REPO_DIR, "SCALING.json")
 EXPLAIN_ARTIFACT = os.path.join(REPO_DIR, "EXPLAIN_digest.json")
+BENCH_LOCAL_ARTIFACT = os.path.join(REPO_DIR, "BENCH_local.json")
 # the BASELINE.md steady-state anchor scale (3M rows @ 32 cores); the
 # per-sf flagship run is overhead-dominated below ~1M rows
 STEADY_ROWS = int(os.environ.get("SPARK_GRAFT_STEADY_ROWS", "3000000"))
@@ -564,7 +576,59 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    print(json.dumps(result))
+    # Full result to an in-repo artifact; stdout gets ONE COMPACT line.
+    # The driver captures a bounded tail of stdout (observed 2000 chars) —
+    # round 3's full-result line outgrew it and the artifact recorded
+    # "parsed": null, blinding the performance contract for a round.
+    with open(BENCH_LOCAL_ARTIFACT, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(compact_summary(result), separators=(",", ":")))
+
+
+def compact_summary(result: dict) -> dict:
+    """Driver-facing summary: headline walls + throughputs + scaling pairs +
+    canary, guaranteed to fit the driver's bounded stdout capture. Full
+    detail (per-op suite, curation stages, wall lists) lives in
+    BENCH_local.json."""
+    out = {
+        "metric": result.get("metric", "bench"),
+        "value": result.get("value"),
+        "unit": result.get("unit", "sec"),
+        "sf": result.get("sf"),
+        "queries": {k: round(v, 2) for k, v in result.get("queries", {}).items()},
+        "full": "BENCH_local.json",
+    }
+    wt, st = result.get("webtext", {}), result.get("webtext_steady", {})
+    if wt:
+        out["flagship_rps"] = wt.get("rows_per_sec")
+    if st:
+        out["steady_rps"] = st.get("rows_per_sec")
+        out["steady_rows"] = st.get("rows")
+    km = result.get("kernel_microbench", {})
+    if km:
+        out["kernel_qps"] = km.get("qps")
+    hc = result.get("host_canary", {})
+    if hc:
+        out["canary"] = {"wall_sec": hc.get("wall_sec"), "score": hc.get("score")}
+    pairs = result.get("scaling_recorded", {}).get("pairs", [])
+    out["scaling"] = [
+        {"rows": p["rows"], "n": p["n"], "4n": p["four_n"], "eff": p["efficiency"]}
+        for p in pairs
+    ]
+    if "scaling" in result:
+        out["scaling_live_eff"] = result["scaling"].get("efficiency")
+    # hard budget: drop detail before ever emitting an unparseable tail
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["scaling"] = out["scaling"][-3:]
+        line = json.dumps(out, separators=(",", ":"))
+    while len(line) > 1900 and out["queries"]:
+        # shed the cheapest queries first; totals stay in `value`
+        cheapest = min(out["queries"], key=out["queries"].get)
+        del out["queries"][cheapest]
+        out["queries_truncated"] = True
+        line = json.dumps(out, separators=(",", ":"))
+    return out
 
 
 if __name__ == "__main__":

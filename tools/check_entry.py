@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -45,7 +46,9 @@ def norm_df(df: pd.DataFrame) -> list:
 
 
 def main():
-    only = set(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--time"]
+    show_time = "--time" in sys.argv[1:]
+    only = set(argv)
     from chronon_spark.session import build_session
 
     spark = build_session(master="local[8]", shuffle_partitions=8,
@@ -57,18 +60,24 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    timings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             got = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
             print(f"[FAIL] {name}: spark error: {ex}")
             failures.append(name)
             continue
+        spark_sec = time.time() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows")
+            timings[name] = (spark_sec, 0.0)
+            print(f"[rows-only] {name}: {len(got)} rows"
+                  + (f"  [{spark_sec:.1f}s]" if show_time else ""))
             continue
+        t1 = time.time()
         try:
             exp = con.sql(oracles[name]).df()
         except Exception as ex:
@@ -83,9 +92,12 @@ def main():
             print(f"[FAIL] {name}: cols spark={sorted(got.columns)} duck={sorted(exp.columns)}")
             failures.append(name)
             continue
+        duck_sec = time.time() - t1
+        timings[name] = (spark_sec, duck_sec)
         g, e = norm_df(got), norm_df(exp)
         if g == e:
-            print(f"[OK]   {name}: {len(got)} rows")
+            print(f"[OK]   {name}: {len(got)} rows"
+                  + (f"  [spark {spark_sec:.1f}s + duck {duck_sec:.1f}s]" if show_time else ""))
         else:
             bad = sum(1 for a, b in zip(g, e) if a != b)
             print(f"[FAIL] {name}: {bad}/{len(g)} rows differ")
@@ -95,6 +107,11 @@ def main():
                     print("  duck :", b)
                     break
             failures.append(name)
+    if show_time and timings:
+        total = sum(s + d for s, d in timings.values())
+        print(f"\nTOTAL: {total:.1f}s over {len(timings)} queries; slowest:")
+        for name, (s, d) in sorted(timings.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))[:15]:
+            print(f"  {name}: spark {s:.1f}s + duck {d:.1f}s")
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
