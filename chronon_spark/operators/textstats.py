@@ -504,6 +504,29 @@ def blocklist_flags(
     )
 
 
+# mode="auto" pre-check memo: semantic plan hash -> max per-language doc
+# count. One map-side-combined agg over the pruned lang column, run ONCE
+# per distinct input per session (the asof_join._max_key_volume pattern).
+_lang_mass_cache: dict = {}
+
+
+def clear_lang_mass_cache() -> None:
+    _lang_mass_cache.clear()
+
+
+def _max_lang_mass(docs: DataFrame, lang_col: str) -> int:
+    key = docs.select(lang_col)._jdf.queryExecution().analyzed().semanticHash()
+    if key not in _lang_mass_cache:
+        row = (
+            docs.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c"))
+            .first()
+        )
+        _lang_mass_cache[key] = int(row[0] or 0)
+    return _lang_mass_cache[key]
+
+
 def ccnet_buckets(
     docs: DataFrame,
     id_col: str,
@@ -511,7 +534,8 @@ def ccnet_buckets(
     lang_col: str = "lang",
     counts: Optional[DataFrame] = None,
     n_buckets: int = 3,
-    mode: str = "rank",
+    mode: str = "auto",
+    hot_lang_bound: int = 5_000_000,
 ) -> DataFrame:
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020): rank every
     document by LM perplexity WITHIN its language and split each language
@@ -542,8 +566,25 @@ def ccnet_buckets(
     sort anywhere — boundary membership may differ from rank mode by the
     sketch error, tiers are within-epsilon equal-count. The cheapest
     web-scale path when exact tile boundaries are not required.
+
+    ``mode="auto"`` (default): measure max per-language doc count (one
+    map-side-combined agg over the pruned lang column, memoized per input
+    per session) and route — ``rank`` while every language fits a single
+    window task (<= ``hot_lang_bound`` docs), ``rank_scaled`` the moment
+    one doesn't. Identical output either way (rank_scaled is pytest-pinned
+    equal); only the physical plan changes. English at corpus scale
+    (~half of 10^12 docs) routes to rank_scaled automatically instead of
+    serializing into one task — the ccnet analogue of
+    asof_join.compute_join_part(mode="auto")'s hot-key dispatch.
     """
     from pyspark.sql import Window
+
+    if mode == "auto":
+        mode = (
+            "rank_scaled"
+            if _max_lang_mass(docs, lang_col) > hot_lang_bound
+            else "rank"
+        )
 
     scored = unigram_logprob_score(docs, id_col, counts=counts, text_col=text_col)
     scored = scored.join(
@@ -562,10 +603,16 @@ def ccnet_buckets(
             F.col("mean_neg_logp").asc(),
             F.col("id").asc(),
         ]
+        # eager localCheckpoint, NOT persist: (a) __pid must be FROZEN —
+        # a recompute after cache eviction could re-sample range bounds
+        # and re-number partitions under the collected offsets; (b) a
+        # session-long persist here leaked a corpus-sized cached copy per
+        # call (r3 ADVICE). Checkpoint blocks are released when the frame
+        # is GC'd on the driver — no caller-release contract needed.
         part = (
             scored.repartitionByRange(P, *order)
             .withColumn("__pid", F.spark_partition_id())
-            .persist()
+            .localCheckpoint(eager=True)
         )
         sizes = part.groupBy("__pid", "lang").agg(
             F.count(F.lit(1)).alias("c")

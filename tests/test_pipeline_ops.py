@@ -845,6 +845,41 @@ def test_ccnet_buckets_modes(spark):
         assert abs(c - n / 3) < n * 0.2, sizes  # within sketch error at 500 docs
 
 
+def test_ccnet_buckets_auto_dispatch(spark):
+    """mode='auto' must route on measured per-language mass: a language
+    whose doc count exceeds hot_lang_bound engages the bounded-slice
+    rank_scaled plan (no per-language window partition — the thing that
+    serializes English into one task at corpus scale); small corpora keep
+    the lazy exact-ntile rank plan. Output identical either way."""
+    from chronon_spark.operators import textstats
+    from chronon_spark.operators.textstats import ccnet_buckets, clear_lang_mass_cache
+
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clear_lang_mass_cache()
+
+    # planted giant language: bound of 50 docs, 'en' has far more at sf0.001
+    hot = ccnet_buckets(docs, "doc_id", mode="auto", hot_lang_bound=50)
+    plan_hot = hot._jdf.queryExecution().executedPlan().toString().lower()
+    # rank_scaled's signature: NO per-language ntile window anywhere — the
+    # eagerly checkpointed range-partitioned table surfaces as a
+    # Scan ExistingRDD feeding bounded (pid, lang) row_number windows.
+    assert "ntile" not in plan_hot, plan_hot[:800]
+    assert "existingrdd" in plan_hot, plan_hot[:800]
+
+    # same corpus under a generous bound: lazy exact ntile window plan
+    cold = ccnet_buckets(docs, "doc_id", mode="auto", hot_lang_bound=10**9)
+    plan_cold = cold._jdf.queryExecution().executedPlan().toString().lower()
+    assert "ntile" in plan_cold, plan_cold[:800]
+
+    # identical output regardless of the routing decision
+    assert sorted(map(tuple, hot.collect())) == sorted(map(tuple, cold.collect()))
+
+    # the mass pre-check memoizes per input: same docs frame -> one entry
+    assert len(textstats._lang_mass_cache) == 1
+
+
 def test_remove_duplicated_spans_hypothesis(spark):
     """Randomized corpora from a 3-letter alphabet (maximal cross-doc
     k-gram collision pressure) must match a pure-Python reference that
