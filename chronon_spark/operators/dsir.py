@@ -170,6 +170,6 @@ def dsir_select(
     weights = dsir_log_weights(raw, target, id_col, text_col, n, dim)
     k = max(int(raw.count() * keep_fraction), 1)
     top = global_top_k(
-        weights, k, [F.desc("log_w_micro"), F.asc("id")]
+        weights, k, [("log_w_micro", True), ("id", False)]
     ).select(F.col("id").alias(id_col))
     return raw.join(top, id_col)

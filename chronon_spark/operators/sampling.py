@@ -209,57 +209,83 @@ def global_top_k(
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Exact deterministic global top-k that never merges k rows in one
-    place.
+    place and returns a PURE FILTER over the input.
 
     Spark plans ``orderBy().limit(k)`` as TakeOrderedAndProject, which
     ships each partition's top-k to the DRIVER — O(k x partitions) driver
     memory. Fine for profile-sized k; catastrophic when k is a corpus
-    FRACTION (DSIR keeps 10-25% of 10^12 docs). Here instead:
-    ``repartitionByRange`` on the order (the same one shuffle a global
-    sort pays), count rows per range partition (a collect of P longs),
-    keep every partition strictly before the one holding the k-th row
-    WHOLE, and sort only that boundary partition (~n/P rows) for its
-    first remainder rows. The selected SET is determined by the total
-    order alone, independent of where the sampled range boundaries fall.
+    FRACTION (DSIR keeps 10-25% of 10^12 docs). Here instead the k-th
+    row's order tuple (the THRESHOLD) is located with one selection-scoped
+    pass — ``repartitionByRange`` on the order (the same one shuffle a
+    global sort pays), count rows per range partition (a collect of P
+    longs), sort only the partition holding the k-th row (~n/P rows) and
+    collect that single threshold row — and the result is
+    ``df.where(lexicographic(order) <= threshold)``: a re-scan with a
+    Catalyst-pushable comparison filter, NO persisted copy in the
+    returned plan. The shuffled copy is persisted only while the
+    threshold is computed and unpersisted before return (r3 VERDICT
+    Wrong #6: the previous head/boundary design kept a corpus-sized
+    checkpoint pinned for the life of the returned frame).
 
-    ``order`` must be a total order (include a unique tiebreaker column)
-    or the boundary cut is nondeterministic.
-
-    Memory note: the range-partitioned copy stays persisted (the returned
-    frame reads it; MEMORY_AND_DISK, LRU-evictable) — the same
-    persist-once pattern as dedup's shingle tables. Callers running many
-    selections in one session should force and release the result
-    (e.g. write it out) before the next call.
+    ``order`` is a list of ``(column_name, descending: bool)`` pairs; it
+    must form a TOTAL order (include a unique tiebreaker column) over
+    NON-NULL columns — totality makes the threshold row unique, so the
+    selected set is exactly the first k of the total order, independent
+    of input partitioning and of where the sampled range bounds fall.
     """
     assert k >= 1
+    for o in order:
+        if not (isinstance(o, tuple) and len(o) == 2 and isinstance(o[0], str)):
+            raise TypeError(
+                "global_top_k order takes (column_name, descending) pairs, "
+                f"got {o!r}"
+            )
     spark = df.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sort_cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in order]
     part = (
-        df.repartitionByRange(P, *order)
+        df.select(*[c for c, _ in order])
+        .repartitionByRange(P, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    sizes = {r["__pid"]: r["cnt"] for r in
-             part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    total = sum(sizes.values())
-    if k >= total:
-        return part.drop("__pid")
-    cum = 0
-    p_star, remainder = 0, k
-    for pid in range(P):
-        n_p = sizes.get(pid, 0)
-        if cum + n_p >= k:
-            p_star, remainder = pid, k - cum
-            break
-        cum += n_p
-    head = part.where(F.col("__pid") < p_star).drop("__pid")
-    boundary = (
-        part.where(F.col("__pid") == p_star)
-        .orderBy(*order)
-        .limit(remainder)
-        .drop("__pid")
-    )
-    return head.unionByName(boundary)
+    try:
+        sizes = {r["__pid"]: r["cnt"] for r in
+                 part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        total = sum(sizes.values())
+        if k >= total:
+            return df
+        cum = 0
+        p_star, remainder = 0, k
+        for pid in range(P):
+            n_p = sizes.get(pid, 0)
+            if cum + n_p >= k:
+                p_star, remainder = pid, k - cum
+                break
+            cum += n_p
+        # the k-th row of the total order: last of the boundary
+        # partition's first `remainder` rows (one bounded-size task —
+        # ~n/P rows — then ONE row to the driver)
+        thr = (
+            part.where(F.col("__pid") == p_star)
+            .orderBy(*sort_cols)
+            .limit(remainder)
+            .orderBy(*[F.col(c).asc() if d else F.col(c).desc() for c, d in order])
+            .limit(1)
+            .collect()[0]
+        )
+    finally:
+        part.unpersist()
+    # lexicographic (order-aware) row <= threshold, built column-wise so
+    # mixed asc/desc directions compare correctly
+    strictly_before = F.lit(False)
+    eq_prefix = F.lit(True)
+    for c, desc in order:
+        col, t = F.col(c), F.lit(thr[c])
+        before = (col > t) if desc else (col < t)
+        strictly_before = strictly_before | (eq_prefix & before)
+        eq_prefix = eq_prefix & (col == t)
+    return df.where(strictly_before | eq_prefix)
 
 
 def shuffle_shards(

@@ -753,17 +753,43 @@ def test_global_top_k_exact_vs_order_limit(spark):
         F.col("id"),
         (F.col("id") * 37 % 101).alias("w"),  # heavy ties -> tiebreak matters
     ).repartition(7)
-    order = [F.desc("w"), F.asc("id")]
+    sort = [F.desc("w"), F.asc("id")]
+    order = [("w", True), ("id", False)]
     for k in (1, 3, 100, 500, 996, 997, 5000):
-        want = [tuple(r) for r in df.orderBy(*order).limit(k).collect()]
+        want = [tuple(r) for r in df.orderBy(*sort).limit(k).collect()]
         got = [tuple(r) for r in global_top_k(df, k, order, num_partitions=5)
-               .orderBy(*order).collect()]
+               .orderBy(*sort).collect()]
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
 
     # partition-invariance of the selected set
     a = sorted(tuple(r) for r in global_top_k(df, 250, order).collect())
     b = sorted(tuple(r) for r in global_top_k(df.repartition(13), 250, order).collect())
     assert a == b
+
+
+def test_global_top_k_leaves_no_persisted_rdd(spark):
+    """r3 VERDICT Wrong #6: global_top_k must not leave anything
+    persisted after it returns — the shuffled selection copy is
+    unpersisted before return, and the returned frame is a pure filter
+    over the input (assertable both via the persist registry and the
+    executed plan)."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.sampling import global_top_k
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 13 % 97).alias("w")
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(3):
+        out = global_top_k(df, 50, [("w", True), ("id", False)], num_partitions=4)
+        assert out.count() == 50
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert after <= before, (before, after)
+    # the returned plan carries no cached/checkpointed scan — it's a
+    # filter over the original lineage
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "inmemory" not in plan and "existingrdd" not in plan, plan[:600]
 
 
 def test_remove_duplicated_spans(spark):
