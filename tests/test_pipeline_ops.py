@@ -86,6 +86,54 @@ def test_sessionize_vs_duckdb(events, sf_dir):
     assert stats.agg(F.sum("session_events")).first()[0] == events.count()
 
 
+def test_analytic_sliced_mode_exact(spark):
+    """r3 VERDICT Wrong #5: sliced (hot-key) mode must equal the plain
+    per-key window BIT-FOR-BIT, including multi-hop carries — offsets up
+    to 3 across slices holding fewer than 3 events, empty calendar slices
+    in between, and session indexes running across slice boundaries."""
+    import random
+
+    from chronon_spark.operators.analytic import (
+        clear_key_mass_cache,
+        sessionize,
+        with_lag_lead,
+    )
+
+    rnd = random.Random(7)
+    SLICE = 1000  # tiny slices so boundaries dominate
+    rows = []
+    for uid in range(6):
+        ts_set = set()
+        while len(ts_set) < 40:
+            # cluster into sparse bursts: many slices with 1-2 events,
+            # runs of empty slices between
+            base = rnd.randrange(0, 50) * SLICE
+            ts_set.add(base + rnd.randrange(0, SLICE))
+        for t in sorted(ts_set):
+            rows.append((uid, t, float(t % 17)))
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double").repartition(5)
+
+    clear_key_mass_cache()
+    for fn, kw in [
+        (with_lag_lead, dict(value_cols=["value"], offsets=(1, 3))),
+        (sessionize, dict(gap_ms=SLICE * 2)),
+    ]:
+        a = fn(df, ["user_id"], ts_col="ts", mode="window", **kw)
+        b = fn(df, ["user_id"], ts_col="ts", mode="sliced", slice_ms=SLICE, **kw)
+        rows_a = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+        rows_b = sorted(map(tuple, b.select(*sorted(a.columns)).collect()))
+        assert rows_a == rows_b, fn.__name__
+
+    # auto-dispatch: planted bound routes to sliced (no per-key-only sort)
+    hot = sessionize(df, ["user_id"], SLICE * 2, ts_col="ts", mode="auto",
+                     hot_key_bound=10, slice_ms=SLICE)
+    plan_hot = hot._jdf.queryExecution().executedPlan().toString()
+    assert "__slice" in plan_hot, plan_hot[:600]
+    cold = sessionize(df, ["user_id"], SLICE * 2, ts_col="ts", mode="auto",
+                      hot_key_bound=10**9)
+    assert "__slice" not in cold._jdf.queryExecution().executedPlan().toString()
+
+
 def test_exact_dedup(docs, spark):
     # inject a duplicate
     dup = docs.limit(1).withColumn("doc_id", F.lit(10_000_000))
