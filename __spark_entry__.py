@@ -2831,6 +2831,71 @@ FROM m
 """
 
 
+def q_eval_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-execution pre-flight (plans/eval.py; reference
+    batch/Eval.scala:147-220): three confs — healthy, ANSI-cast that only
+    fails at runtime, and a seconds-resolution time_column — each must
+    produce its deterministic check statuses. Messages carry stack text,
+    so only (conf, check, status) rows are exposed; the oracle is the
+    expected constant table."""
+    from chronon_spark.api.types import (
+        Aggregation, EventSource, GroupBy, Operation, Query, Window,
+    )
+    from chronon_spark.plans.eval import eval_group_by
+    from chronon_spark.sources.scan import millis_expr
+
+    def gb(name, selects, time_column):
+        return GroupBy(
+            sources=(EventSource(
+                table=f"{sf_dir}/events.parquet",
+                query=Query(selects=selects, time_column=time_column),
+            ),),
+            key_columns=("user_id",),
+            aggregations=(
+                Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            ),
+            name=name,
+        )
+
+    confs = [
+        gb("healthy", {"user_id": "user_id", "value": "value"},
+           millis_expr("ts")),
+        gb("runtime_cast", {"user_id": "user_id",
+                            "value": "CAST(substr(event_type, 1, 2) AS INT)"},
+           millis_expr("ts")),
+        gb("seconds_ts", {"user_id": "user_id", "value": "value"},
+           "unix_timestamp(ts)"),
+    ]
+    rows = []
+    for conf in confs:
+        res = eval_group_by(spark, conf, sample_rows=20)
+        rows += [(conf.name, c.name, c.status) for c in res.checks]
+    return spark.createDataFrame(rows, "conf string, check_name string, status string")
+
+
+_EVAL_PREFLIGHT_ORACLE = """
+SELECT * FROM (VALUES
+  ('healthy', 'source_reachable', 'SUCCESS'),
+  ('healthy', 'source_expression', 'SUCCESS'),
+  ('healthy', 'source_timestamp', 'SUCCESS'),
+  ('healthy', 'key_schema', 'SUCCESS'),
+  ('healthy', 'agg_schema', 'SUCCESS'),
+  ('healthy', 'sampled_execution', 'SUCCESS'),
+  ('runtime_cast', 'source_reachable', 'SUCCESS'),
+  ('runtime_cast', 'source_expression', 'FAILURE'),
+  ('runtime_cast', 'source_timestamp', 'SKIPPED'),
+  ('runtime_cast', 'agg_schema', 'SUCCESS'),
+  ('runtime_cast', 'sampled_execution', 'SKIPPED'),
+  ('seconds_ts', 'source_reachable', 'SUCCESS'),
+  ('seconds_ts', 'source_expression', 'SUCCESS'),
+  ('seconds_ts', 'source_timestamp', 'FAILURE'),
+  ('seconds_ts', 'key_schema', 'SUCCESS'),
+  ('seconds_ts', 'agg_schema', 'SUCCESS'),
+  ('seconds_ts', 'sampled_execution', 'SUCCESS')
+) AS t(conf, check_name, status)
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style pre-flight profile of the events table (one agg pass)."""
     from chronon_spark.plans.profile import profile
@@ -4052,6 +4117,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget cut truncates re-confirmations, never first-time checks.
     return {
         # -- never driver-checked before round 4 ---------------------------
+        "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -4184,6 +4250,7 @@ def _raw_oracles() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
+        "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,
         "feature_summary": _summary_oracle(),
         "drift": _drift_oracle(),
