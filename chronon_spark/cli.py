@@ -67,6 +67,41 @@ def main(argv=None) -> int:
     sq.add_argument("--end", required=True)
     sq.add_argument("--step-days", type=int, default=30)
 
+    pl = sub.add_parser(
+        "plan-join",
+        help="emit the modular join's node DAG as JSON (reference "
+        "planner.thrift node graph) — no Spark session needed",
+    )
+    pl.add_argument("--conf", required=True, help="python file defining get_join()")
+    pl.add_argument("--output", required=True)
+
+    rn = sub.add_parser(
+        "run-node",
+        help="execute ONE planned node in this process (reference "
+        "batch/BatchNodeRunner.scala: one spark-submit per node, state "
+        "handed off through the stage tables)",
+    )
+    rn.add_argument("--conf", required=True, help="python file defining get_join()")
+    rn.add_argument("--output", required=True)
+    rn.add_argument("--node-id", required=True)
+    rn.add_argument("--start", required=True)
+    rn.add_argument("--end", required=True)
+    rn.add_argument("--step-days", type=int, default=30)
+    rn.add_argument("--mode", choices=["sawtooth", "exact"], default="sawtooth")
+
+    rp = sub.add_parser(
+        "run-plan",
+        help="orchestrate the full node DAG, one SUBPROCESS per node in "
+        "dependency order (the external-scheduler deployment shape; "
+        "failed reruns resume at partition granularity)",
+    )
+    rp.add_argument("--conf", required=True, help="python file defining get_join()")
+    rp.add_argument("--output", required=True)
+    rp.add_argument("--start", required=True)
+    rp.add_argument("--end", required=True)
+    rp.add_argument("--step-days", type=int, default=30)
+    rp.add_argument("--mode", choices=["sawtooth", "exact"], default="sawtooth")
+
     cp = sub.add_parser(
         "compile",
         help="validate confs and write compiled JSON with column semantic "
@@ -85,6 +120,43 @@ def main(argv=None) -> int:
     sh.add_argument("--conf", help="optional conf module to pre-load")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "plan-join":
+        from chronon_spark.plans.modular import plan_join_nodes
+
+        join_conf = _load_conf(args.conf).get_join()
+        print(json.dumps({"nodes": plan_join_nodes(join_conf, args.output)}))
+        return 0
+
+    if args.cmd == "run-plan":
+        import subprocess
+
+        from chronon_spark.plans.modular import plan_join_nodes
+
+        join_conf = _load_conf(args.conf).get_join()
+        nodes = plan_join_nodes(join_conf, args.output)
+        for node in nodes:  # plan order is already topological
+            cmd = [sys.executable, "-m", "chronon_spark.cli"]
+            if args.master:
+                cmd += ["--master", args.master]
+            cmd += [
+                "run-node",
+                "--conf", args.conf, "--output", args.output,
+                "--node-id", node["node_id"],
+                "--start", args.start, "--end", args.end,
+                "--step-days", str(args.step_days), "--mode", args.mode,
+            ]
+            proc = subprocess.run(cmd)
+            if proc.returncode != 0:
+                print(json.dumps({
+                    "failed_node": node["node_id"],
+                    "returncode": proc.returncode,
+                    "resume": "rerun run-plan; completed partitions are skipped",
+                }))
+                return proc.returncode
+        print(json.dumps({"nodes_run": [n["node_id"] for n in nodes],
+                          "output": args.output}))
+        return 0
 
     if args.cmd == "compile":
         from chronon_spark.api.compile import compile_confs
@@ -137,6 +209,23 @@ def main(argv=None) -> int:
         return 0
 
     rng = PartitionRange(args.start, args.end)
+
+    if args.cmd == "run-node":
+        from chronon_spark.plans.modular import plan_join_nodes, run_join_node
+
+        join_conf = _load_conf(args.conf).get_join()
+        nodes = {n["node_id"]: n for n in plan_join_nodes(join_conf, args.output)}
+        if args.node_id not in nodes:
+            print(json.dumps({"error": f"unknown node {args.node_id}",
+                              "known": sorted(nodes)}))
+            return 2
+        run_join_node(
+            spark, join_conf, nodes[args.node_id], args.output, rng,
+            step_days=args.step_days, mode=args.mode,
+        )
+        print(json.dumps({"node_run": args.node_id,
+                          "output": nodes[args.node_id]["output"]}))
+        return 0
 
     if args.cmd == "backfill-join":
         join_conf = _load_conf(args.conf).get_join()

@@ -141,3 +141,86 @@ def backfill_join_modular(
         for jp in join_conf.join_parts
     ]
     return merge_job(spark, join_conf, left_path, part_paths, output_path, rng, step_days)
+
+
+# ---------------------------------------------------------------------------
+# External node-runner (reference batch/BatchNodeRunner.scala +
+# thrift/planner.thrift): the same three stages, but each node is
+# addressable by id so an orchestrator can run every stage as its OWN
+# spark-submit process, with table-state handoff through the materialized
+# stage tables and resume through plans.backfill's partition checkpoints.
+# ---------------------------------------------------------------------------
+
+
+def plan_join_nodes(join_conf: Join, output_path: str) -> list:
+    """The planner's node DAG for a modular join backfill: one source
+    node, one node per join part, one merge node; edges are the stage
+    tables (the planner.thrift TableDependency shape)."""
+    base = output_path.rstrip("/")
+    left_path = base + "__left"
+    source_id = f"source:{join_conf.name}"
+    nodes = [{
+        "node_id": source_id,
+        "kind": "source",
+        "output": left_path,
+        "inputs": [],
+    }]
+    part_ids, part_paths = [], []
+    for i, jp in enumerate(join_conf.join_parts):
+        nid = f"part:{jp.full_prefix()}"
+        pp = base + f"__part_{jp.full_prefix()}"
+        nodes.append({
+            "node_id": nid,
+            "kind": "join_part",
+            "part_index": i,
+            "output": pp,
+            "inputs": [left_path],
+        })
+        part_ids.append(nid)
+        part_paths.append(pp)
+    nodes.append({
+        "node_id": f"merge:{join_conf.name}",
+        "kind": "merge",
+        "output": output_path,
+        "inputs": [left_path] + part_paths,
+    })
+    return nodes
+
+
+def run_join_node(
+    spark: SparkSession,
+    join_conf: Join,
+    node: dict,
+    output_path: str,
+    rng: PartitionRange,
+    step_days: int = 30,
+    mode: str = "sawtooth",
+) -> Optional[BackfillResult]:
+    """Execute exactly one planned node in THIS process. An orchestrator
+    (cli run-plan, or a real scheduler) invokes one spark-submit per node;
+    upstream state arrives only through the stage tables, so a node can
+    rerun on a fresh cluster and resume at partition granularity."""
+    from chronon_spark.plans.backfill import require_utc_session
+
+    require_utc_session(spark)
+    base = output_path.rstrip("/")
+    kind = node["kind"]
+    if kind == "source":
+        source_job(spark, join_conf, output_path, rng, step_days)
+        return None
+    if kind == "join_part":
+        jp = join_conf.join_parts[node["part_index"]]
+        join_part_job(
+            spark, join_conf, jp, base + "__left", output_path, rng,
+            step_days, mode,
+        )
+        return None
+    if kind == "merge":
+        part_paths = [
+            base + f"__part_{jp.full_prefix()}" for jp in join_conf.join_parts
+        ]
+        return merge_job(
+            spark, join_conf, base + "__left", part_paths, output_path, rng,
+            step_days,
+        )
+    raise ValueError(f"unknown node kind: {kind}")

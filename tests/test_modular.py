@@ -97,3 +97,80 @@ def test_modular_stage_resume(spark, sf_dir, tmp_path):
     lin_left = spark.read.parquet(out + "__left__lineage").toPandas()
     # left lineage only has rows from the FIRST run (no recompute on resume)
     assert lin_left["written_at"].nunique() <= 2
+
+
+def test_node_runner_subprocess_equals_monolith(spark, sf_dir, tmp_path):
+    """r3 VERDICT Next #7 (reference batch/BatchNodeRunner.scala +
+    planner.thrift): every stage runs as its OWN process via
+    `python -m chronon_spark.cli run-node`, state handed off only through
+    the stage tables — and the merged output equals the monolithic join."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "np_out")
+    conf_py = tmp_path / "conf_mod.py"
+    conf_py.write_text(
+        f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from chronon_spark.api.types import (
+    Aggregation, EventSource, GroupBy, Join, JoinPart, Operation, Query, Window,
+)
+from chronon_spark.sources.scan import millis_expr
+
+_src = EventSource(
+    table="{sf_dir}/events.parquet",
+    query=Query(
+        selects={{"event_id": "event_id", "user_id": "user_id",
+                 "value": "floor(value*100 + 0.5)"}},
+        time_column=millis_expr("ts"),
+    ),
+)
+def get_join():
+    gb1 = GroupBy((_src,), ("user_id",),
+                  (Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+                  name="a")
+    gb2 = GroupBy((_src,), ("user_id",),
+                  (Aggregation("value", Operation.COUNT),),
+                  name="b")
+    return Join(left=_src, join_parts=(JoinPart(gb1), JoinPart(gb2)), name="mod")
+"""
+    )
+
+    # the plan itself (no Spark session)
+    plan = subprocess.run(
+        [sys.executable, "-m", "chronon_spark.cli", "plan-join",
+         "--conf", str(conf_py), "--output", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert plan.returncode == 0, plan.stderr[-2000:]
+    nodes = json.loads(plan.stdout.strip().splitlines()[-1])["nodes"]
+    assert [n["kind"] for n in nodes] == ["source", "join_part", "join_part", "merge"]
+    assert nodes[-1]["inputs"] == [out + "__left", out + "__part_a", out + "__part_b"]
+
+    # full DAG, one subprocess per node
+    run = subprocess.run(
+        [sys.executable, "-m", "chronon_spark.cli", "--master", "local[4]",
+         "run-plan", "--conf", str(conf_py), "--output", out,
+         "--start", RNG.start, "--end", RNG.end, "--step-days", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+    )
+    assert run.returncode == 0, (run.stdout[-2000:], run.stderr[-2000:])
+    summary = json.loads(run.stdout.strip().splitlines()[-1])
+    assert summary["nodes_run"] == [n["node_id"] for n in nodes]
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    mono = (
+        join_asof(spark, _join(sf_dir), mode="sawtooth")
+        .withColumn("ds", F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd"))
+        .where((F.col("ds") >= RNG.start) & (F.col("ds") <= RNG.end))
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == len(mono) > 0
+    for col in ["a_value_sum_7d", "b_value_count"]:
+        g, e = got[col].astype(float), mono[col].astype(float)
+        assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
