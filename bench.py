@@ -273,6 +273,50 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
     return out
 
 
+def bpe_train_bench(spark) -> dict:
+    """Production-vocab BPE training trajectory (r3 VERDICT Next #8):
+    a deterministic high-entropy corpus (60k distinct words — the sf
+    documents tables exhaust their pair vocabulary at ~90 merges), 128
+    merges at the swept-optimal batch_size=32, extrapolated to a 32k
+    vocab. Valid because per-round cost is flat in merge index (the
+    word table only shrinks) — full sweep data in BASELINE.md.
+
+    Driver-round-trip bound (documented per VERDICT): wall =
+    ceil(32768/batch) rounds x (one pair-count aggregation over the
+    unique-word table + one top-pairs collect). batch=1 (the bit-exact
+    sequential default) measured 1.11 s/round -> ~10 h at 32k; batch=32
+    measured ~52 min extrapolated on this host."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.tokenizer import bpe_train
+
+    words = spark.range(60_000).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 10), 16, 26)
+        .alias("w")
+    )
+    docs = (
+        words.withColumn("doc", F.abs(F.hash("w")) % 5000)
+        .groupBy("doc")
+        .agg(F.concat_ws(" ", F.collect_list(
+            F.concat(F.col("w"), F.lit(" "), F.col("w")))).alias("text"))
+        .cache()
+    )
+    docs.count()
+    n, batch = 128, 32
+    t0 = time.time()
+    merges = bpe_train(docs, num_merges=n, min_count=2, batch_size=batch)
+    wall = time.time() - t0
+    docs.unpersist()
+    got = len(merges)
+    return {
+        "merges": got,
+        "batch_size": batch,
+        "wall_sec": round(wall, 2),
+        "merges_per_sec": round(got / wall, 2),
+        "extrapolated_32k_wall_min": round((32_768 / max(got, 1)) * wall / 60, 1),
+    }
+
+
 def curation_e2e_bench(spark, n_rows: int) -> dict:
     """End-to-end curation pipeline throughput: the 13-stage
     examples/webtext_curation.py job (extract -> url/exact/near dedup ->
@@ -499,6 +543,7 @@ def main() -> None:
             curation = curation_e2e_bench(
                 spark, int(os.environ.get("SPARK_GRAFT_CURATION_ROWS", "20000"))
             )
+            bpe = bpe_train_bench(spark)
 
             # steady-state flagship at the BASELINE.md anchor scale —
             # comparable round-over-round, not overhead-dominated
@@ -535,6 +580,7 @@ def main() -> None:
                 },
                 "webtext_ops": ops,
                 "curation_e2e": curation,
+                "bpe_train_32k": bpe,
                 "kernel_microbench": kernel_microbench(),
                 "host_canary": host_canary(),
                 "scaling_recorded": recorded_scaling(),
@@ -607,6 +653,9 @@ def compact_summary(result: dict) -> dict:
     km = result.get("kernel_microbench", {})
     if km:
         out["kernel_qps"] = km.get("qps")
+    bpe = result.get("bpe_train_32k", {})
+    if bpe:
+        out["bpe_32k_min"] = bpe.get("extrapolated_32k_wall_min")
     hc = result.get("host_canary", {})
     if hc:
         out["canary"] = {"wall_sec": hc.get("wall_sec"), "score": hc.get("score")}

@@ -23,13 +23,19 @@ Partition listings are metadata operations (catalog / manifest reads) —
 never a data scan — so a resume/unfilled-ranges check on a 100 TB table
 costs milliseconds.
 
-Iceberg runtime status (r3 re-check): the sandbox has no network and the
-only Iceberg artifact on the box is the reference's
-``iceberg-bigquery-1.11.0-SNAPSHOT.jar`` — inspected (unzip -l): it
-contains ZERO ``org/apache/iceberg/spark`` classes (it is a BigQuery
-metastore plugin, not ``iceberg-spark-runtime``), so the IcebergFormat
-code paths remain gated behind ``_require_runtime`` and are exercised
-only structurally in tests.
+Iceberg runtime status (re-checked every round; r4 attempt 2026-08-18):
+the sandbox has no network (no pip/ivy/maven resolution), PySpark's
+bundled ``jars/`` contains no iceberg/delta/hudi artifact, ``pyiceberg``
+is not installed, and the only Iceberg artifact anywhere on the box is
+the reference's ``iceberg-bigquery-1.11.0-SNAPSHOT.jar`` — re-inspected
+this round (unzip -l: 16 files, 85 KB): it contains ZERO
+``org/apache/iceberg/spark`` classes (it is a BigQuery metastore catalog
+plugin, not ``iceberg-spark-runtime``), so loading it cannot provide
+``SparkCatalog``/``IcebergSource``. The IcebergFormat code paths remain
+gated behind ``_require_runtime`` and are exercised only structurally in
+tests; on a real cluster, adding
+``iceberg-spark-runtime-4.0_2.13`` to ``--jars`` activates them
+unchanged.
 """
 
 from __future__ import annotations
