@@ -4081,6 +4081,83 @@ WHERE r.rn <= k.k
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl WARC ingestion round-trip (sources/warc.py): render the
+    documents table as gzip-multistream WARC archives (one ``.warc.gz``
+    per partition, written executor-side, content-addressed filenames),
+    read them back with the distributed WARC source, and emit per-doc
+    integrity facts — md5 over the crawled payload bytes, byte length,
+    and the parsed WARC-Date instant. The oracle computes the same
+    projection in DuckDB directly on the parquet source of truth, so a
+    single flipped byte anywhere in writer, gzip member walk, record
+    framing, or date parsing fails the gate."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from chronon_spark.sources.warc import (
+        http_response_payload,
+        make_warc_bytes,
+        read_warc,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out_dir = "/tmp/chronon_warc_" + _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(parts):
+        chunks = [pdf[["doc_id", "text", "source"]] for pdf in parts]
+        pdf = pd.concat(chunks).sort_values("doc_id") if chunks else pd.DataFrame()
+        if not len(pdf):
+            return
+        base = pd.Timestamp("2020-01-01T00:00:00Z")
+        recs = []
+        for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            ts = (base + pd.to_timedelta(int(doc_id), unit="s")).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            headers = {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:doc:{int(doc_id)}>",
+                "WARC-Target-URI": f"https://crawl.test/{source}/{int(doc_id)}",
+                "WARC-Date": ts,
+                "Content-Type": "application/http; msgtype=response",
+            }
+            recs.append(
+                (headers, http_response_payload(text.encode("utf-8"),
+                                                "text/plain; charset=utf-8"))
+            )
+        data = make_warc_bytes(recs, gzip_members=True)
+        name = _hl.md5(data).hexdigest()[:16]
+        with open(os.path.join(out_dir, f"{name}.warc.gz"), "wb") as f:
+            f.write(data)
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    # force the executor-side archive writes (tiny result: one row/partition)
+    docs.repartition(4, "doc_id").mapInPandas(_write, schema="n long").collect()
+
+    return read_warc(spark, out_dir).select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.col("url"),
+        F.md5("payload").alias("text_md5"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.unix_timestamp("warc_ts").alias("ts_sec"),
+    )
+
+
+_WARC_INGEST_ORACLE = """
+SELECT doc_id,
+       'https://crawl.test/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS text_md5,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(epoch(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(doc_id)) AS BIGINT) AS ts_sec
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4117,6 +4194,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget cut truncates re-confirmations, never first-time checks.
     return {
         # -- never driver-checked before round 4 ---------------------------
+        "warc_ingest": q_warc_ingest,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
         "dsir_weights": q_dsir_weights,
@@ -4250,6 +4328,7 @@ def _raw_oracles() -> dict[str, str]:
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
+        "warc_ingest": _WARC_INGEST_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,
         "feature_summary": _summary_oracle(),
