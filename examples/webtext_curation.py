@@ -327,6 +327,24 @@ def main():
         for i in range(5)
     ]
     crawl = crawl.unionByName(spark.createDataFrame(leaks, crawl.schema))
+
+    # crawl-archive leg: round-trip the corpus through real gzip-multistream
+    # WARC archives — the ingestion path a production run takes from Common
+    # Crawl files (html bytes stay identical; text/lang are recomputed from
+    # the crawled bytes, which is exactly what a real ingest does).
+    import tempfile
+
+    from chronon_spark.sources.warc import warc_to_webtext, write_warc
+
+    warc_dir = tempfile.mkdtemp(prefix="curation_warc_")
+    manifest = write_warc(
+        crawl, warc_dir, payload_col="html", warc_type="response",
+        records_per_file=5000,
+    ).collect()
+    print(f"  exported {sum(m['n_records'] for m in manifest):,d} records "
+          f"to {len(manifest)} WARC archives; re-ingesting")
+    crawl = warc_to_webtext(spark, warc_dir)
+
     out = curate(
         spark,
         crawl,
@@ -342,6 +360,16 @@ def main():
     survivors = out["result"].where("doc_id LIKE '%leak.example.com%'").count()
     print("planted eval-leak pages surviving decontamination:", survivors)
     print("final packed training rows:", out["stages"][-1][1])
+
+    # WET-style export: the curated corpus back out as crawl archives —
+    # the handoff format downstream tokenizer/training jobs consume.
+    wet_dir = tempfile.mkdtemp(prefix="curation_wet_")
+    wet = write_warc(
+        out["result"].select(F.col("doc_id").alias("url"), "text"),
+        wet_dir, payload_col="text", warc_type="conversion",
+    ).collect()
+    print(f"  curated corpus exported: {sum(m['n_records'] for m in wet):,d} "
+          f"records / {sum(m['bytes'] for m in wet):,d} bytes in {len(wet)} WET files")
 
 
 if __name__ == "__main__":

@@ -162,6 +162,48 @@ def test_write_warc_roundtrip(spark, tmp_path):
     assert again == names
 
 
+def test_curate_from_warc_archives_equals_direct(spark, tmp_path):
+    """The full curation pipeline over a corpus that round-tripped through
+    WARC archives produces EXACTLY the same per-stage survivor counts as
+    curating the original frame — the html bytes are identical, and every
+    pipeline stage derives from html. This is the crawl-archive ingestion
+    guarantee end-to-end, not just per-record."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from webtext_curation import curate
+    from pyspark.sql import functions as F
+    from chronon_spark.sources.warc import warc_to_webtext, write_warc
+    from chronon_spark.sources.webtext import generate_webtext
+
+    base = (
+        generate_webtext(spark, 1200, seed=21, n_domains=12)
+        .dropDuplicates(["url"])  # unique urls so the lang re-attach join is 1:1
+        .withColumn("text", F.lit(None).cast("string"))  # both paths re-extract
+        .localCheckpoint()
+    )
+    out_dir = str(tmp_path / "arch")
+    write_warc(base, out_dir, payload_col="html", warc_type="response",
+               records_per_file=400).collect()
+
+    crawl2 = (
+        warc_to_webtext(spark, out_dir, lang=False)
+        .withColumn("text", F.lit(None).cast("string"))
+        .join(base.select("url", "lang"), "url")
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+    # byte-identity through the archives
+    diff = (
+        base.select("url", F.md5("html").alias("h"))
+        .exceptAll(crawl2.select("url", F.md5("html").alias("h")))
+        .count()
+    )
+    assert diff == 0
+
+    direct = curate(spark, base, verbose=False, dup_span_max=0.95)
+    via_warc = curate(spark, crawl2, verbose=False, dup_span_max=0.95)
+    assert via_warc["stages"] == direct["stages"]
+
+
 def test_payload_hash_matches_source_of_truth(spark, warc_dir):
     """End-to-end integrity: md5 over the Spark-read html equals md5 over
     the bytes that were written into the archive."""
