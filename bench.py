@@ -357,6 +357,7 @@ def curation_e2e_bench(spark, n_rows: int) -> dict:
 
 
 HEADLINE = [
+    "warc_ingest",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",
