@@ -4148,6 +4148,95 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linkgraph_html(sf_dir: str, spark: SparkSession):
+    """Deterministic per-doc html with outgoing hrefs, identical algebra
+    in both engines: every doc links to a source domain (doc_id % 20),
+    a pure-sink .org domain (doc_id % 13 — exercises dangling mass), and
+    every third doc links to a hub; its own domain is source-derived so
+    some links are self-loops (exercises the edge filter)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit('</p><a href="https://src'),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit('.example.com/p">a</a><a href="https://d'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit('.example.org/q">b</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit('<a href="https://hub.example.net/r">c</a>'),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """href extraction + domain-edge aggregation (linkgraph.extract_links):
+    JVM-side regexp_extract_all projection, one groupBy shuffle. Counts
+    per (src_domain, dst_domain) INCLUDING self-loops — the raw
+    extraction fidelity is what's under test."""
+    from chronon_spark.operators.linkgraph import extract_links
+
+    links = extract_links(_linkgraph_html(sf_dir, spark))
+    return links.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact damped PageRank over the distinct self-loop-free
+    domain graph (linkgraph.domain_pagerank, 4 iterations, d=0.85). The
+    oracle unrolls every iteration as CTEs — bit-exact BIGINT algebra."""
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        domain_pagerank,
+        extract_links,
+    )
+
+    links = extract_links(_linkgraph_html(sf_dir, spark))
+    return domain_pagerank(domain_edges(links), iters=4)
+
+
+_LINKGRAPH_LINKS_SQL = """
+h AS (
+  SELECT source || '.example.com' AS src_domain,
+         '<p>' || text || '</p><a href="https://src'
+           || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/p">a</a><a href="https://d'
+           || CAST(doc_id % 13 AS VARCHAR) || '.example.org/q">b</a>'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<a href="https://hub.example.net/r">c</a>'
+                   ELSE '' END AS html
+  FROM documents),
+l AS (
+  SELECT src_domain,
+         unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS href
+  FROM h),
+links AS (
+  SELECT src_domain, regexp_extract(href, '^https?://([^/]+)', 1) AS dst_domain
+  FROM l)
+"""
+
+_LINK_GRAPH_ORACLE = (
+    "WITH " + _LINKGRAPH_LINKS_SQL
+    + "SELECT src_domain, dst_domain, count(*) AS n_links FROM links GROUP BY 1, 2"
+)
+
+
+def _domain_rank_oracle() -> str:
+    from chronon_spark.operators.linkgraph import pagerank_oracle_sql
+
+    edges_sql = (
+        "WITH " + _LINKGRAPH_LINKS_SQL
+        + "SELECT DISTINCT src_domain, dst_domain FROM links"
+        + " WHERE src_domain <> dst_domain"
+    )
+    return pagerank_oracle_sql(edges_sql, iters=4, damping=85)
+
+
 _WARC_INGEST_ORACLE = """
 SELECT doc_id,
        'https://crawl.test/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
@@ -4195,6 +4284,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked before round 4 ---------------------------
         "warc_ingest": q_warc_ingest,
+        "link_graph": q_link_graph,
+        "domain_rank": q_domain_rank,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
         "dsir_weights": q_dsir_weights,
@@ -4329,6 +4420,8 @@ def _raw_oracles() -> dict[str, str]:
         "json_extract": _JSON_ORACLE,
         "profile": _PROFILE_ORACLE,
         "warc_ingest": _WARC_INGEST_ORACLE,
+        "link_graph": _LINK_GRAPH_ORACLE,
+        "domain_rank": _domain_rank_oracle(),
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,
         "feature_summary": _summary_oracle(),

@@ -358,6 +358,7 @@ def curation_e2e_bench(spark, n_rows: int) -> dict:
 
 HEADLINE = [
     "warc_ingest",
+    "domain_rank",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",

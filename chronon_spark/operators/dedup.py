@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chronon_spark.checkpoint import release_checkpoint
+
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition expression-heavy inputs UP to the session's default
@@ -577,7 +579,13 @@ def duplicate_clusters(
         )
         old = labels
         labels = new_labels
-        old.unpersist()
+        # round 1's `old` is the plain persisted seed (unpersist works);
+        # later rounds' are localCheckpoints, where DataFrame.unpersist
+        # is a silent no-op — release the RDD-level storage explicitly
+        # (chronon_spark.checkpoint) instead of waiting on the GC-driven
+        # ContextCleaner.
+        if not release_checkpoint(old):
+            old.unpersist()
         if not changed:
             break
     else:

@@ -1,0 +1,218 @@
+"""Web link graph: href extraction, domain edges, integer-exact PageRank.
+
+Why it's here: web-scale curation pipelines rank DOMAINS by link
+centrality and use the rank as a document quality prior (the original
+Common-Crawl-derived corpora weight by harmonic/PageRank centrality;
+domain rank also feeds crawl-frontier prioritisation and seed-list
+construction). The reference engine has no graph operator; this module is
+part of the training-data surface built on the same DuckDB-oracle
+discipline as the rest of the repo (cf. ``clustering.kmeans_cluster``).
+
+Design for scale (10^12 pages, ~10^8 domains):
+- ``extract_links`` is a pure projection + ``explode`` of a JVM-side
+  ``regexp_extract_all`` — zero Python, column pruning reaches the scan
+  (only the html column is read), whole-stage codegen end to end.
+- ``domain_edges`` is ONE distinct-aggregate shuffle; map-side partial
+  aggregation collapses the per-page fan-out (a page links to few
+  domains) before the exchange.
+- ``domain_pagerank`` iterates rank(t+1) = teleport + d * inflow where
+  inflow is a join (edges ⋈ ranks on src) plus a groupBy(dst) SUM.
+  Contributions are ADDITIVE, so the sum is map-side combinable — hot
+  targets (every page links to wikipedia.org) are absorbed by partial
+  aggregation, not a hot reduce task. The ranks table is |domains| rows
+  (≪ |edges|); AQE picks broadcast vs SMJ per scale. Each iteration is
+  eagerly ``localCheckpoint``-ed (the repo-wide lineage-truncation rule:
+  iterative plans otherwise grow exponentially, see
+  examples/webtext_curation.py).
+- Driver traffic: ONE scalar (the node count) for the whole run; the
+  dangling-mass redistribution stays in-plan via a broadcast single-row
+  aggregate — no per-iteration collect.
+
+Cross-engine determinism (the DuckDB oracle unrolls every iteration):
+all rank arithmetic is integer, in units of ``scale`` (default 1e12):
+per-edge share = rank DIV outdeg, teleport = ((100-d)*scale DIV 100)
+DIV n, update = teleport + d*(inflow + dangling DIV n) DIV 100 — every
+operation is exact integer division on non-negative values, so sums are
+order- and partitioning-independent and both engines agree bit-for-bit.
+Ranks are reported in scale units; callers wanting probabilities divide
+by ``scale`` (total mass is conserved only up to DIV truncation, which
+is the documented price of exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.checkpoint import release_checkpoint
+
+# href="..." with an absolute http(s) URL; RE2-safe (no lookarounds) so
+# the identical pattern text runs in Spark (Java regex) and DuckDB (RE2).
+HREF_PATTERN = 'href="(https?://[^"]+)"'
+DOMAIN_PATTERN = "^https?://([^/]+)"
+
+SCALE = 10**12  # rank quantum: 1 == 1e-12 of a node's worth of mass
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    src_domain_col: str = "src_domain",
+) -> DataFrame:
+    """One row per outgoing href: (src_domain, dst_domain, href).
+
+    ``html_col`` may be string or binary (cast to string — html bytes in
+    this repo are ascii-safe markup around utf-8 text). Pure projection +
+    explode; no shuffle, no Python.
+    """
+    href = F.explode(
+        F.expr(f"regexp_extract_all(CAST({html_col} AS STRING), '{HREF_PATTERN}', 1)")
+    ).alias("href")
+    out = df.select(F.col(src_domain_col).alias("src_domain"), href)
+    return out.select(
+        "src_domain",
+        F.regexp_extract("href", DOMAIN_PATTERN, 1).alias("dst_domain"),
+        "href",
+    )
+
+
+def domain_edges(links: DataFrame) -> DataFrame:
+    """Distinct (src_domain, dst_domain) pairs, self-loops dropped.
+
+    Unweighted edges are the classic domain-graph PageRank input; a
+    weighted variant is the same plan with groupBy().count() feeding a
+    weight column instead of distinct().
+    """
+    return (
+        links.where(F.col("src_domain") != F.col("dst_domain"))
+        .select("src_domain", "dst_domain")
+        .distinct()
+    )
+
+
+def domain_pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    damping: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Damped PageRank over distinct domain edges, integer-exact.
+
+    Returns (domain, rank) with rank in integer ``scale`` units.
+    ``damping`` is a percentage (85 == the classic 0.85) so the update
+    stays in integer arithmetic. Dangling mass (nodes with no out-edges)
+    is redistributed uniformly each iteration, in-plan.
+    """
+    if not 0 <= damping <= 100:
+        raise ValueError(f"damping must be a percentage 0..100, got {damping}")
+    spark = edges.sparkSession
+    edges = edges.select("src_domain", "dst_domain").persist()
+    try:
+        nodes = (
+            edges.select(F.col("src_domain").alias("domain"))
+            .union(edges.select(F.col("dst_domain").alias("domain")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()  # the ONE driver scalar
+        if n == 0:
+            return spark.createDataFrame([], "domain string, rank long")
+        outdeg = edges.groupBy(F.col("src_domain").alias("domain")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        teleport = ((100 - damping) * scale // 100) // n
+
+        ranks = nodes.select("domain", F.lit(scale // n).cast("long").alias("rank"))
+        ranks = ranks.localCheckpoint()
+        for it in range(iters):
+            prev_ckpt = ranks  # the materialized checkpoint feeding this round
+            ranked = ranks.join(outdeg, "domain", "left")
+            # dangling mass: single-row aggregate, broadcast into the plan
+            dangling = ranked.where(F.col("outdeg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("dm")
+            )
+            inflow = (
+                edges.join(
+                    ranked.where(F.col("outdeg").isNotNull()).withColumnRenamed(
+                        "domain", "src_domain"
+                    ),
+                    "src_domain",
+                )
+                .select("dst_domain", F.expr("rank DIV outdeg").alias("share"))
+                .groupBy(F.col("dst_domain").alias("domain"))
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(inflow, "domain", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "domain",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"{damping} * (coalesce(inflow, 0) + dm DIV {n}) DIV 100"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
+            # lineage truncation per iteration; the SUPERSEDED checkpoint
+            # is released once the new one is materialized (dedup's
+            # duplicate_clusters pattern) — only the returned frame's
+            # |domains|-row checkpoint outlives the call.
+            ranks = ranks.localCheckpoint()
+            release_checkpoint(prev_ckpt)
+        return ranks
+    finally:
+        edges.unpersist()
+        try:
+            nodes.unpersist()
+        except NameError:
+            pass
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 4,
+    damping: int = 85,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB oracle: unroll every PageRank iteration as a CTE chain over
+    ``edges_sql`` (a query producing distinct, self-loop-free
+    (src_domain, dst_domain)). Same integer algebra as the engine —
+    DuckDB's ``//`` is the same floor division on non-negative BIGINTs
+    as Spark's ``DIV``."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src_domain AS domain FROM edges"
+        " UNION SELECT dst_domain FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src_domain AS domain, count(*) AS outdeg"
+        " FROM edges GROUP BY 1)",
+        f"tp AS (SELECT (({100 - damping} * {scale}) // 100) // n AS teleport,"
+        f" n FROM nn)",
+        f"r0 AS (SELECT domain, {scale} // (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"dm{i} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM {prev} r"
+            f" LEFT JOIN outdeg o ON r.domain = o.domain WHERE o.domain IS NULL)"
+        )
+        parts.append(
+            f"in{i} AS (SELECT e.dst_domain AS domain,"
+            f" sum(r.rank // o.outdeg) AS inflow"
+            f" FROM edges e JOIN {prev} r ON e.src_domain = r.domain"
+            f" JOIN outdeg o ON e.src_domain = o.domain GROUP BY 1)"
+        )
+        parts.append(
+            # CAST: DuckDB sum(BIGINT) widens to HUGEINT; the engine emits
+            # long, so pin the oracle's rank back to BIGINT
+            f"r{i} AS (SELECT nd.domain,"
+            f" CAST((SELECT teleport FROM tp)"
+            f" + {damping} * (coalesce(i.inflow, 0)"
+            f" + (SELECT dm FROM dm{i}) // (SELECT n FROM nn)) // 100"
+            f" AS BIGINT) AS rank"
+            f" FROM nodes nd LEFT JOIN in{i} i ON nd.domain = i.domain)"
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT domain, rank FROM {prev}"

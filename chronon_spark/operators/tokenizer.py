@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chronon_spark.checkpoint import release_checkpoint
+
 TRAINABLE_WORD = r"^[\x21-\x7e]+$"  # printable ASCII, no space
 # inert word-boundary marker for doc-level encoding: never appears in an
 # (ASCII-trained) merge, so merges cannot span word boundaries. Known,
@@ -128,6 +130,7 @@ def bpe_train(
         .persist()
     )
     wf = wf0
+    ckpt = None  # current localCheckpoint handle (wf aliases it when set)
     merges: list = []
     try:
         rounds = 0
@@ -162,12 +165,18 @@ def bpe_train(
             wf = wf.select(col.alias("w"), "cnt")
             rounds += 1
             if rounds % checkpoint_every == 0:
-                wf = wf.localCheckpoint(eager=True)
+                prev_ckpt = ckpt
+                ckpt = wf.localCheckpoint(eager=True)
+                wf = ckpt
+                # superseded checkpoint: DataFrame.unpersist is a no-op
+                # on checkpoints — release the RDD storage explicitly
+                release_checkpoint(prev_ckpt)
     finally:
         try:
             wf0.unpersist()
         except Exception:
             pass
+        release_checkpoint(ckpt)  # last checkpoint: merges already extracted
     return merges
 
 

@@ -33,6 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chronon_spark.checkpoint import release_checkpoint
+
 
 def curate(
     spark: SparkSession,
@@ -65,6 +67,7 @@ def curate(
     )
 
     stages = []
+    _last = [None]  # previous stage's checkpoint, released when superseded
 
     def stage(name, df):
         # localCheckpoint, NOT persist: persist caches execution but the
@@ -76,14 +79,22 @@ def curate(
         # at 20k rows). Checkpointing every audited stage both caches the
         # rows for the audit count AND truncates the plan, so every
         # stage's optimization cost is one stage deep, independent of
-        # pipeline length. Old checkpoint blocks are GC-released once the
-        # frame goes out of scope.
+        # pipeline length. The pipeline is a linear chain, so once this
+        # stage's checkpoint is materialized the previous one is dead —
+        # released deterministically (DataFrame GC + ContextCleaner is
+        # unbounded; chronon_spark.checkpoint) unless pin_last() kept it
+        # for the caller (the returned corpus/train frames).
         df = df.localCheckpoint()
         n = df.count()
+        release_checkpoint(_last[0])
+        _last[0] = df
         stages.append((name, n))
         if verbose:
             print(f"  {name:<28s} {n:>10,d} rows")
         return df
+
+    def pin_last():
+        _last[0] = None
 
     docs = stage("crawl records", crawl)
 
@@ -221,10 +232,14 @@ def curate(
     pairs = minhash_lsh_pairs(
         docs, "doc_id", n_hashes=16, bands=4, shingle_k=3, verify_threshold=0.85
     ).localCheckpoint()
+    clusters = duplicate_clusters(pairs)
     docs = stage(
         "near-dup removal (LSH + CC)",
-        keep_canonical(docs, duplicate_clusters(pairs), "doc_id"),
+        keep_canonical(docs, clusters, "doc_id"),
     )
+    # both side-frames are checkpoints fully consumed by the stage above
+    release_checkpoint(pairs)
+    release_checkpoint(clusters)
 
     # 9. benchmark decontamination: drop any doc sharing an 8-gram with
     # the held-out eval set (broadcast semi-join on gram hashes)
@@ -236,6 +251,7 @@ def curate(
             decontaminate(docs, eval_set, "doc_id", k=decontam_k),
         )
     corpus = docs  # the curated corpus; stages below assemble training data
+    pin_last()  # corpus is returned to the caller — exempt from release
 
     # 10. temperature-scaled language mix: head languages damped toward
     # count^0.7 target mass, smallest kept whole (deterministic hash

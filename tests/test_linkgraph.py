@@ -1,0 +1,149 @@
+"""Link-graph operators: href extraction, domain edges, integer-exact
+PageRank vs a pure-Python oracle and the generated DuckDB unrolled-CTE
+oracle."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.linkgraph import (
+    SCALE,
+    domain_edges,
+    domain_pagerank,
+    extract_links,
+    pagerank_oracle_sql,
+)
+
+
+def _py_pagerank(edges, iters=4, damping=85, scale=SCALE):
+    """Reference implementation of the exact integer algebra."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = ((100 - damping) * scale // 100) // n
+    rank = {d: scale // n for d in nodes}
+    for _ in range(iters):
+        dm = sum(r for d, r in rank.items() if d not in outdeg)
+        inflow = {d: 0 for d in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {
+            d: teleport + damping * (inflow[d] + dm // n) // 100 for d in nodes
+        }
+    return rank
+
+
+def test_extract_links_binary_and_string(spark):
+    html = (
+        '<html><a href="https://a.com/x">one</a> '
+        '<a href="http://b.org/y?z=1">two</a> '
+        "<a href='https://nope.unquoted/skip'>not double-quoted</a></html>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"src_domain": ["me.io"], "html": [html.encode()]})
+    )
+    out = extract_links(df).orderBy("href").collect()
+    assert [(r["src_domain"], r["dst_domain"]) for r in out] == [
+        ("me.io", "b.org"),
+        ("me.io", "a.com"),
+    ]
+    # string column behaves identically
+    df2 = spark.createDataFrame(pd.DataFrame({"src_domain": ["me.io"], "html": [html]}))
+    assert extract_links(df2).count() == 2
+
+
+def test_domain_edges_distinct_no_selfloop(spark):
+    links = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src_domain": ["a", "a", "a", "b"],
+                "dst_domain": ["b", "b", "a", "c"],
+                "href": ["u1", "u2", "u3", "u4"],
+            }
+        )
+    )
+    got = sorted(tuple(r) for r in domain_edges(links).collect())
+    assert got == [("a", "b"), ("b", "c")]
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "a"), ("d", "b"), ("d", "c"),
+    ("e", "sink1"), ("e", "sink2"),  # sinks = dangling nodes
+]
+
+
+def _edges_df(spark, parts):
+    pdf = pd.DataFrame(EDGES, columns=["src_domain", "dst_domain"])
+    return spark.createDataFrame(pdf).repartition(parts)
+
+
+def test_pagerank_matches_python_oracle(spark):
+    want = _py_pagerank(EDGES)
+    got = {r["domain"]: r["rank"] for r in domain_pagerank(_edges_df(spark, 4)).collect()}
+    assert got == want
+    # rank mass stays within DIV-truncation of the total
+    assert 0 < sum(got.values()) <= SCALE
+
+
+def test_pagerank_partitioning_invariant(spark):
+    a = {r["domain"]: r["rank"] for r in domain_pagerank(_edges_df(spark, 1)).collect()}
+    b = {r["domain"]: r["rank"] for r in domain_pagerank(_edges_df(spark, 16)).collect()}
+    assert a == b
+
+
+def test_pagerank_duckdb_oracle_parity(spark):
+    got = (
+        domain_pagerank(_edges_df(spark, 3), iters=5, damping=80)
+        .orderBy("domain")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("edges_src", pd.DataFrame(EDGES, columns=["src_domain", "dst_domain"]))
+    sql = pagerank_oracle_sql(
+        "SELECT DISTINCT src_domain, dst_domain FROM edges_src"
+        " WHERE src_domain <> dst_domain",
+        iters=5,
+        damping=80,
+    )
+    want = con.sql(sql + " ORDER BY domain").df()
+    assert got["domain"].tolist() == want["domain"].tolist()
+    assert got["rank"].astype(int).tolist() == want["rank"].astype(int).tolist()
+
+
+def test_pagerank_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "src_domain string, dst_domain string")
+    assert domain_pagerank(empty).count() == 0
+    with pytest.raises(ValueError):
+        domain_pagerank(empty, damping=101)
+
+
+def test_pagerank_no_persisted_leak(spark):
+    """Intermediate checkpoints are released every iteration via
+    release_checkpoint (DataFrame.unpersist is a silent no-op on
+    localCheckpoints); only the returned frame's |domains|-row checkpoint
+    outlives a call, and the caller can release that too — the registry
+    returns to baseline, never growing by the per-iteration chain
+    (init + 6 iteration checkpoints + edges + nodes would be +9/call)."""
+    from chronon_spark.checkpoint import release_checkpoint
+
+    def _ids():
+        # track ids, not counts: the ContextCleaner may release OTHER
+        # tests' GC'd frames concurrently, so absolute sizes are flaky
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    before = _ids()
+    for _ in range(2):
+        out = domain_pagerank(_edges_df(spark, 2), iters=6)
+        out.collect()
+        added = _ids() - before
+        assert len(added) == 1, added
+        assert release_checkpoint(out)
+        assert not (_ids() - before)
