@@ -4162,7 +4162,9 @@ def _linkgraph_html(sf_dir: str, spark: SparkSession):
             F.col("text"),
             F.lit('</p><a href="https://src'),
             (F.col("doc_id") % 20).cast("string"),
-            F.lit('.example.com/p">a</a><a href="https://d'),
+            F.lit('.example.com/p">'),
+            F.substring(F.col("text"), 1, 12),
+            F.lit('</a><a href="https://d'),
             (F.col("doc_id") % 13).cast("string"),
             F.lit('.example.org/q">b</a>'),
             F.when(
@@ -4200,12 +4202,27 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(domain_edges(links), iters=4)
 
 
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 incoming anchor texts per target domain via the SALTED
+    two-phase exact top-k (linkgraph.anchor_top_k, salt_partitions=4) —
+    the oracle is a plain window row_number, so the salted plan is
+    verified against the unsalted semantics."""
+    from chronon_spark.operators.linkgraph import anchor_top_k, extract_anchors
+
+    anchors = extract_anchors(_linkgraph_html(sf_dir, spark))
+    out = anchor_top_k(anchors, k=3, salt_partitions=4)
+    return out.select(
+        "domain", "anchor", "n_links", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 _LINKGRAPH_LINKS_SQL = """
 h AS (
   SELECT source || '.example.com' AS src_domain,
          '<p>' || text || '</p><a href="https://src'
            || CAST(doc_id % 20 AS VARCHAR)
-           || '.example.com/p">a</a><a href="https://d'
+           || '.example.com/p">' || substr(text, 1, 12)
+           || '</a><a href="https://d'
            || CAST(doc_id % 13 AS VARCHAR) || '.example.org/q">b</a>'
            || CASE WHEN doc_id % 3 = 0
                    THEN '<a href="https://hub.example.net/r">c</a>'
@@ -4224,6 +4241,43 @@ _LINK_GRAPH_ORACLE = (
     "WITH " + _LINKGRAPH_LINKS_SQL
     + "SELECT src_domain, dst_domain, count(*) AS n_links FROM links GROUP BY 1, 2"
 )
+
+
+_ANCHOR_TOPK_ORACLE = """
+WITH h AS (
+  SELECT source || '.example.com' AS src_domain,
+         '<p>' || text || '</p><a href="https://src'
+           || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/p">' || substr(text, 1, 12)
+           || '</a><a href="https://d'
+           || CAST(doc_id % 13 AS VARCHAR) || '.example.org/q">b</a>'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<a href="https://hub.example.net/r">c</a>'
+                   ELSE '' END AS html
+  FROM documents),
+el AS (
+  SELECT unnest(regexp_extract_all(html,
+           '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 0)) AS el
+  FROM h),
+a AS (
+  SELECT regexp_extract(regexp_extract(el,
+           '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 1),
+           '^https?://([^/]+)', 1) AS domain,
+         regexp_extract(el, '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>', 2)
+           AS anchor
+  FROM el),
+c AS (
+  SELECT domain, anchor, count(*) AS n_links
+  FROM a WHERE anchor <> '' GROUP BY 1, 2),
+r AS (
+  SELECT domain, anchor, n_links,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_links DESC, anchor ASC) AS rnk
+  FROM c)
+SELECT domain, anchor, CAST(n_links AS BIGINT) AS n_links,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
 
 
 def _domain_rank_oracle() -> str:
@@ -4286,6 +4340,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
+        "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
         "dsir_weights": q_dsir_weights,
@@ -4422,6 +4477,7 @@ def _raw_oracles() -> dict[str, str]:
         "warc_ingest": _WARC_INGEST_ORACLE,
         "link_graph": _LINK_GRAPH_ORACLE,
         "domain_rank": _domain_rank_oracle(),
+        "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,
         "feature_summary": _summary_oracle(),

@@ -50,6 +50,8 @@ from chronon_spark.checkpoint import release_checkpoint
 # the identical pattern text runs in Spark (Java regex) and DuckDB (RE2).
 HREF_PATTERN = 'href="(https?://[^"]+)"'
 DOMAIN_PATTERN = "^https?://([^/]+)"
+# full anchor element: group 1 = absolute href, group 2 = anchor text
+ANCHOR_PATTERN = '<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>'
 
 SCALE = 10**12  # rank quantum: 1 == 1e-12 of a node's worth of mass
 
@@ -88,6 +90,69 @@ def domain_edges(links: DataFrame) -> DataFrame:
         .select("src_domain", "dst_domain")
         .distinct()
     )
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    src_domain_col: str = "src_domain",
+) -> DataFrame:
+    """One row per anchor element: (src_domain, dst_domain, anchor).
+
+    regexp_extract_all returns ONE group per match, so the whole
+    ``<a ...>text</a>`` element is extracted (group 0) and the href /
+    anchor-text groups are re-extracted per element — still a pure
+    projection + explode, zero Python, and the identical pattern text
+    runs in DuckDB.
+    """
+    element = F.explode(
+        F.expr(
+            f"regexp_extract_all(CAST({html_col} AS STRING), '{ANCHOR_PATTERN}', 0)"
+        )
+    ).alias("el")
+    out = df.select(F.col(src_domain_col).alias("src_domain"), element)
+    return out.select(
+        "src_domain",
+        F.regexp_extract(
+            F.regexp_extract("el", ANCHOR_PATTERN, 1), DOMAIN_PATTERN, 1
+        ).alias("dst_domain"),
+        F.regexp_extract("el", ANCHOR_PATTERN, 2).alias("anchor"),
+    )
+
+
+def anchor_top_k(
+    anchors: DataFrame,
+    k: int = 5,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Top-k incoming anchor texts per TARGET domain, by frequency
+    (desc, ties to the lexicographically smallest anchor): the classic
+    anchor-text quality/topic prior for a domain. Aggregation is
+    map-side combinable; the per-domain ranking rides the repo's exact
+    salted two-phase top-k (``sampling.top_k_per_key``) so a hot target
+    (everything links to wikipedia.org) never pins one task.
+    Returns (domain, anchor, n_links, rnk)."""
+    from chronon_spark.operators.sampling import top_k_per_key
+
+    counts = (
+        anchors.where(F.col("anchor") != "")
+        .groupBy(F.col("dst_domain").alias("domain"), "anchor")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    ranked = top_k_per_key(
+        counts,
+        key_col="domain",
+        k=k,
+        id_col="anchor",
+        order_col="n_links",
+        salt_partitions=salt_partitions,
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("domain").orderBy(F.desc("n_links"), F.asc("anchor"))
+    )
+    return ranked.select("domain", "anchor", "n_links", rnk.alias("rnk"))
 
 
 def domain_pagerank(

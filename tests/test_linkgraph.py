@@ -121,6 +121,37 @@ def test_pagerank_empty_and_validation(spark):
         domain_pagerank(empty, damping=101)
 
 
+def test_extract_anchors_and_topk(spark):
+    from chronon_spark.operators.linkgraph import anchor_top_k, extract_anchors
+
+    rows = []
+    for i in range(40):
+        # 'news' anchor twice per doc, 'blog' once, one empty anchor
+        rows.append(
+            (
+                f"s{i % 4}.io",
+                f'<a href="https://t.example/x">news</a>'
+                f'<a href="https://t.example/y">news</a>'
+                f'<a href="https://t.example/z">blog</a>'
+                f'<a href="https://t.example/e"></a>'
+                f'<a href="https://u{i % 3}.example/w">rare{i}</a>',
+            )
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["src_domain", "html"]))
+    anchors = extract_anchors(df)
+    # empty anchors extracted but dropped by anchor_top_k
+    assert anchors.where("anchor = ''").count() == 40
+
+    top = anchor_top_k(anchors, k=2).where("domain = 't.example'").collect()
+    got = [(r["anchor"], r["n_links"], r["rnk"]) for r in sorted(top, key=lambda r: r["rnk"])]
+    assert got == [("news", 80, 1), ("blog", 40, 2)]
+
+    # salted two-phase == unsalted (exactness under hot targets)
+    a = sorted(map(tuple, anchor_top_k(anchors, k=2, salt_partitions=8).collect()))
+    b = sorted(map(tuple, anchor_top_k(anchors, k=2).collect()))
+    assert a == b
+
+
 def test_pagerank_no_persisted_leak(spark):
     """Intermediate checkpoints are released every iteration via
     release_checkpoint (DataFrame.unpersist is a silent no-op on
