@@ -269,6 +269,46 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
         ("duplicated_spans", lambda: dedup.duplicated_span_flags(docs, "doc_id", k=8)),
     ]
     out = dict(run(n, f) for n, f in ops)
+
+    # domain PageRank over a 3-links-per-page multigraph (duplicate edges
+    # act as weights — no DISTINCT, so every iteration's join + partial-agg
+    # processes all 3n link rows). One hot target absorbs 1/3 of ALL links:
+    # the zipf-head shape partial aggregation must flatten.
+    def _pagerank():
+        from chronon_spark.checkpoint import release_checkpoint
+        from chronon_spark.operators.linkgraph import domain_pagerank
+
+        ranked = domain_pagerank(edges, iters=4)
+        n_out = ranked.count()  # the loop inside is already materialized
+        release_checkpoint(ranked)
+        return n_out
+
+    pages = spark.read.parquet(path).select(
+        F.expr("parse_url(url, 'HOST')").alias("src_domain"), "url"
+    )
+    edges = pages.select(
+        "src_domain",
+        F.explode(
+            F.array(
+                F.lit("hot.example"),
+                F.concat(F.lit("mid"), (F.crc32("url") % 100).cast("string")),
+                F.concat(
+                    F.lit("tail"),
+                    (F.crc32(F.reverse(F.col("url"))) % 5000).cast("string"),
+                ),
+            )
+        ).alias("dst_domain"),
+    )
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        _pagerank()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    out["domain_pagerank_4it"] = {
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(3 * n_rows * 4 / wall, 1),  # edge-visits/sec
+    }
     docs.unpersist()
     return out
 

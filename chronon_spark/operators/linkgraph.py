@@ -172,6 +172,7 @@ def domain_pagerank(
         raise ValueError(f"damping must be a percentage 0..100, got {damping}")
     spark = edges.sparkSession
     edges = edges.select("src_domain", "dst_domain").persist()
+    nodes = outdeg = None
     try:
         nodes = (
             edges.select(F.col("src_domain").alias("domain"))
@@ -182,8 +183,12 @@ def domain_pagerank(
         n = nodes.count()  # the ONE driver scalar
         if n == 0:
             return spark.createDataFrame([], "domain string, rank long")
-        outdeg = edges.groupBy(F.col("src_domain").alias("domain")).agg(
-            F.count(F.lit(1)).alias("outdeg")
+        # persisted: consumed twice per iteration (dangling probe + inflow
+        # join) — as a bare plan it would re-aggregate ALL edges 2x/iter
+        outdeg = (
+            edges.groupBy(F.col("src_domain").alias("domain"))
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .persist()
         )
         teleport = ((100 - damping) * scale // 100) // n
 
@@ -229,10 +234,10 @@ def domain_pagerank(
         return ranks
     finally:
         edges.unpersist()
-        try:
+        if nodes is not None:
             nodes.unpersist()
-        except NameError:
-            pass
+        if outdeg is not None:
+            outdeg.unpersist()
 
 
 def pagerank_oracle_sql(
