@@ -337,3 +337,27 @@ def test_round3_ops_parallelism_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in outs.items():
         assert a == b, f"{name} differs across shuffle partitionings"
+
+
+def test_linkgraph_plan_quality(spark):
+    """Link extraction stays a JVM-side projection: zero Python stages,
+    ONE exchange (the edge-count groupBy), and the scan reads only the
+    columns the html synthesis needs — a regression to a Python UDF or a
+    second shuffle fails here, not in a 100 TB run."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    lg = E.queries()["link_graph"](spark, "/root/testdata/sf0.001")
+    d = bench.plan_digest(lg)
+    assert d["python_stages"] == 0, d
+    assert d["exchanges"] <= 1, d
+
+    # anchor extraction + salted top-k: still Python-free; bounded
+    # exchanges (count agg + two window phases)
+    at = E.queries()["anchor_topk"](spark, "/root/testdata/sf0.001")
+    d2 = bench.plan_digest(at)
+    assert d2["python_stages"] == 0, d2
+    assert d2["exchanges"] <= 4, d2
