@@ -4301,6 +4301,152 @@ FROM documents
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build over the corpus (indexing.term_stats): per-term
+    document frequency + total term frequency via a two-level map-side
+    combinable aggregate — stopword mass collapses per-partition before
+    either exchange. Oracle re-derives the table in DuckDB from an
+    unnest of the identical normalization."""
+    from chronon_spark.operators.indexing import term_stats, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return term_stats(tokenize(docs))
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-based decontamination: every doc whose token stream contains
+    any probe phrase as a contiguous run (indexing.phrase_search — the
+    positional-intersection join; ALL phrases matched in ONE pass over
+    the token stream, phrase table broadcast). Probes are the first 3
+    normalized tokens of every doc_id % 31 == 0 document, so every probe
+    is guaranteed at least its own source hit plus whatever boilerplate
+    shares the prefix. The oracle is an INDEPENDENT formulation: a
+    padded-LIKE substring match over the normalized text."""
+    from chronon_spark.operators.indexing import norm_words, phrase_search, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phrases = (
+        docs.where(F.col("doc_id") % 31 == 0)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.slice(norm_words("text"), 1, 3)).alias("phrase"),
+        )
+        .where(F.col("phrase") != "")
+    )
+    return phrase_search(tokenize(docs), phrases)
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-crawl change report (indexing.crawl_diff): snapshot A is the
+    documents table keyed by crawl URL; snapshot B deterministically
+    deletes doc_id % 11 == 0, rewrites doc_id % 7 == 0 (appended
+    section), re-crawls the rest byte-identical, and adds a /v2 page for
+    doc_id % 13 == 0. Statuses by text equality; changed pages carry an
+    integer-exact distinct-word Jaccard. The oracle computes the same
+    report with DuckDB LIST algebra (list_distinct/list_intersect) vs
+    the engine's relational full-outer word join."""
+    from chronon_spark.operators.indexing import crawl_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://crawl.test/"), F.col("source"), F.lit("/"), F.col("doc_id")
+    )
+    old = docs.select(url.alias("url"), "text")
+    new_body = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" updated section alpha beta gamma")),
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"), new_body.alias("text")
+    )
+    added = docs.where(F.col("doc_id") % 13 == 0).select(
+        F.concat(url, F.lit("/v2")).alias("url"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    return crawl_diff(old, new.unionByName(added))
+
+
+# normalized token-list CTE shared by the index oracles; string_split on
+# a trimmed collapsed string yields [''] for token-less docs — the WHERE
+# term <> '' filter below restores the true empty stream
+_INDEX_TOKENS_SQL = """
+nt AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, t.term, t.pos
+  FROM nt, LATERAL (
+    SELECT unnest(toks) AS term, generate_subscripts(toks, 1) AS pos) t
+  WHERE t.term <> '')
+"""
+
+_INVERTED_INDEX_ORACLE = (
+    "WITH " + _INDEX_TOKENS_SQL
+    + """, pd AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM pd GROUP BY term"""
+)
+
+_PHRASE_SEARCH_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents),
+p AS (
+  SELECT doc_id AS phrase_id,
+         array_to_string(list_slice(string_split(norm, ' '), 1, 3), ' ') AS phrase
+  FROM n WHERE doc_id % 31 = 0 AND norm <> '')
+SELECT p.phrase_id, n.doc_id
+FROM p JOIN n ON ' ' || n.norm || ' ' LIKE '% ' || p.phrase || ' %'
+"""
+
+_CRAWL_DIFF_ORACLE = """
+WITH base AS (
+  SELECT 'https://crawl.test/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, text
+  FROM documents),
+old AS (SELECT url, text FROM base),
+new AS (
+  SELECT url,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' updated section alpha beta gamma'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT url || '/v2' AS url, substr(text, 1, 40) AS text
+  FROM base WHERE doc_id % 13 = 0),
+j AS (
+  SELECT coalesce(o.url, n.url) AS url, o.text AS ta, n.text AS tb
+  FROM old o FULL OUTER JOIN new n ON o.url = n.url),
+w AS (
+  SELECT url, ta, tb,
+         list_filter(list_distinct(string_split(
+           trim(regexp_replace(lower(coalesce(ta, '')), '[^a-z0-9]+', ' ', 'g')),
+           ' ')), x -> x <> '') AS wa,
+         list_filter(list_distinct(string_split(
+           trim(regexp_replace(lower(coalesce(tb, '')), '[^a-z0-9]+', ' ', 'g')),
+           ' ')), x -> x <> '') AS wb
+  FROM j),
+m AS (
+  SELECT url, ta, tb,
+         length(list_intersect(wa, wb)) AS ni,
+         length(wa) + length(wb) - length(list_intersect(wa, wb)) AS nu
+  FROM w)
+SELECT url,
+       CASE WHEN ta IS NULL THEN 'added'
+            WHEN tb IS NULL THEN 'deleted'
+            WHEN ta = tb THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CASE WHEN ta IS NULL OR tb IS NULL THEN NULL
+            WHEN nu = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST((1000000 * ni) // nu AS BIGINT) END AS jaccard_micro
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4337,6 +4483,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget cut truncates re-confirmations, never first-time checks.
     return {
         # -- never driver-checked before round 4 ---------------------------
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
+        "crawl_diff": q_crawl_diff,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
@@ -4426,6 +4575,9 @@ def oracle_sql() -> dict[str, str]:
 
 def _raw_oracles() -> dict[str, str]:
     return {
+        "inverted_index": _INVERTED_INDEX_ORACLE,
+        "phrase_search": _PHRASE_SEARCH_ORACLE,
+        "crawl_diff": _CRAWL_DIFF_ORACLE,
         "asof_groupby": _ASOF_ORACLE,
         "asof_join_multipart": _ASOF_JOIN_ORACLE,
         "asof_bucketed": _ASOF_BUCKETED_ORACLE,

@@ -399,6 +399,9 @@ def curation_e2e_bench(spark, n_rows: int) -> dict:
 HEADLINE = [
     "warc_ingest",
     "domain_rank",
+    "inverted_index",
+    "phrase_search",
+    "crawl_diff",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",

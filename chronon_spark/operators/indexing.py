@@ -1,0 +1,221 @@
+"""Distributed inverted index: positional postings, term stats, relational
+phrase search, and inter-crawl snapshot diffing.
+
+Why it's here: a web-corpus pipeline needs a search surface over the
+corpus itself — phrase-level benchmark decontamination ("does any training
+document contain this eval sentence?"), duplicate-passage forensics, and
+corpus analytics (df/idf vocabularies for quality classifiers and DSIR
+feature spaces). The reference engine has no index operator (its
+decontamination analogue is our n-gram ``dedup.benchmark_contamination``);
+this module generalizes that to arbitrary-length phrases via the classic
+IR positional-intersection, expressed entirely relationally. Crawl-diff
+answers the other recurring webtext question — what changed between two
+crawls of the same URL — with an exact word-set Jaccard.
+
+Design for scale (10^12 tokens, 10^8 vocab):
+- ``tokenize`` is a pure projection + ``posexplode`` of a JVM-side
+  split/filter — zero Python, column pruning reaches the scan, and the
+  token stream is never materialized (consumers aggregate it map-side).
+- ``build_postings`` groups by (term, doc) — the DOC key spreads stopword
+  mass, so "the" never lands on one task; per-group state is bounded by
+  a single document's length.
+- ``term_stats`` groups by term alone, but both aggregates (count, sum)
+  are map-side combinable, so a stopword's billions of postings collapse
+  to one partial per input partition before the exchange.
+- ``phrase_search`` is the positional-intersection join: the phrase-term
+  table is tiny by nature (an eval set), so it BROADCASTS; each token
+  hit projects (phrase, doc, pos - offset) and a phrase occurrence is a
+  group where every offset of the phrase is present. One shuffle, keyed
+  by (phrase, doc, start) — again spread by doc. No per-phrase scans:
+  ALL phrases are matched in a single pass over the token stream.
+- ``crawl_diff`` joins the two snapshots' distinct (url, word) sets with
+  a full outer join co-keyed on (url, word) — hot URLs spread across
+  their vocabulary — then reduces to one row per url. Text-level
+  unchanged/changed is decided by md5 equality, never by re-comparing
+  bodies.
+
+Cross-engine determinism: tokenization is lower + [^a-z0-9]+ -> space +
+trim + split — the identical algebra runs in DuckDB (the oracle pairs
+``unnest``/``generate_subscripts`` against Spark's ``posexplode``).
+Positions are 1-based to match SQL subscripts. Jaccard is quantized to
+integer micro-units with BIGINT floor division, exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared alnum word normalization; RE2-safe so the same pattern text runs
+# in DuckDB oracles
+WORD_NORM_PATTERN = "[^a-z0-9]+"
+JACCARD_SCALE = 10**6
+
+
+def norm_words(text_col: str = "text") -> F.Column:
+    """Array of lowercase alnum words (no empties), the index token stream."""
+    collapsed = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), WORD_NORM_PATTERN, " ")
+    )
+    # trim of an all-separator string yields '' and split('') == [''] —
+    # filter keeps the empty-doc token list truly empty
+    return F.filter(F.split(collapsed, " "), lambda w: w != F.lit(""))
+
+
+def tokenize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per token occurrence: (id_col, pos, term), pos 1-based.
+
+    Pure projection + posexplode — no shuffle, no Python. Positions are
+    1-based to line up with SQL array subscripts (the DuckDB oracle's
+    ``generate_subscripts``).
+    """
+    exploded = df.select(
+        F.col(id_col), F.posexplode(norm_words(text_col)).alias("pos0", "term")
+    )
+    return exploded.select(
+        id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "term"
+    )
+
+
+def build_postings(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings: (term, id, tf, positions sorted ascending).
+
+    Grouped by (term, doc): stopwords spread across docs, and per-group
+    state is bounded by one document's length — collect_list here can
+    never exceed the longest document.
+    """
+    return tokens.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def term_stats(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary table: (term, df, total_tf).
+
+    Two-level aggregate — (term, doc) first so df is a plain count, then
+    term. Both levels are map-side combinable; the second exchange
+    carries at most |vocab| rows per partition.
+    """
+    per_doc = tokens.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+def phrase_search(
+    tokens: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """All (phrase_id, id) pairs where the document contains the phrase
+    as a contiguous token run — the positional-intersection search.
+
+    Every token hit against any phrase term projects a candidate start
+    position ``pos - offset``; a true occurrence is a (phrase, doc,
+    start) group covering every offset 1..len(phrase). Duplicate terms
+    inside a phrase ("the cat the") are handled by counting DISTINCT
+    offsets. The phrase table broadcasts (eval sets are small by
+    nature); the single shuffle is keyed by (phrase, doc, start).
+    """
+    pterms = tokenize(phrases, id_col=phrase_id_col, text_col=phrase_col).select(
+        phrase_id_col, F.col("pos").alias("offset"), "term"
+    )
+    plen = pterms.groupBy(phrase_id_col).agg(F.max("offset").alias("plen"))
+    hits = tokens.join(F.broadcast(pterms), "term").select(
+        phrase_id_col,
+        F.col(id_col),
+        (F.col("pos") - F.col("offset")).alias("start"),
+        "offset",
+    )
+    occurrences = (
+        hits.groupBy(phrase_id_col, id_col, "start")
+        .agg(F.count_distinct("offset").alias("nhit"))
+        .join(F.broadcast(plen), phrase_id_col)
+        .where(F.col("nhit") == F.col("plen"))
+    )
+    return occurrences.select(phrase_id_col, id_col).distinct()
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-URL change report between two crawl snapshots.
+
+    Returns (url, status, jaccard_micro):
+    - status: 'added' (only in new), 'deleted' (only in old),
+      'unchanged' (byte-identical text by md5), 'changed' otherwise;
+    - jaccard_micro: floor(1e6 * |A∩B| / |A∪B|) over the DISTINCT word
+      sets of the two bodies — BIGINT-exact, NULL for added/deleted,
+      and 1e6 when both word sets are empty (identical empties).
+
+    Plan: two distinct-(url, word) aggregations (map-side combinable,
+    keyed by url+word so hot URLs spread), one full outer join co-keyed
+    on (url, word), one reduce to per-url counts, and a presence join of
+    the two per-url md5 projections. Bodies are hashed once and never
+    re-compared.
+    """
+
+    def word_sets(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(url_col).alias("url"), F.explode(norm_words(text_col)).alias("word"))
+            .distinct()
+        )
+
+    def presence(df: DataFrame, md5_name: str) -> DataFrame:
+        return df.select(
+            F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias(md5_name)
+        )
+
+    a, b = word_sets(old), word_sets(new)
+    joined = a.withColumn("in_a", F.lit(1)).join(
+        b.withColumn("in_b", F.lit(1)), ["url", "word"], "full_outer"
+    )
+    counts = joined.groupBy("url").agg(
+        F.sum(F.coalesce("in_a", F.lit(0))).alias("n_a"),
+        F.sum(F.coalesce("in_b", F.lit(0))).alias("n_b"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    pres = presence(old, "md5_a").join(presence(new, "md5_b"), "url", "full_outer")
+    # a URL whose bodies normalize to zero tokens has no (url, word) rows
+    # at all — coalesce the missing counts to empty sets
+    out = pres.join(counts, "url", "left").select(
+        "url",
+        "md5_a",
+        "md5_b",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("n_both", F.lit(0)).alias("n_both"),
+    )
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    jacc = F.when(
+        F.col("md5_a").isNull() | F.col("md5_b").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.when(union_n == 0, F.lit(JACCARD_SCALE)).otherwise(
+            F.expr(f"({JACCARD_SCALE} * n_both) DIV (n_a + n_b - n_both)")
+        )
+    )
+    status = (
+        F.when(F.col("md5_a").isNull(), F.lit("added"))
+        .when(F.col("md5_b").isNull(), F.lit("deleted"))
+        .when(F.col("md5_a") == F.col("md5_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return out.select(
+        "url", status.alias("status"), jacc.cast("long").alias("jaccard_micro")
+    )

@@ -1,0 +1,151 @@
+"""Inverted index, phrase search, and crawl diff (operators/indexing.py).
+
+Hand-computed oracles on adversarial micro-corpora: repeated terms inside
+phrases, punctuation-only docs, phrase at doc start/end, self-overlapping
+occurrences, and every crawl_diff status.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.indexing import (
+    JACCARD_SCALE,
+    build_postings,
+    crawl_diff,
+    phrase_search,
+    term_stats,
+    tokenize,
+)
+
+DOCS = [
+    (1, "The cat sat on the mat."),
+    (2, "the cat THE cat the"),  # repeated bigram "the cat"
+    (3, "!!! ???"),  # normalizes to zero tokens
+    (4, "mat"),  # single-token doc
+    (5, "cat the cat the cat"),  # alternating, overlapping candidates
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tokenize_positions_and_normalization(docs):
+    rows = tokenize(docs).where(F.col("doc_id") == 1).orderBy("pos").collect()
+    assert [(r.pos, r.term) for r in rows] == [
+        (1, "the"),
+        (2, "cat"),
+        (3, "sat"),
+        (4, "on"),
+        (5, "the"),
+        (6, "mat"),
+    ]
+    # punctuation-only doc contributes no tokens at all
+    assert tokenize(docs).where(F.col("doc_id") == 3).count() == 0
+
+
+def test_postings_and_term_stats(docs):
+    toks = tokenize(docs)
+    post = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in build_postings(toks).collect()
+    }
+    assert post[("the", 1)] == (2, [1, 5])
+    assert post[("the", 2)] == (3, [1, 3, 5])
+    assert post[("cat", 5)] == (3, [1, 3, 5])
+    stats = {r.term: (r.df, r.total_tf) for r in term_stats(toks).collect()}
+    assert stats["the"] == (3, 7)  # docs 1,2,5
+    assert stats["cat"] == (3, 6)
+    assert stats["mat"] == (2, 2)
+    assert stats["sat"] == (1, 1)
+
+
+def _search(spark, docs, phrases):
+    pdf = spark.createDataFrame(
+        list(enumerate(phrases)), "phrase_id long, phrase string"
+    )
+    out = phrase_search(tokenize(docs), pdf)
+    return {(r.phrase_id, r.doc_id) for r in out.collect()}
+
+
+def test_phrase_search_basic_and_boundaries(spark, docs):
+    hits = _search(spark, docs, ["the cat", "on the mat", "cat sat", "mat"])
+    assert {d for p, d in hits if p == 0} == {1, 2, 5}  # "the cat"
+    assert {d for p, d in hits if p == 1} == {1}  # phrase at doc END
+    assert {d for p, d in hits if p == 2} == {1}
+    assert {d for p, d in hits if p == 3} == {1, 4}  # single-term phrase
+
+
+def test_phrase_with_repeated_term(spark, docs):
+    # "the cat the" needs DISTINCT offsets: doc 2 = the cat the cat the
+    hits = _search(spark, docs, ["the cat the", "cat the cat"])
+    # doc 2 = the cat the cat the; doc 5 = cat the cat the cat — both
+    # contain both phrases, at self-overlapping starts
+    assert {d for p, d in hits if p == 0} == {2, 5}
+    assert {d for p, d in hits if p == 1} == {2, 5}
+
+
+def test_phrase_no_false_adjacency(spark, docs):
+    # terms present but never adjacent in this order
+    hits = _search(spark, docs, ["mat the", "sat cat"])
+    assert hits == set()
+
+
+def test_phrase_normalization_matches_doc_side(spark, docs):
+    hits = _search(spark, docs, ["The, CAT!"])
+    assert {d for _, d in hits} == {1, 2, 5}
+
+
+def _diff(spark, old_rows, new_rows):
+    old = spark.createDataFrame(old_rows, "url string, text string")
+    new = spark.createDataFrame(new_rows, "url string, text string")
+    return {
+        r.url: (r.status, r.jaccard_micro)
+        for r in crawl_diff(old, new).collect()
+    }
+
+
+def test_crawl_diff_statuses(spark):
+    got = _diff(
+        spark,
+        [
+            ("u1", "alpha beta gamma"),
+            ("u2", "old page body"),
+            ("u3", "same text"),
+            ("u4", "alpha beta"),
+        ],
+        [
+            ("u1", "alpha beta delta"),  # changed: |∩|=2, |∪|=4
+            ("u3", "same text"),  # unchanged
+            ("u4", "Alpha  BETA"),  # same word set, different bytes
+            ("u5", "brand new"),  # added
+        ],
+    )
+    assert got["u1"] == ("changed", JACCARD_SCALE * 2 // 4)
+    assert got["u2"] == ("deleted", None)
+    assert got["u3"] == ("unchanged", JACCARD_SCALE)
+    assert got["u4"] == ("changed", JACCARD_SCALE)  # byte-diff, set-identical
+    assert got["u5"] == ("added", None)
+
+
+def test_crawl_diff_empty_token_bodies(spark):
+    got = _diff(spark, [("u1", "!!!"), ("u2", "words here")], [("u1", "???"), ("u2", "!!!")])
+    # both sides tokenize to empty sets -> identical-empties convention
+    assert got["u1"] == ("changed", JACCARD_SCALE)
+    # one side empty, other not -> jaccard 0
+    assert got["u2"] == ("changed", 0)
+
+
+def test_plan_is_python_free(docs, spark):
+    from bench import plan_digest
+
+    pdf = spark.createDataFrame([(0, "the cat")], "phrase_id long, phrase string")
+    d = plan_digest(phrase_search(tokenize(docs), pdf))
+    assert d["python_stages"] == 0
+    assert d["broadcast_joins"] >= 2  # phrase terms + phrase lengths
+    d2 = plan_digest(crawl_diff(docs.selectExpr("cast(doc_id as string) url", "text"),
+                                docs.selectExpr("cast(doc_id as string) url", "text")))
+    assert d2["python_stages"] == 0
