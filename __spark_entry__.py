@@ -4366,6 +4366,62 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new.unionByName(added))
 
 
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus prior (linkgraph.domain_rollup): doc counts,
+    corpus-wide duplicate-text counts, integer mean length, and the
+    4-iteration integer PageRank of the synthetic link graph — the table
+    a curation pipeline joins to weight a domain's contribution. One
+    hash groupBy + join for dup flags, one per-domain aggregate, one
+    broadcast join against the |domains|-row rank table."""
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        domain_pagerank,
+        domain_rollup,
+        extract_links,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        "text",
+        "n_chars",
+    )
+    ranks = domain_pagerank(
+        domain_edges(extract_links(_linkgraph_html(sf_dir, spark))), iters=4
+    )
+    return domain_rollup(docs, ranks)
+
+
+def _domain_rollup_oracle() -> str:
+    from chronon_spark.operators.linkgraph import pagerank_oracle_sql
+
+    edges_sql = (
+        "WITH " + _LINKGRAPH_LINKS_SQL
+        + "SELECT DISTINCT src_domain, dst_domain FROM links"
+        + " WHERE src_domain <> dst_domain"
+    )
+    pr = pagerank_oracle_sql(edges_sql, iters=4, damping=85)
+    return rf"""
+WITH d AS (
+  SELECT source || '.example.com' AS domain,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hh,
+         n_chars
+  FROM documents),
+dup AS (SELECT hh, count(*) AS c FROM d GROUP BY 1),
+pd AS (
+  SELECT domain, count(*) AS n_docs,
+         sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS dup_docs,
+         sum(n_chars) // count(*) AS mean_chars
+  FROM d JOIN dup USING (hh) GROUP BY 1),
+pr AS ({pr})
+SELECT pd.domain,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(dup_docs AS BIGINT) AS dup_docs,
+       CAST(mean_chars AS BIGINT) AS mean_chars,
+       CAST(coalesce(pr.rank, 0) AS BIGINT) AS rank
+FROM pd LEFT JOIN pr ON pd.domain = pr.domain
+"""
+
+
 # normalized token-list CTE shared by the index oracles; string_split on
 # a trimmed collapsed string yields [''] for token-less docs — the WHERE
 # term <> '' filter below restores the true empty stream
@@ -4486,6 +4542,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
+        "domain_rollup": q_domain_rollup,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
@@ -4578,6 +4635,7 @@ def _raw_oracles() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,
+        "domain_rollup": _domain_rollup_oracle(),
         "asof_groupby": _ASOF_ORACLE,
         "asof_join_multipart": _ASOF_JOIN_ORACLE,
         "asof_bucketed": _ASOF_BUCKETED_ORACLE,

@@ -402,6 +402,7 @@ HEADLINE = [
     "inverted_index",
     "phrase_search",
     "crawl_diff",
+    "domain_rollup",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",

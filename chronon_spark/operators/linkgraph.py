@@ -240,6 +240,57 @@ def domain_pagerank(
             outdeg.unpersist()
 
 
+def domain_rollup(
+    docs: DataFrame,
+    ranks: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain corpus prior: the table a curation pipeline joins
+    against to weight (or drop) everything a domain contributes.
+
+    Returns (domain, n_docs, dup_docs, mean_chars, rank):
+    - dup_docs: docs whose normalized text occurs more than once
+      CORPUS-WIDE (a boilerplate/mirror signal — mirrors duplicate
+      across domains, so the count is global, not per-domain);
+    - mean_chars: integer floor division, cross-engine exact;
+    - rank: integer PageRank units from ``ranks`` (domain, rank), 0 for
+      domains the link graph never saw.
+
+    Plan: one groupBy on the text hash (map-side combinable; the dup
+    table is |distinct texts| rows), one hash join back — AQE broadcasts
+    it when small — one per-domain aggregate, one left join against the
+    |domains|-row rank table (broadcast at any realistic scale). Bodies
+    are hashed once; no text ever crosses an exchange.
+    """
+    from chronon_spark.operators.dedup import norm_text
+
+    h = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.md5(norm_text(text_col)).alias("__h"),
+        F.col(chars_col).alias("__chars"),
+    )
+    dup = h.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    flagged = h.join(dup, "__h").select(
+        "domain", "__chars", (F.col("__c") > 1).cast("long").alias("__is_dup")
+    )
+    per_domain = flagged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__is_dup").alias("dup_docs"),
+        F.expr("sum(__chars) DIV count(1)").alias("mean_chars"),
+    )
+    return per_domain.join(
+        F.broadcast(ranks.select("domain", "rank")), "domain", "left"
+    ).select(
+        "domain",
+        "n_docs",
+        "dup_docs",
+        "mean_chars",
+        F.coalesce("rank", F.lit(0)).cast("long").alias("rank"),
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iters: int = 4,

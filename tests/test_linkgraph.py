@@ -178,3 +178,30 @@ def test_pagerank_no_persisted_leak(spark):
         assert len(added) == 1, added
         assert release_checkpoint(out)
         assert not (_ids() - before)
+
+
+def test_domain_rollup(spark):
+    """Hand-computed rollup: corpus-wide dup flags (mirrors across
+    domains count as dups for BOTH), integer mean_chars, rank joined
+    with 0 default for unlinked domains."""
+    from chronon_spark.operators.linkgraph import domain_rollup
+
+    docs = spark.createDataFrame(
+        [
+            ("a.com", "shared body", 11),
+            ("a.com", "unique alpha", 12),
+            ("b.com", "Shared   BODY", 13),  # normalizes equal to a.com's
+            ("b.com", "unique beta", 14),
+            ("b.com", "unique gamma", 16),
+            ("c.com", "lonely", 6),
+        ],
+        "domain string, text string, n_chars long",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 700), ("b.com", 300)], "domain string, rank long"
+    )
+    got = {r.domain: (r.n_docs, r.dup_docs, r.mean_chars, r.rank)
+           for r in domain_rollup(docs, ranks).collect()}
+    assert got["a.com"] == (2, 1, 11, 700)  # (11+12)//2
+    assert got["b.com"] == (3, 1, 14, 300)  # (13+14+16)//3
+    assert got["c.com"] == (1, 0, 6, 0)  # unranked -> 0
