@@ -4422,6 +4422,26 @@ FROM pd LEFT JOIN pr ON pd.domain = pr.domain
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 retrieval (indexing.bm25_topk) for keyword
+    queries drawn deterministically from the corpus (the distinct first-4
+    tokens of every doc_id % 101 == 0 document). Scoring is integer
+    micro/milli BM25 (k1=1.2, b=0.75; idf clamped at 0) so the DuckDB
+    oracle is bit-exact; corpus scalars ride a broadcast single-row
+    aggregate, postings are restricted to the query vocabulary BEFORE
+    aggregation."""
+    from chronon_spark.operators.indexing import bm25_topk, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize(docs)
+    qdf = (
+        toks.where((F.col("doc_id") % 101 == 0) & (F.col("pos") <= 4))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    return bm25_topk(toks, qdf, k=5)
+
+
 # normalized token-list CTE shared by the index oracles; string_split on
 # a trimmed collapsed string yields [''] for token-less docs — the WHERE
 # term <> '' filter below restores the true empty stream
@@ -4444,6 +4464,43 @@ _INVERTED_INDEX_ORACLE = (
   SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
 SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM pd GROUP BY term"""
+)
+
+_BM25_ORACLE = (
+    "WITH " + _INDEX_TOKENS_SQL
+    + """, dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, term
+  FROM tok WHERE doc_id % 101 = 0 AND pos <= 4),
+qv AS (SELECT DISTINCT term FROM q),
+p AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM tok t JOIN qv USING (term) GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+idf AS (
+  SELECT term,
+         greatest(0, CAST(floor(ln((2*n_docs - 2*df + 1) / (2*df + 1))
+                                * 1000000 + 0.5) AS BIGINT)) AS idf_micro
+  FROM dfr, corpus),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum((idf.idf_micro * p.tf * 2200) // (
+           p.tf * 1000 + (120 * (250
+             + (750 * ((dl.dl * corpus.n_docs * 1000) // corpus.total_tokens))
+               // 1000)) // 100)) AS score_micro
+  FROM p
+  JOIN idf USING (term)
+  JOIN q USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id, corpus
+  GROUP BY 1, 2),
+r AS (
+  SELECT query_id, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rnk
+  FROM sc)
+SELECT query_id, doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5"""
 )
 
 _PHRASE_SEARCH_ORACLE = """
@@ -4543,6 +4600,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
         "domain_rollup": q_domain_rollup,
+        "bm25_topk": q_bm25_topk,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
@@ -4636,6 +4694,7 @@ def _raw_oracles() -> dict[str, str]:
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,
         "domain_rollup": _domain_rollup_oracle(),
+        "bm25_topk": _BM25_ORACLE,
         "asof_groupby": _ASOF_ORACLE,
         "asof_join_multipart": _ASOF_JOIN_ORACLE,
         "asof_bucketed": _ASOF_BUCKETED_ORACLE,

@@ -403,6 +403,7 @@ HEADLINE = [
     "phrase_search",
     "crawl_diff",
     "domain_rollup",
+    "bm25_topk",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",

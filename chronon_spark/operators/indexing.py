@@ -147,6 +147,112 @@ def phrase_search(
     return occurrences.select(phrase_id_col, id_col).distinct()
 
 
+def bm25_topk(
+    tokens: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1_centi: int = 120,
+    b_centi: int = 75,
+) -> DataFrame:
+    """Exact top-k BM25 retrieval for a (small) keyword-query set over the
+    corpus token stream — the ranking half of the index surface (quality
+    probes, topic audits, retrieval-based decontamination triage).
+
+    ``queries`` is (query_id, term) with DISTINCT terms per query (bag
+    semantics are deduped by the caller). Returns (query_id, doc_id,
+    score_micro, rnk) for the k best docs per query, ties broken by
+    doc_id ascending.
+
+    Scoring is the classic Okapi BM25 with k1/b as centi-integers
+    (120/75 == 1.2/0.75), computed in INTEGER micro/milli units so the
+    DuckDB oracle is bit-exact:
+    - idf_micro  = max(0, floor(ln((2N-2df+1)/(2df+1)) * 1e6 + 0.5)) —
+      the one float op; clamping at 0 (standard for df > N/2 stopwords)
+      also keeps every subsequent division non-negative, where Spark DIV
+      and DuckDB // agree.
+    - norm_milli = (dl * N * 1000) DIV total_tokens  (== 1000 * dl/avgdl;
+      overflow bound: dl*N*1000 < 2^63 holds to ~10^5 * 10^9 docs)
+    - denom_milli = tf*1000 + (k1_centi*((100-b_centi)*10
+                    + (b_centi*10*norm_milli) DIV 1000)) DIV 100
+    - contrib_micro = (idf_micro * tf * (k1_centi+100) * 10)
+                      DIV denom_milli
+    - score_micro = sum(contrib_micro) over the query's terms.
+
+    Plan: corpus scalars (N, total tokens) are ONE single-row aggregate
+    broadcast into the plan — no driver collect; df comes from
+    ``term_stats``-shaped aggregation filtered to the query vocabulary
+    BEFORE the exchange (broadcast semi join — only query terms are
+    aggregated); postings join the broadcast query-term table; the final
+    ranking rides a per-query window (query sets are small by nature; a
+    hot-query variant would ride sampling.top_k_per_key).
+    """
+    from pyspark.sql import Window as W
+
+    qterms = F.broadcast(
+        queries.select(query_id_col, term_col).distinct()
+    )
+    qvocab = F.broadcast(queries.select(term_col).distinct())
+
+    dl = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+    )
+    # postings restricted to the query vocabulary before aggregating
+    postings = (
+        tokens.join(qvocab, term_col)
+        .groupBy(term_col, id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = postings.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        df_tbl.crossJoin(corpus)
+        .select(
+            term_col,
+            F.greatest(
+                F.lit(0),
+                F.expr(
+                    "CAST(floor(ln((2*n_docs - 2*df + 1) / (2*df + 1)) * 1000000"
+                    " + 0.5) AS BIGINT)"
+                ),
+            ).alias("idf_micro"),
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf), term_col)
+        .join(qterms, term_col)
+        .join(dl, id_col)
+        .crossJoin(corpus)
+        .select(
+            query_id_col,
+            id_col,
+            F.expr(
+                f"""
+                (idf_micro * tf * {(k1_centi + 100) * 10}) DIV (
+                  tf * 1000 + ({k1_centi} * ({(100 - b_centi) * 10}
+                    + ({b_centi * 10} * ((dl * n_docs * 1000) DIV total_tokens))
+                      DIV 1000)) DIV 100)
+                """
+            ).alias("contrib_micro"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("contrib_micro").alias("score_micro"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy(query_id_col).orderBy(F.desc("score_micro"), F.asc(id_col))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "score_micro", "rnk")
+    )
+
+
 def crawl_diff(
     old: DataFrame,
     new: DataFrame,

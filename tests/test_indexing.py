@@ -149,3 +149,79 @@ def test_plan_is_python_free(docs, spark):
     d2 = plan_digest(crawl_diff(docs.selectExpr("cast(doc_id as string) url", "text"),
                                 docs.selectExpr("cast(doc_id as string) url", "text")))
     assert d2["python_stages"] == 0
+
+
+def _bm25_py(docs_tokens, queries, k=5):
+    """Pure-Python replica of the integer BM25 algebra (k1=1.2, b=0.75)."""
+    import math
+    from collections import Counter
+
+    N = len(docs_tokens)
+    total = sum(len(t) for t in docs_tokens.values())
+    tf = {d: Counter(t) for d, t in docs_tokens.items()}
+    vocab = set().union(*queries.values())
+    df = {w: sum(1 for d in docs_tokens if tf[d][w] > 0) for w in vocab}
+    idf = {
+        w: max(0, math.floor(math.log((2 * N - 2 * df[w] + 1) / (2 * df[w] + 1)) * 1e6 + 0.5))
+        for w in vocab
+        if df[w] > 0
+    }
+    out = set()
+    for q, terms in queries.items():
+        scores = {}
+        for d, toks in docs_tokens.items():
+            matched = [w for w in terms if tf[d][w] > 0 and w in idf]
+            if not matched:
+                continue
+            dl = len(toks)
+            norm = (dl * N * 1000) // total
+            s = 0
+            for w in matched:
+                t = tf[d][w]
+                denom = t * 1000 + (120 * (250 + (750 * norm) // 1000)) // 100
+                s += (idf[w] * t * 2200) // denom
+            scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rnk, (d, s) in enumerate(ranked, 1):
+            out.add((q, d, s, rnk))
+    return out
+
+
+def test_bm25_matches_python_oracle(spark):
+    docs_tokens = {
+        1: "the cat sat on the mat".split(),
+        2: "the cat the cat the".split(),
+        3: "dog park dog".split(),
+        4: "mat".split(),
+        5: "cat dog mat cat dog mat cat".split(),
+        6: "completely unrelated words here".split(),
+    }
+    queries = {10: {"cat", "mat"}, 20: {"dog"}, 30: {"the"}}
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs_tokens.items()], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(q, w) for q, ws in queries.items() for w in ws], "query_id long, term string"
+    )
+    from chronon_spark.operators.indexing import bm25_topk
+
+    got = {tuple(r) for r in bm25_topk(tokenize(docs), qdf, k=3).collect()}
+    assert got == _bm25_py(docs_tokens, queries, k=3)
+    # sanity: for the 'dog' query, doc 3 (2/3 dog density) outranks doc 5
+    by_q = {(q, r): d for q, d, s, r in got}
+    assert by_q[(20, 1)] == 3
+    # 'the' occurs in half the docs -> idf tiny but non-negative; rows exist
+    assert any(q == 30 for q, _, _, _ in got)
+
+
+def test_bm25_stopword_idf_clamped(spark):
+    # a term present in ALL docs has negative raw idf -> clamped to 0
+    docs = spark.createDataFrame(
+        [(i, "common filler") for i in range(1, 5)], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([(1, "common")], "query_id long, term string")
+    from chronon_spark.operators.indexing import bm25_topk
+
+    rows = bm25_topk(tokenize(docs), qdf, k=10).collect()
+    assert len(rows) == 4 and all(r.score_micro == 0 for r in rows)
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rnk)] == [1, 2, 3, 4]
