@@ -4429,7 +4429,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro/milli BM25 (k1=1.2, b=0.75; idf clamped at 0) so the DuckDB
     oracle is bit-exact; corpus scalars ride a broadcast single-row
     aggregate, postings are restricted to the query vocabulary BEFORE
-    aggregation."""
+    aggregation, and the ranking takes the SALTED two-phase top-k path
+    (salt_partitions=4) — the oracle is a plain window, so the salted
+    plan is verified against unsalted semantics."""
     from chronon_spark.operators.indexing import bm25_topk, tokenize
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -4439,7 +4441,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    return bm25_topk(toks, qdf, k=5)
+    return bm25_topk(toks, qdf, k=5, salt_partitions=4)
 
 
 # normalized token-list CTE shared by the index oracles; string_split on

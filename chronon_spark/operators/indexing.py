@@ -156,6 +156,7 @@ def bm25_topk(
     term_col: str = "term",
     k1_centi: int = 120,
     b_centi: int = 75,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """Exact top-k BM25 retrieval for a (small) keyword-query set over the
     corpus token stream — the ranking half of the index surface (quality
@@ -185,11 +186,17 @@ def bm25_topk(
     broadcast into the plan — no driver collect; df comes from
     ``term_stats``-shaped aggregation filtered to the query vocabulary
     BEFORE the exchange (broadcast semi join — only query terms are
-    aggregated); postings join the broadcast query-term table; the final
-    ranking rides a per-query window (query sets are small by nature; a
-    hot-query variant would ride sampling.top_k_per_key).
+    aggregated); postings join the broadcast query-term table. The final
+    ranking rides the exact salted two-phase ``sampling.top_k_per_key``
+    when ``salt_partitions > 1``: a BROAD query ("the") has a candidate
+    set the size of the corpus, and a plain per-query window puts all of
+    it in ONE task — salting caps any task at a 1/s slice (pinned
+    identical to the unsalted result; top-k is merge-associative). The
+    rank window afterwards runs over at most k rows per query.
     """
     from pyspark.sql import Window as W
+
+    from chronon_spark.operators.sampling import top_k_per_key
 
     qterms = F.broadcast(
         queries.select(query_id_col, term_col).distinct()
@@ -243,13 +250,19 @@ def bm25_topk(
         .groupBy(query_id_col, id_col)
         .agg(F.sum("contrib_micro").alias("score_micro"))
     )
+    best = top_k_per_key(
+        scored,
+        key_col=query_id_col,
+        k=k,
+        id_col=id_col,
+        order_col="score_micro",
+        salt_partitions=salt_partitions,
+    )
     rnk = F.row_number().over(
         W.partitionBy(query_id_col).orderBy(F.desc("score_micro"), F.asc(id_col))
     )
-    return (
-        scored.withColumn("rnk", rnk.cast("long"))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "score_micro", "rnk")
+    return best.select(
+        query_id_col, id_col, "score_micro", rnk.cast("long").alias("rnk")
     )
 
 

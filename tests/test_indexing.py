@@ -225,3 +225,24 @@ def test_bm25_stopword_idf_clamped(spark):
     rows = bm25_topk(tokenize(docs), qdf, k=10).collect()
     assert len(rows) == 4 and all(r.score_micro == 0 for r in rows)
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rnk)] == [1, 2, 3, 4]
+
+
+def test_bm25_salted_equals_unsalted(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["the", "cat", "dog", "mat", "web", "data", "page"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 12)))) for i in range(1, 61)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "the"), (1, "cat"), (2, "dog"), (2, "mat"), (3, "web")],
+        "query_id long, term string",
+    )
+    from chronon_spark.operators.indexing import bm25_topk
+
+    toks = tokenize(docs)
+    plain = sorted(map(tuple, bm25_topk(toks, qdf, k=7).collect()))
+    salted = sorted(map(tuple, bm25_topk(toks, qdf, k=7, salt_partitions=4).collect()))
+    assert plain == salted and len(plain) == 21
