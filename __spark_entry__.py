@@ -4366,6 +4366,25 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new.unionByName(added))
 
 
+def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (indexing.merge_term_stats): the
+    vocabulary of yesterday's corpus (doc_id % 11 != 0) merged with the
+    increment's stats (doc_id % 11 == 0) by pure counter addition —
+    |vocab|-row cost, no corpus rescan. The oracle builds the FULL
+    corpus vocabulary from scratch, so the gate proves
+    incremental == batch."""
+    from chronon_spark.operators.indexing import (
+        merge_term_stats,
+        term_stats,
+        tokenize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = term_stats(tokenize(docs.where(F.col("doc_id") % 11 != 0)))
+    delta = term_stats(tokenize(docs.where(F.col("doc_id") % 11 == 0)))
+    return merge_term_stats(base, delta)
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus prior (linkgraph.domain_rollup): doc counts,
     corpus-wide duplicate-text counts, integer mean length, and the
@@ -4603,6 +4622,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "domain_rollup": q_domain_rollup,
         "bm25_topk": q_bm25_topk,
+        "incremental_index": q_incremental_index,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
@@ -4697,6 +4717,7 @@ def _raw_oracles() -> dict[str, str]:
         "crawl_diff": _CRAWL_DIFF_ORACLE,
         "domain_rollup": _domain_rollup_oracle(),
         "bm25_topk": _BM25_ORACLE,
+        "incremental_index": _INVERTED_INDEX_ORACLE,
         "asof_groupby": _ASOF_ORACLE,
         "asof_join_multipart": _ASOF_JOIN_ORACLE,
         "asof_bucketed": _ASOF_BUCKETED_ORACLE,

@@ -404,6 +404,7 @@ HEADLINE = [
     "crawl_diff",
     "domain_rollup",
     "bm25_topk",
+    "incremental_index",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",

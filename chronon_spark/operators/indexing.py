@@ -111,6 +111,41 @@ def term_stats(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def merge_term_stats(*stats: DataFrame) -> DataFrame:
+    """Merge vocabulary tables (term, df, total_tf) by pure addition —
+    the incremental-index maintenance step.
+
+    df and total_tf are additive counters, so a daily crawl increment is
+    ``merge_term_stats(yesterday, term_stats(tokenize(new_docs)))`` and
+    never rescans the corpus; a retraction (purged docs) is the same
+    merge with the purged docs' stats NEGATED (callers flip the sign;
+    terms whose df reaches 0 drop out). The merge cost is |vocab| +
+    |delta vocab| rows — independent of corpus size. CONTRACT: each
+    input's doc set must be disjoint from the others' (append-only
+    increments / exact retractions), otherwise df double-counts.
+
+    Plan: one union + one map-side-combinable groupBy over vocabulary
+    rows only.
+    """
+    if not stats:
+        raise ValueError("merge_term_stats needs at least one stats table")
+    merged = stats[0]
+    for s in stats[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("total_tf").alias("total_tf"))
+        .where(F.col("df") > 0)
+    )
+
+
+def negate_term_stats(stats: DataFrame) -> DataFrame:
+    """Negated counters for retraction merges (see merge_term_stats)."""
+    return stats.select(
+        "term", (-F.col("df")).alias("df"), (-F.col("total_tf")).alias("total_tf")
+    )
+
+
 def phrase_search(
     tokens: DataFrame,
     phrases: DataFrame,

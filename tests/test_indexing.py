@@ -246,3 +246,20 @@ def test_bm25_salted_equals_unsalted(spark):
     plain = sorted(map(tuple, bm25_topk(toks, qdf, k=7).collect()))
     salted = sorted(map(tuple, bm25_topk(toks, qdf, k=7, salt_partitions=4).collect()))
     assert plain == salted and len(plain) == 21
+
+
+def test_incremental_index_merge_and_retraction(spark, docs):
+    from chronon_spark.operators.indexing import merge_term_stats, negate_term_stats
+
+    full = term_stats(tokenize(docs))
+    base = term_stats(tokenize(docs.where(F.col("doc_id") % 2 == 0)))
+    delta = term_stats(tokenize(docs.where(F.col("doc_id") % 2 == 1)))
+    merged = merge_term_stats(base, delta)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # retraction: full minus the odd docs == the even-docs stats
+    retracted = merge_term_stats(full, negate_term_stats(delta))
+    assert sorted(map(tuple, retracted.collect())) == sorted(map(tuple, base.collect()))
+    # terms whose df hits zero drop out entirely
+    only_odd = {r.term for r in delta.collect()} - {r.term for r in base.collect()}
+    surviving = {r.term for r in retracted.collect()}
+    assert only_odd and not (only_odd & surviving)
