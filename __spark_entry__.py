@@ -4366,6 +4366,59 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new.unionByName(added))
 
 
+def q_stream_phrase_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-level decontamination at INGEST time
+    (streaming/curation.stream_phrase_filter): the corpus replayed as a
+    file stream, dropping any doc that contains a probe phrase (the
+    %31 first-3-token probes, same as batch phrase_search) as a
+    contiguous token run — a stateless nested higher-order Catalyst
+    expression, zero streaming state, no Python. Oracle: the DuckDB
+    NOT-EXISTS padded-LIKE inverse of the phrase_search oracle, so the
+    streaming gate is verified against independent batch semantics."""
+    import tempfile
+
+    from chronon_spark.operators.indexing import norm_words
+    from chronon_spark.streaming.curation import stream_phrase_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phrases = (
+        docs.where(F.col("doc_id") % 31 == 0)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.slice(norm_words("text"), 1, 3)).alias("phrase"),
+        )
+        .where(F.col("phrase") != "")
+    )
+    d = tempfile.mkdtemp(prefix="phrase_src_")
+    docs.select("doc_id", "lang", "text").write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    kept = stream_phrase_filter(stream, phrases)
+    name = "drv_stream_phrase"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("doc_id", "lang")
+
+
+_STREAM_PHRASE_ORACLE = """
+WITH n AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents),
+p AS (
+  SELECT array_to_string(list_slice(string_split(norm, ' '), 1, 3), ' ') AS phrase
+  FROM n WHERE doc_id % 31 = 0 AND norm <> '')
+SELECT doc_id, lang FROM n
+WHERE NOT EXISTS (
+  SELECT 1 FROM p WHERE ' ' || n.norm || ' ' LIKE '% ' || p.phrase || ' %')
+"""
+
+
 def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (indexing.merge_term_stats): the
     vocabulary of yesterday's corpus (doc_id % 11 != 0) merged with the
@@ -4623,6 +4676,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "bm25_topk": q_bm25_topk,
         "incremental_index": q_incremental_index,
+        "stream_phrase_decontam": q_stream_phrase_decontam,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
@@ -4718,6 +4772,7 @@ def _raw_oracles() -> dict[str, str]:
         "domain_rollup": _domain_rollup_oracle(),
         "bm25_topk": _BM25_ORACLE,
         "incremental_index": _INVERTED_INDEX_ORACLE,
+        "stream_phrase_decontam": _STREAM_PHRASE_ORACLE,
         "asof_groupby": _ASOF_ORACLE,
         "asof_join_multipart": _ASOF_JOIN_ORACLE,
         "asof_bucketed": _ASOF_BUCKETED_ORACLE,

@@ -89,6 +89,63 @@ def stream_redact_pii(stream: DataFrame, text_col: str = "text") -> DataFrame:
     return stream.withColumn(text_col, redact_pii(text_col))
 
 
+def stream_phrase_filter(
+    stream: DataFrame,
+    phrases_df: DataFrame,
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Drop streaming docs containing ANY probe phrase as a contiguous
+    token run — the phrase-level decontamination gate at ingest time,
+    STATELESS: the (bounded-by-construction) phrase set is collected once
+    and compiled into a nested higher-order Catalyst expression over the
+    doc's token array, so the filter is a per-record projection with
+    zero streaming state, no join, no Python.
+
+    Semantics are pinned equal to the batch positional-intersection
+    ``operators.indexing.phrase_search`` (pytest): a doc is dropped iff
+    phrase_search would report it for some phrase. The per-record cost is
+    O(|tokens| x total phrase length) — right for eval-set-sized phrase
+    lists; for an UNBOUNDED phrase corpus run the batch ``phrase_search``
+    inside ``foreachBatch`` where the broadcast join applies unchanged.
+    """
+    from chronon_spark.operators.indexing import norm_words
+
+    assert not phrases_df.isStreaming
+    plist = [
+        r[0]
+        for r in phrases_df.select(norm_words(phrase_col)).collect()
+        if r[0]  # empty-token phrases can never occur
+    ]
+    if not plist:
+        return stream
+    phrase_lits = F.array(
+        *[F.array(*[F.lit(w) for w in p]) for p in plist]
+    )
+    toks = norm_words(text_col)
+
+    def occurs(p):
+        # i = 1-based start into toks; CASE-guarded so the sequence is
+        # never descending (sequence(1, 0) would yield index 0 and
+        # element_at would throw)
+        return F.exists(
+            F.sequence(F.lit(1), (F.size(toks) - F.size(p) + 1).cast("int")),
+            lambda i: F.forall(
+                F.sequence(F.lit(0), (F.size(p) - 1).cast("int")),
+                lambda j: F.element_at(toks, (i + j).cast("int"))
+                == F.element_at(p, (j + 1).cast("int")),
+            ),
+        )
+
+    match = F.exists(
+        phrase_lits,
+        lambda p: F.when(F.size(toks) >= F.size(p), occurs(p)).otherwise(
+            F.lit(False)
+        ),
+    )
+    return stream.where(~match)
+
+
 def stream_decontaminate(
     stream: DataFrame,
     eval_df: DataFrame,

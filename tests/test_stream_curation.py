@@ -166,3 +166,49 @@ def test_stream_model_filter_matches_batch(spark, tmp_path):
     }
     assert set(out.doc_id) == batch_kept
     assert all(i % 2 == 0 for i in out.doc_id)  # learned gate keeps the good half
+
+
+def test_stream_phrase_filter_matches_batch(spark, tmp_path):
+    """Streaming phrase gate == batch positional-intersection search:
+    a doc survives the stream iff phrase_search reports no phrase hit."""
+    from chronon_spark.operators.indexing import phrase_search, tokenize
+    from chronon_spark.streaming.curation import stream_phrase_filter
+
+    t0 = 1_700_000_000_000
+    rows = [
+        (1, t0 + 1000, "the capital of France is Paris, everyone knows"),
+        (2, t0 + 2000, "capital the of france scrambled words never match"),
+        (3, t0 + 3000, "short doc"),  # shorter than any phrase
+        (4, t0 + 4000, "ends with the capital of france"),  # match at END
+        (5, t0 + 5000, "!!! ???"),  # zero tokens
+        (6, t0 + 6000, "clean document with plenty of ordinary words"),
+    ]
+    src = _write_crawl(spark, tmp_path, rows)
+    phrases = spark.createDataFrame(
+        [(1, "The Capital of FRANCE!"), (2, "plenty of ordinary")],
+        "phrase_id long, phrase string",
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = _run_stream(
+        spark, stream_phrase_filter(stream, phrases), "phrase_stream_t1"
+    )
+    batch_docs = spark.read.parquet(src)
+    hit_ids = {
+        r.doc_id
+        for r in phrase_search(tokenize(batch_docs), phrases).collect()
+    }
+    assert hit_ids == {1, 4, 6}
+    assert sorted(out.doc_id) == sorted(
+        r.doc_id for r in batch_docs.collect() if r.doc_id not in hit_ids
+    )
+    # empty phrase set is the identity
+    none = spark.createDataFrame([], "phrase_id long, phrase string")
+    out2 = _run_stream(
+        spark,
+        stream_phrase_filter(
+            spark.readStream.schema(schema).parquet(src), none
+        ),
+        "phrase_stream_t2",
+    )
+    assert len(out2) == 6
