@@ -4438,6 +4438,68 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_term_stats(base, delta)
 
 
+def q_recrawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-scheduling prior (indexing.recrawl_stats): three
+    deterministic synthetic crawls of the documents table (crawl 2
+    rewrites %7 and skips %11; crawl 3 rewrites %5 and skips %13) →
+    per-URL observation count, distinct-body count, and integer change
+    rate. One projection hashes bodies, one groupBy — the oracle counts
+    DISTINCT text directly (engine counts distinct md5), an independent
+    equivalence."""
+    from chronon_spark.operators.indexing import recrawl_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://crawl.test/"), F.col("source"), F.lit("/"), F.col("doc_id")
+    )
+    s1 = docs.select(url.alias("url"), "text")
+    s2 = docs.where(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" updated section alpha beta gamma")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    s3 = docs.where(F.col("doc_id") % 13 != 0).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" second revision")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return recrawl_stats(s1.unionByName(s2).unionByName(s3))
+
+
+_RECRAWL_ORACLE = """
+WITH base AS (
+  SELECT 'https://crawl.test/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, text
+  FROM documents),
+snaps AS (
+  SELECT url, text FROM base
+  UNION ALL
+  SELECT url,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' updated section alpha beta gamma'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT url,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' second revision'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 13 <> 0)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_versions,
+       CASE WHEN count(*) > 1
+            THEN CAST((1000000 * (count(DISTINCT text) - 1))
+                      // (count(*) - 1) AS BIGINT)
+            ELSE NULL END AS change_rate_micro
+FROM snaps GROUP BY url
+"""
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus prior (linkgraph.domain_rollup): doc counts,
     corpus-wide duplicate-text counts, integer mean length, and the
@@ -4677,6 +4739,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "incremental_index": q_incremental_index,
         "stream_phrase_decontam": q_stream_phrase_decontam,
+        "recrawl_stats": q_recrawl_stats,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
@@ -4773,6 +4836,7 @@ def _raw_oracles() -> dict[str, str]:
         "bm25_topk": _BM25_ORACLE,
         "incremental_index": _INVERTED_INDEX_ORACLE,
         "stream_phrase_decontam": _STREAM_PHRASE_ORACLE,
+        "recrawl_stats": _RECRAWL_ORACLE,
         "asof_groupby": _ASOF_ORACLE,
         "asof_join_multipart": _ASOF_JOIN_ORACLE,
         "asof_bucketed": _ASOF_BUCKETED_ORACLE,

@@ -405,6 +405,7 @@ HEADLINE = [
     "domain_rollup",
     "bm25_topk",
     "incremental_index",
+    "recrawl_stats",
     "asof_groupby",
     "asof_join_multipart",
     "snapshot_groupby",

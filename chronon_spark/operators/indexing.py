@@ -301,6 +301,40 @@ def bm25_topk(
     )
 
 
+def recrawl_stats(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-URL change history over MANY crawl snapshots — the recrawl-
+    scheduling prior (crawl often what changes often).
+
+    ``snapshots`` is the union of k crawls: (url, text) with one row per
+    (crawl, url) observation. Returns (url, n_obs, n_versions,
+    change_rate_micro) where n_versions counts DISTINCT bodies and
+    change_rate_micro = floor(1e6 * (n_versions-1) / (n_obs-1)) — 0 for
+    a page never seen to change, 1e6 for one that changed at every
+    observation, NULL when observed once (no evidence).
+
+    Plan: bodies hash to md5 in the projection (text never crosses the
+    exchange), then ONE map-side-combinable groupBy(url) with a distinct
+    aggregate. Integer floor division, cross-engine exact.
+    """
+    h = snapshots.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("__h")
+    )
+    agg = h.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count_distinct("__h").alias("n_versions"),
+    )
+    rate = F.when(F.col("n_obs") > 1, F.expr(
+        f"({JACCARD_SCALE} * (n_versions - 1)) DIV (n_obs - 1)"
+    )).otherwise(F.lit(None).cast("long"))
+    return agg.select(
+        "url", "n_obs", "n_versions", rate.cast("long").alias("change_rate_micro")
+    )
+
+
 def crawl_diff(
     old: DataFrame,
     new: DataFrame,

@@ -263,3 +263,23 @@ def test_incremental_index_merge_and_retraction(spark, docs):
     only_odd = {r.term for r in delta.collect()} - {r.term for r in base.collect()}
     surviving = {r.term for r in retracted.collect()}
     assert only_odd and not (only_odd & surviving)
+
+
+def test_recrawl_stats(spark):
+    from chronon_spark.operators.indexing import recrawl_stats
+
+    snaps = spark.createDataFrame(
+        [
+            ("u1", "v1"), ("u1", "v1"), ("u1", "v1"),   # never changed
+            ("u2", "v1"), ("u2", "v2"), ("u2", "v3"),   # changed every time
+            ("u3", "v1"), ("u3", "v1"), ("u3", "v2"),   # one change in two
+            ("u4", "only once"),                        # single observation
+        ],
+        "url string, text string",
+    )
+    got = {r.url: (r.n_obs, r.n_versions, r.change_rate_micro)
+           for r in recrawl_stats(snaps).collect()}
+    assert got["u1"] == (3, 1, 0)
+    assert got["u2"] == (3, 3, 1_000_000)
+    assert got["u3"] == (3, 2, 500_000)
+    assert got["u4"] == (1, 1, None)
