@@ -361,3 +361,31 @@ def test_linkgraph_plan_quality(spark):
     d2 = bench.plan_digest(at)
     assert d2["python_stages"] == 0, d2
     assert d2["exchanges"] <= 4, d2
+
+
+def test_digest_invariants_round4_index_queries(spark):
+    """Pin the round-4 web-index plan shapes at sf0.001: everything stays
+    Python-free with bounded exchanges; bm25 keeps its broadcast-heavy
+    shape (query vocab, idf, query terms, corpus scalars all broadcast)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    bounds = {
+        # name: (max exchanges, min broadcast joins)
+        "inverted_index": (2, 0),
+        "phrase_search": (4, 2),
+        "crawl_diff": (5, 0),
+        "domain_rollup": (3, 1),
+        "bm25_topk": (12, 4),
+        "incremental_index": (4, 0),
+        "recrawl_stats": (2, 0),
+    }
+    for name, (max_ex, min_bc) in bounds.items():
+        d = bench.plan_digest(qs[name](spark, "/root/testdata/sf0.001"))
+        assert d["python_stages"] == 0, (name, d)
+        assert d["exchanges"] <= max_ex, (name, d)
+        assert d["broadcast_joins"] >= min_bc, (name, d)
