@@ -689,6 +689,53 @@ WHERE (CAST('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BI
 """
 
 
+# data-recipe epochs per source: floor(e) full copies + a frac(e) hash
+# slice gets one more. Buckets precomputed in Python and inlined into the
+# oracle so both engines compare against identical integers.
+_EPOCH_RECIPE = {f"src{i}": (0.3, 1.0, 1.7, 2.5)[i % 4] for i in range(20)}
+_EPOCH_SEED = 17
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor upsampling (sampling.epoch_repeat_mix): the
+    published-mixture-table 'epochs per source' knob — whole copies via
+    explode(sequence), the fractional copy via a deterministic hash
+    slice; recipe map is a literal expression, zero exchanges."""
+    from chronon_spark.operators.sampling import epoch_repeat_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    return epoch_repeat_mix(
+        docs, "source", _EPOCH_RECIPE, id_col="doc_id", seed=_EPOCH_SEED
+    ).select("doc_id", "source", "epoch")
+
+
+def _epoch_mix_oracle() -> str:
+    whole_case = " ".join(
+        f"WHEN '{k}' THEN {int(e)}" for k, e in _EPOCH_RECIPE.items()
+    )
+    frac_case = " ".join(
+        f"WHEN '{k}' THEN {int((e - int(e)) * 1_000_000)}"
+        for k, e in _EPOCH_RECIPE.items()
+    )
+    keys = ", ".join(f"'{k}'" for k in _EPOCH_RECIPE)
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+     CASE source {whole_case} END AS whole,
+     CASE source {frac_case} END AS fb
+  FROM documents WHERE source IN ({keys})
+),
+rep AS (
+  SELECT doc_id, source,
+     whole + CASE WHEN (CAST('0x' || substr(md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000) < fb THEN 1 ELSE 0 END AS n
+  FROM r
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+FROM rep WHERE n >= 1
+"""
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle without a global sort:
     shard = hash % 8, pos = hash rank within shard — one shuffle on the
@@ -4297,6 +4344,20 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(domain_edges(links), iters=4)
 
 
+def q_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities over the same domain graph as
+    domain_rank (linkgraph.domain_hits, 3 iterations, divide-only L1
+    renormalization). Oracle unrolls every half-step as CTEs."""
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        domain_hits,
+        extract_links,
+    )
+
+    links = extract_links(_linkgraph_html(sf_dir, spark))
+    return domain_hits(domain_edges(links), iters=3)
+
+
 def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 incoming anchor texts per target domain via the SALTED
     two-phase exact top-k (linkgraph.anchor_top_k, salt_partitions=4) —
@@ -4384,6 +4445,17 @@ def _domain_rank_oracle() -> str:
         + " WHERE src_domain <> dst_domain"
     )
     return pagerank_oracle_sql(edges_sql, iters=4, damping=85)
+
+
+def _hits_rank_oracle() -> str:
+    from chronon_spark.operators.linkgraph import hits_oracle_sql
+
+    edges_sql = (
+        "WITH " + _LINKGRAPH_LINKS_SQL
+        + "SELECT DISTINCT src_domain, dst_domain FROM links"
+        + " WHERE src_domain <> dst_domain"
+    )
+    return hits_oracle_sql(edges_sql, iters=3)
 
 
 _WARC_INGEST_ORACLE = """
@@ -4829,6 +4901,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 4 ---------------------------
         "kv_fetch": q_kv_fetch,
         "doc_chunks": q_doc_chunks,
+        "epoch_mix": q_epoch_mix,
+        "hits_rank": q_hits_rank,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -4928,6 +5002,8 @@ def _raw_oracles() -> dict[str, str]:
     return {
         "kv_fetch": _KV_FETCH_ORACLE,
         "doc_chunks": _DOC_CHUNKS_ORACLE,
+        "epoch_mix": _epoch_mix_oracle(),
+        "hits_rank": _hits_rank_oracle(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

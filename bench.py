@@ -440,6 +440,11 @@ HEADLINE = [
     "quality_classifier",
     "dsir_weights",
     "dsir_select",
+    # round-4 late additions
+    "kv_fetch",
+    "doc_chunks",
+    "epoch_mix",
+    "hits_rank",
 ]
 
 

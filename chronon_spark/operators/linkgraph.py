@@ -302,25 +302,28 @@ def pagerank_oracle_sql(
     (src_domain, dst_domain)). Same integer algebra as the engine —
     DuckDB's ``//`` is the same floor division on non-negative BIGINTs
     as Spark's ``DIV``."""
+    # AS MATERIALIZED: same rationale as hits_oracle_sql — every rank
+    # level is referenced by 2 CTEs of the next, and DuckDB inlines
+    # multiply-referenced CTEs, re-planning ~2^iters copies otherwise.
     parts = [
-        f"edges AS ({edges_sql})",
-        "nodes AS (SELECT src_domain AS domain FROM edges"
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src_domain AS domain FROM edges"
         " UNION SELECT dst_domain FROM edges)",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
-        "outdeg AS (SELECT src_domain AS domain, count(*) AS outdeg"
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src_domain AS domain, count(*) AS outdeg"
         " FROM edges GROUP BY 1)",
         f"tp AS (SELECT (({100 - damping} * {scale}) // 100) // n AS teleport,"
         f" n FROM nn)",
-        f"r0 AS (SELECT domain, {scale} // (SELECT n FROM nn) AS rank FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT domain, {scale} // (SELECT n FROM nn) AS rank FROM nodes)",
     ]
     prev = "r0"
     for i in range(1, iters + 1):
         parts.append(
-            f"dm{i} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM {prev} r"
+            f"dm{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS dm FROM {prev} r"
             f" LEFT JOIN outdeg o ON r.domain = o.domain WHERE o.domain IS NULL)"
         )
         parts.append(
-            f"in{i} AS (SELECT e.dst_domain AS domain,"
+            f"in{i} AS MATERIALIZED (SELECT e.dst_domain AS domain,"
             f" sum(r.rank // o.outdeg) AS inflow"
             f" FROM edges e JOIN {prev} r ON e.src_domain = r.domain"
             f" JOIN outdeg o ON e.src_domain = o.domain GROUP BY 1)"
@@ -328,7 +331,7 @@ def pagerank_oracle_sql(
         parts.append(
             # CAST: DuckDB sum(BIGINT) widens to HUGEINT; the engine emits
             # long, so pin the oracle's rank back to BIGINT
-            f"r{i} AS (SELECT nd.domain,"
+            f"r{i} AS MATERIALIZED (SELECT nd.domain,"
             f" CAST((SELECT teleport FROM tp)"
             f" + {damping} * (coalesce(i.inflow, 0)"
             f" + (SELECT dm FROM dm{i}) // (SELECT n FROM nn)) // 100"
@@ -337,3 +340,157 @@ def pagerank_oracle_sql(
         )
         prev = f"r{i}"
     return "WITH " + ",\n".join(parts) + f"\nSELECT domain, rank FROM {prev}"
+
+
+HITS_SCALE = 10**9  # smaller than PageRank's SCALE: per-node mass sums
+# over in/out-neighborhoods before renormalization, so edges*scale must
+# stay < 2^63 — 1e9 leaves headroom for ~10^9-edge domain graphs.
+
+
+def domain_hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """HITS hubs/authorities over distinct domain edges, integer-exact.
+
+    Kleinberg's update (authority = sum of in-neighbor hub scores, hub =
+    sum of out-neighbor authority scores) with L1 renormalization each
+    half-step — expressed exactly like ``domain_pagerank``: one
+    join + map-side-combinable SUM per half-step, the normalizer as a
+    broadcast single-row aggregate (ZERO per-iteration driver collects),
+    ``localCheckpoint`` lineage truncation per step with deterministic
+    release of superseded checkpoints.
+
+    Integer algebra, cross-engine exact (DuckDB oracle unrolls the
+    iterations — ``hits_oracle_sql``): renormalize by FLOOR-dividing by
+    ``greatest(1, total DIV scale)`` — divide-only, no multiply, so
+    nothing overflows and both engines agree bit-for-bit. Scores are in
+    ``scale`` units, ~L1-normalized to ``scale`` total per side (up to
+    truncation). Returns (domain, hub, authority); nodes the graph never
+    points at (or from) score 0.
+    """
+    if iters < 1:
+        raise ValueError("HITS needs at least one iteration")
+    spark = edges.sparkSession
+    edges = edges.select("src_domain", "dst_domain").persist()
+    try:
+        nodes = (
+            edges.select(F.col("src_domain").alias("domain"))
+            .union(edges.select(F.col("dst_domain").alias("domain")))
+            .distinct()
+            .localCheckpoint()
+        )
+        hubs = nodes.select(
+            "domain", F.lit(scale).cast("long").alias("hub")
+        ).localCheckpoint()
+        auth = None
+        for it in range(iters):
+            prev_hubs, prev_auth = hubs, auth
+            a_raw = (
+                edges.join(
+                    hubs.withColumnRenamed("domain", "src_domain"), "src_domain"
+                )
+                .groupBy(F.col("dst_domain").alias("domain"))
+                .agg(F.sum("hub").alias("a_raw"))
+            )
+            sa = a_raw.agg(F.coalesce(F.sum("a_raw"), F.lit(0)).alias("s"))
+            auth = (
+                a_raw.crossJoin(F.broadcast(sa))
+                .select(
+                    "domain",
+                    F.expr(f"a_raw DIV greatest(1, s DIV {scale})")
+                    .cast("long")
+                    .alias("authority"),
+                )
+                .localCheckpoint()
+            )
+            h_raw = (
+                edges.join(
+                    auth.withColumnRenamed("domain", "dst_domain"), "dst_domain"
+                )
+                .groupBy(F.col("src_domain").alias("domain"))
+                .agg(F.sum("authority").alias("h_raw"))
+            )
+            sh = h_raw.agg(F.coalesce(F.sum("h_raw"), F.lit(0)).alias("s"))
+            hubs = (
+                h_raw.crossJoin(F.broadcast(sh))
+                .select(
+                    "domain",
+                    F.expr(f"h_raw DIV greatest(1, s DIV {scale})")
+                    .cast("long")
+                    .alias("hub"),
+                )
+                .localCheckpoint()
+            )
+            release_checkpoint(prev_hubs)
+            release_checkpoint(prev_auth)
+        # fold the three live checkpoints (nodes, final hubs, final auth)
+        # into ONE |domains|-row result checkpoint and release them — same
+        # storage contract as pagerank: one checkpoint outlives the call,
+        # the caller may release_checkpoint() it.
+        out = (
+            nodes.join(hubs, "domain", "left")
+            .join(auth, "domain", "left")
+            .select(
+                "domain",
+                F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+                F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+            )
+            .localCheckpoint()
+        )
+        release_checkpoint(nodes)
+        release_checkpoint(hubs)
+        release_checkpoint(auth)
+        return out
+    finally:
+        edges.unpersist()
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+) -> str:
+    """DuckDB oracle for :func:`domain_hits`: every half-step unrolled as
+    a CTE, identical divide-only renormalization (DuckDB ``//`` ==
+    Spark ``DIV`` on non-negative integers; HUGEINT sums are pinned back
+    to BIGINT after the division)."""
+    # AS MATERIALIZED: DuckDB inlines CTEs referenced more than once,
+    # and every HITS level is referenced 2x by the next — inlined, the
+    # optimizer sees ~4^iters copies of the join tree and planning time
+    # explodes. Materializing pins each level to ONE evaluation.
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src_domain AS domain FROM edges"
+        " UNION SELECT dst_domain FROM edges)",
+        f"h0 AS MATERIALIZED (SELECT domain, CAST({scale} AS BIGINT) AS hub FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst_domain AS domain, sum(h.hub) AS a_raw"
+            f" FROM edges e JOIN {prev_h} h ON e.src_domain = h.domain GROUP BY 1)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT domain, CAST(a_raw // greatest(1,"
+            f" (SELECT coalesce(sum(a_raw), 0) FROM ar{i}) // {scale})"
+            f" AS BIGINT) AS authority FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src_domain AS domain, sum(a.authority) AS h_raw"
+            f" FROM edges e JOIN a{i} a ON e.dst_domain = a.domain GROUP BY 1)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT domain, CAST(h_raw // greatest(1,"
+            f" (SELECT coalesce(sum(h_raw), 0) FROM hr{i}) // {scale})"
+            f" AS BIGINT) AS hub FROM hr{i})"
+        )
+        prev_h = f"h{i}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT n.domain, coalesce(h.hub, 0) AS hub,"
+        f" coalesce(a.authority, 0) AS authority"
+        f" FROM nodes n LEFT JOIN h{iters} h ON n.domain = h.domain"
+        f" LEFT JOIN a{iters} a ON n.domain = a.domain"
+    )

@@ -308,3 +308,50 @@ def shuffle_shards(
     )
     w = W.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+def epoch_repeat_mix(
+    df: DataFrame,
+    key_col: str,
+    epochs: dict,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Repeat-factor upsampling — the "data recipe" knob that multiplies
+    high-quality sources for a training run (e.g. wiki x3.5, books x2,
+    web x0.5; cf. the published GPT-3 / Pile / LLaMA mixture tables,
+    which state per-source epoch counts).
+
+    Each group's documents are emitted ``floor(e)`` times; the
+    fractional remainder selects an extra copy for a deterministic
+    ``frac(e)`` hash slice of the group's ids (so 3.5 epochs == every
+    doc 3x plus half the docs once more — the standard fractional-epoch
+    semantics). ``e < 1`` is therefore plain downsampling, keys absent
+    from ``epochs`` are dropped (the recipe defines the corpus), and an
+    ``epoch`` column (1-based copy index) distinguishes repeats so
+    downstream shuffling/packing can interleave them.
+
+    Scale: the recipe map is a literal Catalyst expression (bounded by
+    source cardinality — no join, no collect over data), and the emit is
+    a narrow ``explode(sequence(...))``: ZERO shuffles, output bounded
+    by ceil(e) x group size. Deterministic for fixed (seed, id).
+    """
+    if not epochs:
+        return df.where(F.lit(False)).withColumn("epoch", F.lit(1))
+    whole_map, frac_map = [], []
+    for k, e in epochs.items():
+        assert e >= 0.0, f"negative epochs for {k!r}"
+        whole = int(e)
+        frac_buckets = int((e - whole) * _BUCKETS)
+        whole_map += [F.lit(k), F.lit(whole)]
+        frac_map += [F.lit(k), F.lit(frac_buckets)]
+    whole = F.create_map(*whole_map)[F.col(key_col)]
+    frac_b = F.create_map(*frac_map)[F.col(key_col)]
+    extra = F.when(_hash_bucket(id_col, seed) < frac_b, 1).otherwise(0)
+    repeats = (whole + extra).cast("int")
+    out = df.withColumn("__rep", repeats).where(F.col("__rep") >= 1)
+    return (
+        out.withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("__rep")
+    )

@@ -205,3 +205,89 @@ def test_domain_rollup(spark):
     assert got["a.com"] == (2, 1, 11, 700)  # (11+12)//2
     assert got["b.com"] == (3, 1, 14, 300)  # (13+14+16)//3
     assert got["c.com"] == (1, 0, 6, 0)  # unranked -> 0
+
+
+def _py_hits(edges, iters=3, scale=None):
+    from chronon_spark.operators.linkgraph import HITS_SCALE
+
+    scale = scale or HITS_SCALE
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {d: scale for d in nodes}
+    auth = {}
+    for _ in range(iters):
+        a_raw = {}
+        for s, d in edges:
+            if s in hub:
+                a_raw[d] = a_raw.get(d, 0) + hub[s]
+        sa = sum(a_raw.values())
+        auth = {d: v // max(1, sa // scale) for d, v in a_raw.items()}
+        h_raw = {}
+        for s, d in edges:
+            if d in auth:
+                h_raw[s] = h_raw.get(s, 0) + auth[d]
+        sh = sum(h_raw.values())
+        hub = {d: v // max(1, sh // scale) for d, v in h_raw.items()}
+    return {
+        d: (hub.get(d, 0), auth.get(d, 0)) for d in nodes
+    }
+
+
+def test_hits_matches_python_oracle(spark):
+    from chronon_spark.operators.linkgraph import domain_hits
+
+    want = _py_hits(EDGES)
+    got = {
+        r["domain"]: (r["hub"], r["authority"])
+        for r in domain_hits(_edges_df(spark, 4)).collect()
+    }
+    assert got == want
+    # structure: c has the most in-links -> top authority; d links to all
+    # of a/b/c -> top hub; sinks have no out-edges -> hub 0
+    auth = {d: a for d, (h, a) in got.items()}
+    hub = {d: h for d, (h, a) in got.items()}
+    assert auth["c"] == max(auth.values()) > 0
+    assert hub["d"] == max(hub.values()) > 0
+    assert hub["sink1"] == hub["sink2"] == 0
+
+
+def test_hits_duckdb_oracle_parity_and_invariance(spark):
+    from chronon_spark.operators.linkgraph import domain_hits, hits_oracle_sql
+
+    got = domain_hits(_edges_df(spark, 3), iters=4).orderBy("domain").toPandas()
+    con = duckdb.connect()
+    con.register("edges_src", pd.DataFrame(EDGES, columns=["src_domain", "dst_domain"]))
+    sql = hits_oracle_sql(
+        "SELECT DISTINCT src_domain, dst_domain FROM edges_src"
+        " WHERE src_domain <> dst_domain",
+        iters=4,
+    )
+    want = con.sql(f"SELECT * FROM ({sql}) ORDER BY domain").df()
+    assert got["domain"].tolist() == want["domain"].tolist()
+    assert got["hub"].astype(int).tolist() == want["hub"].astype(int).tolist()
+    assert (
+        got["authority"].astype(int).tolist()
+        == want["authority"].astype(int).tolist()
+    )
+    # partitioning invariance (integer algebra is order-independent)
+    again = domain_hits(_edges_df(spark, 16), iters=4).orderBy("domain").toPandas()
+    assert got.equals(again)
+
+
+def test_hits_no_persisted_leak(spark):
+    from chronon_spark.checkpoint import release_checkpoint
+    from chronon_spark.operators.linkgraph import domain_hits
+
+    def _ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    before = _ids()
+    out = domain_hits(_edges_df(spark, 2), iters=3)
+    out.collect()
+    added = _ids() - before
+    assert len(added) == 1, added
+    assert release_checkpoint(out)
+    assert not (_ids() - before)

@@ -1028,3 +1028,53 @@ def test_ccnet_buckets_null_lang_kept(spark):
         nl = out.where(F.col("lang").isNull())
         assert nl.count() == 10, mode
         assert nl.where(F.col("bucket").isNull()).count() == 0, mode
+
+
+def test_epoch_repeat_mix_exact(spark):
+    import hashlib
+
+    from chronon_spark.operators.sampling import epoch_repeat_mix
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, "wiki")
+            .when(F.col("doc_id") % 3 == 1, "web")
+            .otherwise("junk"),
+        )
+    )
+    recipe = {"wiki": 2.5, "web": 0.5, "junk": 0.0, "absent": 4.0}
+    out = epoch_repeat_mix(df, "source", recipe, "doc_id", seed=7).toPandas()
+
+    def h(i):
+        return int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    # exact per-id expected copy counts from the same md5 hash slice
+    for doc_id, grp in out.groupby("doc_id"):
+        e = recipe["wiki"] if doc_id % 3 == 0 else recipe["web"]
+        exp = int(e) + (1 if h(doc_id) < int((e - int(e)) * 1_000_000) else 0)
+        assert len(grp) == exp > 0
+        assert sorted(grp["epoch"]) == list(range(1, exp + 1))
+    # zero-epoch and absent keys contribute nothing
+    assert not set(out[out["doc_id"] % 3 == 2]["doc_id"])
+    # fractional slice is ~half of each fractional group
+    wiki = out[out["doc_id"] % 3 == 0].groupby("doc_id").size()
+    assert abs((wiki == 3).mean() - 0.5) < 0.06
+    # deterministic under repartitioning
+    out2 = epoch_repeat_mix(df.repartition(13), "source", recipe, "doc_id", seed=7).toPandas()
+    key = ["doc_id", "epoch"]
+    assert (
+        out.sort_values(key).reset_index(drop=True)[key]
+        == out2.sort_values(key).reset_index(drop=True)[key]
+    ).all().all()
+
+
+def test_epoch_repeat_mix_plan_is_narrow(spark):
+    import bench
+    from chronon_spark.operators.sampling import epoch_repeat_mix
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id").withColumn("source", F.lit("a"))
+    d = bench.plan_digest(epoch_repeat_mix(df, "source", {"a": 1.5}, "doc_id"))
+    assert d["exchanges"] == 0 and d["python_stages"] == 0
