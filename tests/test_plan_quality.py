@@ -389,3 +389,33 @@ def test_digest_invariants_round4_index_queries(spark):
         assert d["python_stages"] == 0, (name, d)
         assert d["exchanges"] <= max_ex, (name, d)
         assert d["broadcast_joins"] >= min_bc, (name, d)
+
+
+def test_digest_invariants_round4_late_queries(spark):
+    """Pin the round-4 late additions: chunking and the epoch mix are
+    pure narrow projections (no shuffle may ever appear); the HITS
+    result is a bounded checkpointed scan (iterative lineage folded);
+    the KV fetch keeps the lambda-merge Python-free with its pruned
+    bucketed scan underneath."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    for name in ("doc_chunks", "epoch_mix"):
+        d = bench.plan_digest(qs[name](spark, sf))
+        assert d["exchanges"] == 0 and d["python_stages"] == 0, (name, d)
+        assert d["sort_merge_joins"] == 0 and d["broadcast_joins"] == 0, (name, d)
+
+    d = bench.plan_digest(qs["hits_rank"](spark, sf))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 3, d
+
+    kv = qs["kv_fetch"](spark, sf)  # build once: the call writes the KV table
+    d = bench.plan_digest(kv)
+    assert d["python_stages"] == 0, d
+    plan = kv._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount:" in plan, "point lookup must prune buckets"
