@@ -2011,6 +2011,67 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_tiled_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-tiled lambda serve (plans/fetcher.fetch_group_by_tiled):
+    batch upload hops ⊕ closed streaming-tile IRs (stream_hop_irs —
+    identical i_* shape) ⊕ live-hop raw events, answering requests in
+    the live hop. History is never rescanned: the fresh scan is ONE hop.
+    Oracle: direct sawtooth SQL over full history for the same requests
+    — the tiled topology's consistency guarantee."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_hopped import hop_irs_for
+    from chronon_spark.plans.fetcher import fetch_group_by_tiled
+    from chronon_spark.plans.upload import upload_group_by
+
+    boundary = 1_705_276_800_000  # 2024-01-15 midnight, hop-aligned
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.COUNT),  # unbounded -> collapsed IR
+            Aggregation("value", Operation.LAST),
+        ),
+        name="tiled_entry",
+    )
+    ev = _event_queries(spark, sf_dir)
+    live_start = (int(ev.agg(F.max("ts")).first()[0]) // DAY_MS) * DAY_MS
+    from chronon_spark.sources.scan import scan_source
+    from chronon_spark.streaming.stream_groupby import stream_hop_irs
+
+    events = scan_source(spark, gb.sources[0])
+    closed = events.where(
+        (F.col("ts") >= boundary) & (F.col("ts") < live_start)
+    )
+    tiles = stream_hop_irs(closed, gb, DAY_MS)  # batch mode: same plan shape
+    upload = upload_group_by(spark, gb, boundary, DAY_MS)
+    requests = ev.where(F.col("ts") >= live_start).distinct()
+    live_events = events.where(F.col("ts") >= live_start)
+    out = fetch_group_by_tiled(
+        spark, gb, requests, boundary, DAY_MS, upload, tiles, live_events
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        _r6(F.col("value_sum_7d") / 100).alias("sum_7d"),
+        F.col("value_count").alias("cnt_all"),
+        _r6(F.col("value_last") / 100).alias("last_v"),
+    )
+
+
+_TILED_FETCH_ORACLE = f"""
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM ev),
+q AS (SELECT DISTINCT user_id, ts FROM ev WHERE ts >= (SELECT t0 FROM live))
+SELECT q.user_id, q.ts,
+   round(CAST(sum(CASE WHEN e.ts >= ((q.ts - {7 * DAY_MS}) // {DAY_MS}) * {DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6) AS sum_7d,
+   count(e.c) AS cnt_all,
+   round(arg_max(e.c, e.ts) / 100, 6) AS last_v
+FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+GROUP BY q.user_id, q.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # SNAPSHOT-accuracy join + entity snapshots
 # ---------------------------------------------------------------------------
@@ -4903,6 +4964,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "epoch_mix": q_epoch_mix,
         "hits_rank": q_hits_rank,
+        "tiled_fetch": q_tiled_fetch,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -5004,6 +5066,7 @@ def _raw_oracles() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_ORACLE,
         "epoch_mix": _epoch_mix_oracle(),
         "hits_rank": _hits_rank_oracle(),
+        "tiled_fetch": _TILED_FETCH_ORACLE,
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

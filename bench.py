@@ -445,6 +445,7 @@ HEADLINE = [
     "doc_chunks",
     "epoch_mix",
     "hits_rank",
+    "tiled_fetch",
 ]
 
 

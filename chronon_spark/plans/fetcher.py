@@ -226,3 +226,65 @@ def fetch_join(
         base_cols = [c for c in result.columns if c not in value_set]
         result = apply_derivations(result, join_conf.derivations, base_cols)
     return result
+
+
+def fetch_group_by_tiled(
+    spark: SparkSession,
+    group_by: GroupBy,
+    requests: DataFrame,
+    batch_end_ms: int,
+    hop_ms: int,
+    upload: DataFrame,
+    tile_irs: DataFrame,
+    live_events: DataFrame,
+    live_hop: Optional[int] = None,
+) -> DataFrame:
+    """The fully-tiled serving read path — the reference's steady-state
+    online topology (FetcherUtil batch-IR ⊕ tile merge): batch upload for
+    hops before the batch end, CLOSED streaming tiles
+    (``streaming.stream_groupby.stream_hop_irs`` rows, e.g. resolved from
+    the KV upsert log) for hops since, and only the LIVE hop's raw events
+    for the exact sawtooth heads. History is never rescanned: the fresh
+    scan is bounded by ONE hop.
+
+    Contract (validated here, mirroring the reference's tiled-accuracy
+    rule): requests must sit in the live hop — a query in an already
+    CLOSED hop would need that hop's raw events for its head, which the
+    tiled topology has compacted away. ``live_hop`` defaults to
+    ``max(tile_irs.__hop) + 1``; tiles at/after it or at hops before the
+    batch end are refused (double-count guard), and live events are
+    clipped to ``ts >= live_hop * hop_ms``.
+    """
+    batch_end_hop = batch_end_ms // hop_ms
+    assert batch_end_ms % hop_ms == 0, "batch end must align to a hop"
+    if live_hop is None:
+        mx = tile_irs.agg(F.max("__hop")).first()[0]
+        live_hop = (int(mx) + 1) if mx is not None else batch_end_hop
+    bounds = tile_irs.agg(F.min("__hop"), F.max("__hop")).first()
+    if bounds[0] is not None:
+        assert bounds[0] >= batch_end_hop, (
+            f"tile hop {bounds[0]} overlaps the batch range (< {batch_end_hop})"
+        )
+        assert bounds[1] < live_hop, (
+            f"tile hop {bounds[1]} at/after the live hop {live_hop}"
+        )
+    min_req = requests.agg(F.min(TS)).first()[0]
+    if min_req is not None and int(min_req) < live_hop * hop_ms:
+        raise ValueError(
+            f"request ts {min_req} is in a closed hop (< {live_hop * hop_ms}); "
+            "tiled serving answers live-hop requests only"
+        )
+    parts = group_by.unpack()
+    live = null_out_nans(live_events, list({p.input_column for p in parts})).where(
+        F.col(TS) >= live_hop * hop_ms
+    )
+    merged = upload.unionByName(tile_irs, allowMissingColumns=True)
+    return group_by_asof_hopped(
+        spark,
+        group_by,
+        requests,
+        hop_ms,
+        events_df=live,
+        extra_hop_irs=merged,
+        verify_disjoint=False,  # disjointness enforced structurally above
+    )

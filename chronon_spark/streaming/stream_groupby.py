@@ -225,3 +225,37 @@ def read_kv_table(spark, kv_dir: str, key_cols: list) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn", "__batch_id")
     )
+
+
+def stream_hop_irs(
+    events: DataFrame,
+    group_by: GroupBy,
+    hop_ms: int,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming twin of ``asof_hopped.hop_irs_for``: (keys, __hop, i_*)
+    partial IRs in EXACTLY the batch upload shape, so closed tiles from
+    the stream drop straight into the lambda merge (``extra_hop_irs``)
+    next to the batch FinalBatchIr rows — no conversion layer.
+
+    Grouping is a tumbling ``window(event_time, hop)`` (watermark-bounded
+    state; epoch-aligned, so ``unix_millis(start) / hop_ms`` equals the
+    batch ``ts DIV hop`` index bit-for-bit). In update mode each emitted
+    row is the tile's COMPLETE re-aggregated state, which is what makes
+    the last-writer-wins KV upsert (``run_untiled_upsert`` keyed on
+    keys + __hop) correct under late events and replays.
+    """
+    from chronon_spark.operators.asof_hopped import _ir_aggs
+
+    keys = list(group_by.key_columns)
+    wet = events.withColumn("__event_time", F.timestamp_millis(F.col("ts")))
+    if events.isStreaming:
+        wet = wet.withWatermark("__event_time", watermark)
+    agg = wet.groupBy(
+        F.window("__event_time", f"{hop_ms} milliseconds").alias("__w"), *keys
+    ).agg(*_ir_aggs(group_by.unpack()))
+    return agg.select(
+        *keys,
+        (F.unix_millis(F.col("__w.start")) / hop_ms).cast("long").alias("__hop"),
+        *[c for c in agg.columns if c.startswith("i_")],
+    )
