@@ -36,19 +36,40 @@ def _norm_text(col: str):
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
+def _gram_array(text_col: str, ngrams: int):
+    """Array of unigram..n-gram strings of the normalized token stream —
+    the fastText feature set (word n-grams hashed into one bucket space).
+    Pure Catalyst HOFs: slice + zip_with concat per order, one array."""
+    toks = F.filter(F.split(_norm_text(text_col), " "), lambda t: t != "")
+    out = toks
+    for n in range(2, ngrams + 1):
+        grams = toks
+        for i in range(1, n):
+            n_keep = F.greatest(F.size(toks) - i, F.lit(0))
+            grams = F.zip_with(
+                F.slice(grams, 1, n_keep),
+                F.slice(toks, i + 1, n_keep),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        out = F.concat(out, grams)
+    return out
+
+
 def hashed_features(
-    df: DataFrame, id_col: str, text_col: str = "text", dim: int = 256
+    df: DataFrame, id_col: str, text_col: str = "text", dim: int = 256,
+    ngrams: int = 1,
 ) -> DataFrame:
     """(id, f, c): engine-portable hashed bag-of-words counts.
 
-    f = (first 15 hex chars of md5(token) as int) % dim — the same
+    f = (first 15 hex chars of md5(gram) as int) % dim — the same
     md5-60-bit trick dedup.py uses, so a DuckDB oracle computes identical
-    buckets. One corpus pass: explode + count groupBy (map-side combined).
+    buckets. ``ngrams > 1`` adds fastText-style word n-gram features
+    (hashed into the same dim-bucket space, the standard trick). One
+    corpus pass: explode + count groupBy (map-side combined).
     """
-    tok = F.explode(F.split(_norm_text(text_col), " ")).alias("tok")
+    tok = F.explode(_gram_array(text_col, ngrams)).alias("tok")
     return (
         df.select(F.col(id_col).alias("id"), tok)
-        .where(F.col("tok") != "")
         .select(
             "id",
             (
@@ -136,7 +157,8 @@ def perceptron_scores(
     )
 
 
-def scoring_expr(weights: dict, text_col: str = "text", dim: int = 256):
+def scoring_expr(weights: dict, text_col: str = "text", dim: int = 256,
+                 ngrams: int = 1):
     """Pure-expression scorer under trained weights: the DEPLOY-side twin
     of batch_perceptron. The weight map rides as a literal (sorted for
     plan determinism), the token fold is a Catalyst `aggregate` HOF — no
@@ -157,7 +179,7 @@ def scoring_expr(weights: dict, text_col: str = "text", dim: int = 256):
             for v in (int(f), int(w))
         ]
     )
-    toks = F.filter(F.split(_norm_text(text_col), " "), lambda t: t != "")
+    toks = _gram_array(text_col, ngrams)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),

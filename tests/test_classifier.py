@@ -143,3 +143,73 @@ def test_scores_are_integers_and_stable(spark, data):
     for did, s in got.items():
         want = sum(w.get(f, 0) * c for f, c in pf.get(did, {}).items())
         assert s == want
+
+
+def test_ngram_features_match_python_oracle(spark):
+    import hashlib
+
+    from chronon_spark.operators.classifier import hashed_features
+
+    docs = spark.createDataFrame(
+        [(0, "Good  Stuff here"), (1, "stuff good"), (2, "x"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id, r.f): r.c
+        for r in hashed_features(docs, "doc_id", dim=64, ngrams=2).collect()
+    }
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64
+
+    exp: dict = {}
+    for i, text in [(0, "good stuff here"), (1, "stuff good"), (2, "x"), (3, "")]:
+        toks = [t for t in text.split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for g in grams:
+            k = (i, h(g))
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_bigrams_separate_what_unigrams_cannot(spark):
+    from chronon_spark.operators.classifier import (
+        batch_perceptron,
+        hashed_features,
+        perceptron_scores,
+        scoring_expr,
+    )
+
+    # every doc contains both 'good' and 'stuff'; only the ORDER differs.
+    # unigram counts are identical across classes -> no linear separation;
+    # the bigram feature 'good stuff' separates perfectly.
+    rows = [(i, "good stuff filler", 1) for i in range(10)] + [
+        (i + 10, "stuff good filler", -1) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    labels = docs.selectExpr("doc_id AS id", "y")
+
+    uni = hashed_features(docs, "doc_id", dim=512, ngrams=1)
+    w_uni = batch_perceptron(spark, uni, labels, epochs=4)
+    acc_uni = (
+        perceptron_scores(spark, uni, labels, w_uni)
+        .selectExpr("avg(CAST(pred = y AS INT)) AS a")
+        .first()[0]
+    )
+    assert acc_uni <= 0.5  # identical unigram profiles: no better than chance
+
+    bi = hashed_features(docs, "doc_id", dim=512, ngrams=2)
+    w_bi = batch_perceptron(spark, bi, labels, epochs=4)
+    scored = perceptron_scores(spark, bi, labels, w_bi)
+    acc_bi = scored.selectExpr("avg(CAST(pred = y AS INT)) AS a").first()[0]
+    assert acc_bi == 1.0
+
+    # deploy-side literal-map scorer agrees with the broadcast-join scorer
+    from pyspark.sql import functions as F
+
+    expr_scores = docs.select(
+        F.col("doc_id").alias("id"),
+        scoring_expr(w_bi, dim=512, ngrams=2).alias("score"),
+    )
+    both = scored.join(expr_scores.withColumnRenamed("score", "s2"), "id")
+    assert both.where(F.col("score") != F.col("s2")).count() == 0
