@@ -4419,6 +4419,38 @@ def q_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_hits(domain_edges(links), iters=3)
 
 
+def q_harmonic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality over the domain graph
+    (linkgraph.harmonic_centrality, exact all-sources-BFS mode, d<=3,
+    integer scale units) — the ranking Common Crawl publishes for its
+    host graph; the HyperBall HLL mode is the 10^8-domain scale path
+    (pytest-pinned within tolerance of exact). Edges REVERSED so the
+    score measures who can reach a domain (incoming reachability)."""
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        extract_links,
+        harmonic_centrality,
+    )
+
+    links = extract_links(_linkgraph_html(sf_dir, spark))
+    edges = domain_edges(links).select(
+        F.col("dst_domain").alias("src_domain"),
+        F.col("src_domain").alias("dst_domain"),
+    )
+    return harmonic_centrality(edges, max_dist=3, mode="exact")
+
+
+def _harmonic_rank_oracle() -> str:
+    from chronon_spark.operators.linkgraph import harmonic_oracle_sql
+
+    edges_sql = (
+        "WITH " + _LINKGRAPH_LINKS_SQL
+        + "SELECT DISTINCT dst_domain AS src_domain, src_domain AS dst_domain"
+        + " FROM links WHERE src_domain <> dst_domain"
+    )
+    return harmonic_oracle_sql(edges_sql, max_dist=3)
+
+
 def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 incoming anchor texts per target domain via the SALTED
     two-phase exact top-k (linkgraph.anchor_top_k, salt_partitions=4) —
@@ -4965,6 +4997,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "hits_rank": q_hits_rank,
         "tiled_fetch": q_tiled_fetch,
+        "harmonic_rank": q_harmonic_rank,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -5067,6 +5100,7 @@ def _raw_oracles() -> dict[str, str]:
         "epoch_mix": _epoch_mix_oracle(),
         "hits_rank": _hits_rank_oracle(),
         "tiled_fetch": _TILED_FETCH_ORACLE,
+        "harmonic_rank": _harmonic_rank_oracle(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

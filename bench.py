@@ -446,6 +446,7 @@ HEADLINE = [
     "epoch_mix",
     "hits_rank",
     "tiled_fetch",
+    "harmonic_rank",
 ]
 
 

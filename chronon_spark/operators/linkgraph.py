@@ -494,3 +494,211 @@ def hits_oracle_sql(
         f" FROM nodes n LEFT JOIN h{iters} h ON n.domain = h.domain"
         f" LEFT JOIN a{iters} a ON n.domain = a.domain"
     )
+
+
+HARMONIC_SCALE = 12_000  # divisible by 1..4 (and most small d): 1/d stays
+# integer-exact for the distances that dominate harmonic mass.
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_dist: int = 4,
+    mode: str = "exact",
+    scale: int = HARMONIC_SCALE,
+) -> DataFrame:
+    """Truncated harmonic centrality — the ranking Common Crawl publishes
+    for its host/domain graphs (harmonic centrality, computed there with
+    HyperBall; Boldi & Vigna, "Axioms for centrality" / "HyperANF").
+
+    ``harmonic(v) = Σ_{u reachable from v, 0 < d(v,u) <= max_dist}
+    1/d(v,u)`` in integer ``scale`` units (``scale DIV d`` — exact for
+    d | scale). Pass REVERSED edges to score incoming reachability (the
+    usual centrality orientation: who can reach me).
+
+    Two modes, one API:
+    - ``exact``: all-sources BFS as an iterated frontier join — frontier
+      ⋈ edges, anti-join the seen set, per-level ``localCheckpoint`` with
+      deterministic release. Materializes Σ|ball| rows: the ORACLE path
+      (cross-engine bit-exact vs a recursive-CTE SQL) and fine up to
+      millions of (source, reached) pairs.
+    - ``hll``: HyperBall proper — per-node HLL sketch of the ball,
+      iterated as one join + ``hll_union_agg`` per level (sketch bytes
+      ≪ ball rows; the 10^8-domain scale path). Returns the same
+      columns with APPROXIMATE counts/harmonic (relative error ~1.6% at
+      the default lgK=12); deterministic for a fixed input, but not
+      cross-engine-exact — driver oracles pin the exact mode, pytest
+      pins hll within tolerance of exact.
+
+    Returns (domain, reached, harmonic) — ``reached`` excludes self.
+    """
+    if mode not in ("exact", "hll"):
+        raise ValueError(f"mode must be 'exact' or 'hll', got {mode!r}")
+    edges = edges.select("src_domain", "dst_domain").persist()
+    try:
+        nodes = (
+            edges.select(F.col("src_domain").alias("domain"))
+            .union(edges.select(F.col("dst_domain").alias("domain")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if mode == "exact":
+            return _harmonic_exact(edges, nodes, max_dist, scale)
+        return _harmonic_hll(edges, nodes, max_dist, scale)
+    finally:
+        edges.unpersist()
+
+
+def _harmonic_exact(edges, nodes, max_dist: int, scale: int) -> DataFrame:
+    # seen: (domain, u, d) = u reachable from domain at min distance d
+    seen = nodes.select(
+        "domain", F.col("domain").alias("u"), F.lit(0).cast("int").alias("d")
+    ).localCheckpoint()
+    frontier = seen
+    for t in range(1, max_dist + 1):
+        prev_seen, prev_frontier = seen, frontier
+        cand = (
+            frontier.join(
+                edges.withColumnRenamed("src_domain", "u"), "u"
+            )
+            .select("domain", F.col("dst_domain").alias("u"))
+            .distinct()
+        )
+        frontier = (
+            cand.join(seen.select("domain", "u"), ["domain", "u"], "left_anti")
+            .withColumn("d", F.lit(t).cast("int"))
+            .localCheckpoint()
+        )
+        seen = seen.unionByName(frontier).localCheckpoint()
+        release_checkpoint(prev_seen)
+        if t > 1:
+            release_checkpoint(prev_frontier)
+    out = (
+        seen.where(F.col("d") > 0)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("reached"),
+            F.sum(F.expr(f"{scale} DIV d")).alias("harmonic"),
+        )
+    )
+    out = (
+        nodes.join(out, "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("reached", F.lit(0)).cast("long").alias("reached"),
+            F.coalesce("harmonic", F.lit(0)).cast("long").alias("harmonic"),
+        )
+        .localCheckpoint()
+    )
+    release_checkpoint(seen)
+    release_checkpoint(frontier)
+    release_checkpoint(nodes)
+    return out
+
+
+def _harmonic_hll(edges, nodes, max_dist: int, scale: int) -> DataFrame:
+    # per-node ball sketch; per level: est_t - est_{t-1} new nodes at
+    # distance t contribute scale//t each (HyperBall's counter update)
+    sk = (
+        nodes.groupBy("domain")
+        .agg(F.hll_sketch_agg(F.col("domain")).alias("ball"))
+        .withColumn("est", F.hll_sketch_estimate("ball"))
+        .localCheckpoint()
+    )
+    harm = nodes.select(
+        "domain", F.lit(0.0).alias("h"), F.lit(0).cast("long").alias("reached")
+    ).localCheckpoint()
+    sk_handle = sk  # the live checkpoint behind the (possibly projected) sk
+    for t in range(1, max_dist + 1):
+        prev_sk, prev_harm = sk_handle, harm
+        nbr = (
+            edges.join(
+                sk.select(F.col("domain").alias("dst_domain"), "ball"), "dst_domain"
+            )
+            .groupBy(F.col("src_domain").alias("domain"))
+            .agg(F.hll_union_agg("ball").alias("nbr_ball"))
+        )
+        sk_handle = (
+            sk.join(nbr, "domain", "left")
+            .select(
+                "domain",
+                F.when(
+                    F.col("nbr_ball").isNull(), F.col("ball")
+                ).otherwise(F.hll_union("ball", "nbr_ball")).alias("ball"),
+                F.col("est").alias("prev_est"),
+            )
+            .withColumn("est", F.hll_sketch_estimate("ball"))
+            .localCheckpoint()
+        )
+        harm = (
+            harm.join(sk_handle.select("domain", "est", "prev_est"), "domain")
+            .select(
+                "domain",
+                (
+                    F.col("h")
+                    + F.greatest(F.col("est") - F.col("prev_est"), F.lit(0))
+                    * (scale // t)
+                ).alias("h"),
+                (F.col("reached") + F.greatest(F.col("est") - F.col("prev_est"), F.lit(0))).alias("reached"),
+            )
+            .localCheckpoint()
+        )
+        # release the CHECKPOINT handles — rebinding sk to a projection of
+        # the checkpoint would make release a silent no-op (the
+        # tokenizer-wf leak class from the r3 review)
+        sk = sk_handle.drop("prev_est")
+        release_checkpoint(prev_sk)
+        release_checkpoint(prev_harm)
+    out = harm.select(
+        "domain",
+        F.col("reached").cast("long").alias("reached"),
+        F.round(F.col("h")).cast("long").alias("harmonic"),
+    ).localCheckpoint()
+    release_checkpoint(harm)
+    release_checkpoint(sk_handle)
+    release_checkpoint(nodes)
+    return out
+
+
+def harmonic_oracle_sql(
+    edges_sql: str,
+    max_dist: int = 4,
+    scale: int = HARMONIC_SCALE,
+) -> str:
+    """DuckDB oracle for exact-mode :func:`harmonic_centrality`:
+    level-synchronous BFS unrolled as MATERIALIZED CTEs (same shape as
+    the engine's frontier loop; a recursive CTE would re-visit nodes on
+    longer paths, so the unrolled anti-join form mirrors min-distance
+    semantics directly)."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src_domain AS domain FROM edges"
+        " UNION SELECT dst_domain FROM edges)",
+        "s0 AS MATERIALIZED (SELECT domain, domain AS u, 0 AS d FROM nodes)",
+    ]
+    prev_seen, prev_frontier = "s0", "s0"
+    for t in range(1, max_dist + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT DISTINCT f.domain, e.dst_domain AS u"
+            f" FROM {prev_frontier} f JOIN edges e ON f.u = e.src_domain)"
+        )
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT c.domain, c.u, {t} AS d FROM c{t} c"
+            f" LEFT JOIN {prev_seen} s ON c.domain = s.domain AND c.u = s.u"
+            f" WHERE s.u IS NULL)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED"
+            f" (SELECT * FROM {prev_seen} UNION ALL SELECT * FROM f{t})"
+        )
+        prev_seen, prev_frontier = f"s{t}", f"f{t}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT n.domain,
+   CAST(coalesce(r.reached, 0) AS BIGINT) AS reached,
+   CAST(coalesce(r.harmonic, 0) AS BIGINT) AS harmonic
+FROM nodes n LEFT JOIN (
+  SELECT domain, count(*) AS reached, sum({scale} // d) AS harmonic
+  FROM {prev_seen} WHERE d > 0 GROUP BY domain
+) r ON n.domain = r.domain"""
+    )

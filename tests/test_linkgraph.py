@@ -291,3 +291,99 @@ def test_hits_no_persisted_leak(spark):
     assert len(added) == 1, added
     assert release_checkpoint(out)
     assert not (_ids() - before)
+
+
+def _py_harmonic(edges, max_dist=4, scale=None):
+    """Pure-Python truncated harmonic centrality by BFS."""
+    from chronon_spark.operators.linkgraph import HARMONIC_SCALE
+
+    scale = scale or HARMONIC_SCALE
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    out = {}
+    for v in nodes:
+        dist = {v: 0}
+        frontier = [v]
+        for t in range(1, max_dist + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, []):
+                    if w not in dist:
+                        dist[w] = t
+                        nxt.append(w)
+            frontier = nxt
+        reached = [d for d in dist.values() if d > 0]
+        out[v] = (len(reached), sum(scale // d for d in reached))
+    return out
+
+
+def test_harmonic_exact_matches_python_bfs(spark):
+    from chronon_spark.operators.linkgraph import harmonic_centrality
+
+    want = _py_harmonic(EDGES)
+    got = {
+        r["domain"]: (r["reached"], r["harmonic"])
+        for r in harmonic_centrality(_edges_df(spark, 4), mode="exact").collect()
+    }
+    assert got == want
+    # d links into the a-b-c cycle: reaches everything but the sinks
+    assert got["d"][0] == 3
+    assert got["sink1"] == (0, 0)  # sinks reach nothing
+
+
+def test_harmonic_exact_duckdb_oracle_parity(spark):
+    from chronon_spark.operators.linkgraph import (
+        harmonic_centrality,
+        harmonic_oracle_sql,
+    )
+
+    got = (
+        harmonic_centrality(_edges_df(spark, 3), max_dist=3, mode="exact")
+        .orderBy("domain")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("edges_src", pd.DataFrame(EDGES, columns=["src_domain", "dst_domain"]))
+    sql = harmonic_oracle_sql(
+        "SELECT DISTINCT src_domain, dst_domain FROM edges_src"
+        " WHERE src_domain <> dst_domain",
+        max_dist=3,
+    )
+    want = con.sql(f"SELECT * FROM ({sql}) ORDER BY domain").df()
+    assert got["domain"].tolist() == want["domain"].tolist()
+    for c in ("reached", "harmonic"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+
+def test_harmonic_hll_close_to_exact_and_leakfree(spark):
+    from chronon_spark.checkpoint import release_checkpoint
+    from chronon_spark.operators.linkgraph import harmonic_centrality
+
+    def _ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    before = _ids()
+    e1 = harmonic_centrality(_edges_df(spark, 2), mode="exact")
+    exact = {r["domain"]: r["harmonic"] for r in e1.collect()}
+    hll = harmonic_centrality(_edges_df(spark, 2), mode="hll")
+    got = {r["domain"]: r["harmonic"] for r in hll.collect()}
+    # at 7 nodes the sketches are effectively exact (rel err ~1.6%)
+    for d, h in exact.items():
+        assert abs(got[d] - h) <= max(0.05 * h, 1), (d, got[d], h)
+    added = _ids() - before
+    assert len(added) == 2, added  # one result checkpoint per call
+    assert release_checkpoint(e1) and release_checkpoint(hll)
+    assert not (_ids() - before)
+
+
+def test_harmonic_rejects_bad_mode(spark):
+    from chronon_spark.operators.linkgraph import harmonic_centrality
+
+    with pytest.raises(ValueError, match="mode"):
+        harmonic_centrality(_edges_df(spark, 1), mode="nope")
