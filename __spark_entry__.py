@@ -4760,6 +4760,94 @@ FROM snaps GROUP BY url
 """
 
 
+def q_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling (indexing.crawl_priority): the recrawl
+    change-rate prior composed with the integer-exact domain PageRank —
+    priority_micro = (1+rate) * (1 + rank DIV 1e6). URLs live on the
+    same per-source domains as the link graph, so the rank join is a
+    broadcast of the |domains|-row table; the oracle nests the full
+    unrolled-PageRank CTE inside the recrawl SQL."""
+    from chronon_spark.operators.indexing import crawl_priority, recrawl_stats
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        domain_pagerank,
+        extract_links,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("doc_id")
+    )
+    s1 = docs.select(url.alias("url"), "text")
+    s2 = docs.where(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" updated section alpha beta gamma")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    s3 = docs.where(F.col("doc_id") % 13 != 0).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" second revision")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stats = recrawl_stats(s1.unionByName(s2).unionByName(s3))
+    ranks = domain_pagerank(
+        domain_edges(extract_links(_linkgraph_html(sf_dir, spark))), iters=4
+    )
+    return crawl_priority(stats, ranks)
+
+
+def _crawl_priority_oracle() -> str:
+    from chronon_spark.operators.linkgraph import pagerank_oracle_sql
+
+    edges_sql = (
+        "WITH " + _LINKGRAPH_LINKS_SQL
+        + "SELECT DISTINCT src_domain, dst_domain FROM links"
+        + " WHERE src_domain <> dst_domain"
+    )
+    pr = pagerank_oracle_sql(edges_sql, iters=4, damping=85)
+    return f"""
+WITH pr AS MATERIALIZED ({pr}),
+base AS (
+  SELECT 'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, text
+  FROM documents),
+snaps AS (
+  SELECT url, text FROM base
+  UNION ALL
+  SELECT url,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' updated section alpha beta gamma'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT url,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' second revision'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 13 <> 0),
+st AS (
+  SELECT url,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_versions,
+         CASE WHEN count(*) > 1
+              THEN CAST((1000000 * (count(DISTINCT text) - 1))
+                        // (count(*) - 1) AS BIGINT)
+              ELSE NULL END AS change_rate_micro
+  FROM snaps GROUP BY url),
+j AS (
+  SELECT st.*, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM st)
+SELECT j.url, j.domain, j.n_obs, j.n_versions, j.change_rate_micro,
+   CAST(coalesce(pr.rank, 0) AS BIGINT) AS rank,
+   CAST((1 + coalesce(j.change_rate_micro, 500000))
+        * (1 + coalesce(pr.rank, 0) // 1000000) AS BIGINT) AS priority_micro
+FROM j LEFT JOIN pr ON j.domain = pr.domain
+"""
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus prior (linkgraph.domain_rollup): doc counts,
     corpus-wide duplicate-text counts, integer mean length, and the
@@ -4998,6 +5086,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_rank": q_hits_rank,
         "tiled_fetch": q_tiled_fetch,
         "harmonic_rank": q_harmonic_rank,
+        "crawl_priority": q_crawl_priority,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -5101,6 +5190,7 @@ def _raw_oracles() -> dict[str, str]:
         "hits_rank": _hits_rank_oracle(),
         "tiled_fetch": _TILED_FETCH_ORACLE,
         "harmonic_rank": _harmonic_rank_oracle(),
+        "crawl_priority": _crawl_priority_oracle(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

@@ -447,6 +447,7 @@ HEADLINE = [
     "hits_rank",
     "tiled_fetch",
     "harmonic_rank",
+    "crawl_priority",
 ]
 
 

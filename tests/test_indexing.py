@@ -283,3 +283,44 @@ def test_recrawl_stats(spark):
     assert got["u2"] == (3, 3, 1_000_000)
     assert got["u3"] == (3, 2, 500_000)
     assert got["u4"] == (1, 1, None)
+
+
+def test_crawl_priority_composition(spark):
+    from chronon_spark.operators.indexing import crawl_priority
+
+    stats = spark.createDataFrame(
+        [
+            ("https://a.com/1", 3, 3, 1_000_000),   # always changes
+            ("https://a.com/2", 3, 1, 0),           # never changes
+            ("https://b.org/1", 1, 1, None),        # one observation
+            ("https://nowhere.net/1", 2, 2, 1_000_000),  # unranked domain
+        ],
+        "url string, n_obs long, n_versions long, change_rate_micro long",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 4_000_000), ("b.org", 2_000_000)], "domain string, rank long"
+    )
+    got = {
+        r.url: (r.domain, r.rank, r.priority_micro)
+        for r in crawl_priority(stats, ranks, rank_div=1_000_000).collect()
+    }
+    assert got["https://a.com/1"] == ("a.com", 4_000_000, (1 + 1_000_000) * 5)
+    assert got["https://a.com/2"] == ("a.com", 4_000_000, 1 * 5)
+    # single observation -> default rate 500k
+    assert got["https://b.org/1"] == ("b.org", 2_000_000, (1 + 500_000) * 3)
+    # unranked domain -> rank 0, multiplier 1
+    assert got["https://nowhere.net/1"] == ("nowhere.net", 0, (1 + 1_000_000) * 1)
+
+
+def test_crawl_priority_plan_broadcasts_ranks(spark):
+    import bench
+    from chronon_spark.operators.indexing import crawl_priority
+
+    stats = spark.createDataFrame(
+        [("https://a.com/1", 2, 2, 1_000_000)],
+        "url string, n_obs long, n_versions long, change_rate_micro long",
+    )
+    ranks = spark.createDataFrame([("a.com", 10)], "domain string, rank long")
+    d = bench.plan_digest(crawl_priority(stats, ranks))
+    assert d["broadcast_joins"] >= 1 and d["python_stages"] == 0
+    assert d["sort_merge_joins"] == 0
