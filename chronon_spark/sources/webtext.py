@@ -57,6 +57,7 @@ def _make_batch(
     start_ms: int,
     span_ms: int,
     nav_boilerplate: bool = False,
+    with_links: bool = False,
 ) -> pd.DataFrame:
     i = pdf["id"].to_numpy()
     r_dom = _rng(seed, i, "dom")
@@ -105,6 +106,21 @@ def _make_batch(
                 f'<script>var x = "ignored";</script></head>'
                 f"<body><h1>{title}</h1><p>{text}</p></body></html>"
             )
+        if with_links:
+            # deterministic cross-domain anchors (id-derived targets with
+            # the generator's Zipf skew preserved: everyone links toward
+            # low-numbered domains) — gives the link-graph operators a
+            # real edge distribution; text column is UNCHANGED.
+            d = int(dom[k])
+            t1 = (d + 1 + (w % 5)) % n_domains
+            t2 = (w % (d + 1))  # skew: hot (low) domains draw in-links
+            html = html.replace(
+                "</body>",
+                f'<a href="https://domain{t1}.example.com/page/0">'
+                f"{_WORDS[w % len(_WORDS)]} link</a>"
+                f'<a href="https://domain{t2}.example.com/page/1">hub</a>'
+                "</body>",
+            )
         texts.append(text)
         htmls.append(html.encode("utf-8"))
 
@@ -128,11 +144,14 @@ def generate_webtext(
     span_days: int = 90,
     partitions: int | None = None,
     nav_boilerplate: bool = False,
+    with_links: bool = False,
 ) -> DataFrame:
     """Distributed deterministic webtext generation.
 
     ``nav_boilerplate=True`` adds a per-domain nav line and cookie footer
-    to the html (NOT the text column) — opt-in so the default output stays
+    to the html (NOT the text column); ``with_links=True`` adds two
+    deterministic cross-domain anchors per page (Zipf-skewed targets) for
+    the link-graph operators — both opt-in so the default output stays
     byte-identical to the pinned goldens."""
     start_ms = int(pd.Timestamp(start).value // 1_000_000)
     span_ms = span_days * 86_400_000
@@ -140,6 +159,6 @@ def generate_webtext(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _make_batch(pdf, seed, n_domains, start_ms, span_ms, nav_boilerplate)
+            yield _make_batch(pdf, seed, n_domains, start_ms, span_ms, nav_boilerplate, with_links)
 
     return base.mapInPandas(gen, schema=WEBTEXT_SCHEMA)

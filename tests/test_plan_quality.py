@@ -414,6 +414,15 @@ def test_digest_invariants_round4_late_queries(spark):
     d = bench.plan_digest(qs["hits_rank"](spark, sf))
     assert d["python_stages"] == 0 and d["exchanges"] <= 3, d
 
+    # exact-mode harmonic folds the BFS into one result checkpoint
+    d = bench.plan_digest(qs["harmonic_rank"](spark, sf))
+    assert d["python_stages"] == 0 and d["exchanges"] == 0, d
+
+    # priority composition broadcasts the rank table: no SMJ on URLs
+    d = bench.plan_digest(qs["crawl_priority"](spark, sf))
+    assert d["python_stages"] == 0 and d["broadcast_joins"] >= 1, d
+    assert d["sort_merge_joins"] == 0, d
+
     kv = qs["kv_fetch"](spark, sf)  # build once: the call writes the KV table
     d = bench.plan_digest(kv)
     assert d["python_stages"] == 0, d
