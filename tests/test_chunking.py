@@ -80,3 +80,52 @@ def test_chunking_plan_is_narrow(spark, docs):
     d = bench.plan_digest(chunk_documents(docs, "doc_id"))
     assert d["exchanges"] == 0
     assert d["python_stages"] == 0
+
+
+def test_chunking_random_property(spark):
+    """Hypothesis: random token counts x random (chunk, overlap) params
+    equal the pure-Python oracle; single Spark job per example batch."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from chronon_spark.operators.chunking import chunk_documents
+
+    @st.composite
+    def params(draw):
+        chunk = draw(st.integers(2, 12))
+        overlap = draw(st.integers(0, chunk - 1))
+        lens = draw(st.lists(st.integers(0, 40), min_size=1, max_size=8))
+        return chunk, overlap, lens
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(p=params())
+    def run(p):
+        chunk, overlap, lens = p
+        stride = chunk - overlap
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in enumerate(lens)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = [
+            (r.doc_id, r.chunk_index, r.n_tokens, r.chunk_text)
+            for r in chunk_documents(
+                docs, "doc_id", chunk_tokens=chunk, overlap=overlap
+            ).orderBy("doc_id", "chunk_index").collect()
+        ]
+        exp = []
+        for i, n in enumerate(lens):
+            toks = [f"w{i}x{j}" for j in range(n)]
+            if not toks:
+                continue
+            start, idx = 0, 0
+            while True:
+                win = toks[start : start + chunk]
+                exp.append((i, idx, len(win), " ".join(win)))
+                if start + chunk >= len(toks):
+                    break
+                start += stride
+                idx += 1
+        assert got == exp
+
+    run()
