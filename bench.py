@@ -540,6 +540,42 @@ def run_flagship(master: str, cores: int, path: str, rows: int, repeats: int = 2
             "rows_per_sec": round(rows / wall, 1)}
 
 
+def run_dedup_job(master: str, cores: int, path: str, rows: int, repeats: int = 2) -> dict:
+    """Second scaling job SHAPE (axis-B diversity): the dedup-side
+    pipeline — exact dedup + banded MinHash LSH over the crawl text —
+    instead of the as-of join. A different bottleneck profile (hash
+    groupBy + band-bucket self-join vs range/sort-merge), so the N-vs-4N
+    pair evidences scaling beyond one plan family."""
+    from chronon_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    spark = build(master, shuffle_partitions=max(cores * 2, 8))
+    # the expensive projections (md5 of normalized text, shingle
+    # signatures) run in the SCAN stage: split sizing IS the parallelism
+    # of this job. 64m packs the 5MB generator files into ~10 splits —
+    # two ragged waves at 8 cores; size splits to the files instead.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    walls = []
+    try:
+        for _ in range(repeats):
+            spark.catalog.clearCache()  # persist-once signatures must not
+            # leak across repeats: min-over-passes measures WORK, not cache
+            t0 = time.time()
+            docs = spark.read.parquet(path).selectExpr("url AS doc_id", "text")
+            force(exact_dedup(docs, "doc_id"))
+            force(
+                minhash_lsh_pairs(
+                    docs, "doc_id", n_hashes=16, bands=4, verify_threshold=0.4
+                )
+            )
+            walls.append(time.time() - t0)
+    finally:
+        spark.stop()
+    wall = min(walls)
+    return {"cores": cores, "wall_sec": round(wall, 3), "walls": [round(w, 3) for w in walls],
+            "rows_per_sec": round(rows / wall, 1)}
+
+
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 SCALING_ARTIFACT = os.path.join(REPO_DIR, "SCALING.json")
 EXPLAIN_ARTIFACT = os.path.join(REPO_DIR, "EXPLAIN_digest.json")
@@ -560,12 +596,15 @@ def recorded_scaling() -> dict:
 
 def record_scaling(entry: dict) -> None:
     art = recorded_scaling()
+    # replacement key includes the job SHAPE: a dedup-pipeline pair at the
+    # same (rows, n) must not evict the flagship pair
+    key = (entry.get("job", "flagship"), entry["rows"], entry["n"])
     pairs = [
         p for p in art.get("pairs", [])
-        if not (p["rows"] == entry["rows"] and p["n"] == entry["n"])
+        if (p.get("job", "flagship"), p["rows"], p["n"]) != key
     ]
     pairs.append(entry)
-    pairs.sort(key=lambda p: (p["rows"], p["n"]))
+    pairs.sort(key=lambda p: (p.get("job", "flagship"), p["rows"], p["n"]))
     art["pairs"] = pairs  # keep protocol/notes keys intact
     art.pop("note", None)
     with open(SCALING_ARTIFACT, "w") as f:
@@ -676,6 +715,29 @@ def main() -> None:
                     "four_n_rows_per_sec": hi["rows_per_sec"],
                 }
             )
+            # second job SHAPE: dedup pipeline (hash groupBy + LSH
+            # band self-join) — different bottleneck family than the
+            # as-of join, so the pair evidences engine scaling, not one
+            # plan's luck
+            lo2 = run_dedup_job(f"local[{n_small}]", n_small, path, n_scale)
+            hi2 = run_dedup_job(f"local[{n_large}]", n_large, path, n_scale)
+            eff2 = (hi2["rows_per_sec"] / lo2["rows_per_sec"]) / (n_large / n_small)
+            result["scaling_dedup"] = {
+                "n_cores": lo2,
+                "four_n_cores": hi2,
+                "efficiency": round(eff2, 3),
+            }
+            record_scaling(
+                {
+                    "job": "dedup_pipeline",
+                    "rows": n_scale,
+                    "n": n_small,
+                    "four_n": n_large,
+                    "efficiency": round(eff2, 3),
+                    "n_rows_per_sec": lo2["rows_per_sec"],
+                    "four_n_rows_per_sec": hi2["rows_per_sec"],
+                }
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -718,11 +780,16 @@ def compact_summary(result: dict) -> dict:
         out["canary"] = {"wall_sec": hc.get("wall_sec"), "score": hc.get("score")}
     pairs = result.get("scaling_recorded", {}).get("pairs", [])
     out["scaling"] = [
-        {"rows": p["rows"], "n": p["n"], "4n": p["four_n"], "eff": p["efficiency"]}
+        {
+            **({"job": p["job"]} if p.get("job") else {}),
+            "rows": p["rows"], "n": p["n"], "4n": p["four_n"], "eff": p["efficiency"],
+        }
         for p in pairs
     ]
     if "scaling" in result:
         out["scaling_live_eff"] = result["scaling"].get("efficiency")
+    if "scaling_dedup" in result:
+        out["scaling_dedup_eff"] = result["scaling_dedup"].get("efficiency")
     # hard budget: drop detail before ever emitting an unparseable tail
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
