@@ -45,13 +45,25 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
     return F.greatest(F.size(real), (F.length(F.col(text_col)) / 8).cast("int")).cast("long")
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _class_count(t: Column, chars: str) -> Column:
+    """Count of characters of ``chars`` in ``t`` via ``translate`` — a
+    plain per-char map lookup. The regex formulation
+    (``length(regexp_replace(t, '[^...]', ''))``) REBUILDS the string
+    through the regex engine per class; measured 13.9 s vs 1.3 s for the
+    four classes over 300k docs (the whole doc_stats hot spot)."""
+    return (F.length(t) - F.length(F.translate(t, chars, ""))).cast("double")
+
+
 def char_stats(text_col: str = "text") -> dict[str, Column]:
     t = F.col(text_col)
     n = F.length(t).cast("double")
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
-    digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
-    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).cast("double")
-    space = F.length(F.regexp_replace(t, r"[^ ]", "")).cast("double")
+    alpha = _class_count(t, _ALPHABET)
+    digit = _class_count(t, "0123456789")
+    punct = _class_count(t, ".,;:!?")
+    space = _class_count(t, " ")
     safe_n = F.greatest(n, F.lit(1.0))
     return {
         "n_chars": n.cast("long"),
