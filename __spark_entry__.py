@@ -4848,6 +4848,68 @@ FROM j LEFT JOIN pr ON j.domain = pr.domain
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate (operators/robots): per-source synthetic
+    robots bodies (a '*' group with Disallow /pK/ + Allow /pK/keep/, a
+    wildcard rule the literal-prefix subset must DROP, and a shadowing
+    badbot group that must not leak into '*') are PARSED from text and
+    applied to one URL per document with longest-prefix/allow-wins
+    semantics. The oracle is an independent formulation: it never
+    parses — it derives the intended verdict arithmetic directly, so a
+    parser bug cannot cancel out."""
+    from chronon_spark.operators.robots import apply_robots, parse_robots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.substring("source", 4, 10).cast("int") % 5
+    robots = (
+        docs.select("source").distinct().select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            F.concat(
+                F.lit("# policy\nUser-agent: *\nDisallow: /p"),
+                k,
+                F.lit("/\nAllow: /p"),
+                k,
+                F.lit("/keep/\nDisallow: /x*y\n\nUser-agent: badbot\nDisallow: /\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p"),
+            F.col("doc_id") % 7,
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/keep")).otherwise(F.lit("")),
+            F.lit("/d"),
+            F.col("doc_id"),
+        ).alias("url")
+    )
+    rules = parse_robots(robots, agent="*")
+    return apply_robots(urls, rules).select(
+        "url", "allowed", "matched_rule", "matched_prefix"
+    )
+
+
+_ROBOTS_FILTER_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+     CAST(substr(source, 4) AS INT) % 5 AS k,
+     doc_id % 7 AS p,
+     doc_id % 3 = 0 AS keep
+  FROM documents)
+SELECT
+  'https://' || source || '.example.com/p' || CAST(p AS VARCHAR)
+    || CASE WHEN keep THEN '/keep' ELSE '' END
+    || '/d' || CAST(doc_id AS VARCHAR) AS url,
+  (p <> k) OR keep AS allowed,
+  CASE WHEN p = k AND keep THEN 'allow'
+       WHEN p = k THEN 'disallow' END AS matched_rule,
+  CASE WHEN p = k AND keep THEN '/p' || CAST(k AS VARCHAR) || '/keep/'
+       WHEN p = k THEN '/p' || CAST(k AS VARCHAR) || '/' END AS matched_prefix
+FROM d
+"""
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus prior (linkgraph.domain_rollup): doc counts,
     corpus-wide duplicate-text counts, integer mean length, and the
@@ -5087,6 +5149,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiled_fetch": q_tiled_fetch,
         "harmonic_rank": q_harmonic_rank,
         "crawl_priority": q_crawl_priority,
+        "robots_filter": q_robots_filter,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -5191,6 +5254,7 @@ def _raw_oracles() -> dict[str, str]:
         "tiled_fetch": _TILED_FETCH_ORACLE,
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
+        "robots_filter": _ROBOTS_FILTER_ORACLE,
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

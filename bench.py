@@ -456,6 +456,7 @@ HEADLINE = [
     "tiled_fetch",
     "harmonic_rank",
     "crawl_priority",
+    "robots_filter",
 ]
 
 

@@ -1,0 +1,143 @@
+"""robots.txt parsing and URL exclusion — the crawl-politeness gate.
+
+A crawl pipeline must not fetch (or must drop, post-hoc) URLs a site's
+``robots.txt`` disallows. This implements the RFC 9309 core as pure
+relational plans so the DuckDB oracle replays the identical semantics:
+
+- **Grouping**: a ``User-agent:`` line STARTS a new group when the
+  previous retained line is not itself a ``User-agent`` line (RFC 9309
+  §2.1 start-of-group); all agents of the group share its rules.
+- **Matching**: a rule applies when the URL path starts with the rule's
+  path prefix; the LONGEST matching prefix wins, ``Allow`` beating
+  ``Disallow`` on equal length (Google/RFC longest-match rule).
+- Unmatched URLs are allowed; a missing robots.txt allows everything.
+- Subset: literal path prefixes only (no ``*``/``$`` wildcards — the
+  overwhelming majority of real rules; wildcard rules are IGNORED, the
+  safe-permissive reading is documented rather than mis-matched).
+
+Scale shape: parsing is posexplode + two window passes PARTITIONED BY
+DOMAIN — one robots.txt per domain and files are KB-sized, so the
+per-domain window is bounded and hot-key-safe (unlike per-entity event
+windows). Matching is one broadcast join (the rules table is bounded by
+|domains| x rules-per-file) + a per-URL max_by — URLs never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+WILDCARD_CHARS = ("*", "$")
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(domain, rule, path_prefix) for the rules governing ``agent``.
+
+    ``agent`` matching is the RFC's simplified token equality plus the
+    ``*`` catch-all group; a specific agent's groups SHADOW the ``*``
+    groups entirely when present (RFC 9309 §2.2.1: most specific group
+    wins, no merging).
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    typed = lines.select(
+        "domain",
+        "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
+    ).where(F.col("key").isin("user-agent", "disallow", "allow"))
+    w = W.partitionBy("domain").orderBy("pos")
+    grouped = (
+        typed.withColumn("prev_key", F.lag("key").over(w))
+        .withColumn(
+            "starts_group",
+            (
+                (F.col("key") == "user-agent")
+                & (F.coalesce(F.col("prev_key"), F.lit("")) != "user-agent")
+            ).cast("int"),
+        )
+        .withColumn("group_id", F.sum("starts_group").over(w))
+    )
+    agents = (
+        grouped.where(F.col("key") == "user-agent")
+        .select("domain", "group_id", F.lower("value").alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(F.col("key") != "user-agent").select(
+        "domain", "group_id", F.col("key").alias("rule"), F.col("value").alias("path_prefix")
+    )
+    # wildcard rules are out of the literal-prefix subset: drop, documented
+    for ch in WILDCARD_CHARS:
+        rules = rules.where(~F.col("path_prefix").contains(ch))
+    # empty Disallow: means "allow everything" for the group — no rule
+    rules = rules.where(F.col("path_prefix") != "")
+    mine = agents.where(F.lower(F.lit(agent)) == F.col("agent"))
+    star = agents.where(F.col("agent") == "*")
+    has_specific = mine.select("domain").distinct()
+    chosen = mine.unionByName(
+        star.join(has_specific, "domain", "left_anti")
+    ).select("domain", "group_id").distinct()
+    return (
+        rules.join(chosen, ["domain", "group_id"])
+        .select("domain", "rule", "path_prefix")
+        .distinct()
+    )
+
+
+def url_path(url_col: Column) -> Column:
+    """Path component of an absolute URL, '/' when empty."""
+    p = F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def apply_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """``urls`` + (allowed, matched_rule, matched_prefix) under ``rules``
+    (the :func:`parse_robots` output). Longest-prefix match, Allow wins
+    ties, unmatched/ruleless URLs allowed. One broadcast join keyed by
+    domain; the per-URL winner is a max_by aggregate (no window over the
+    URL table)."""
+    u = urls.withColumn(
+        "__dom", F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    ).withColumn("__path", url_path(F.col(url_col)))
+    joined = u.join(
+        F.broadcast(rules.withColumnRenamed("domain", "__dom")),
+        "__dom",
+        "left",
+    ).withColumn(
+        "__hit",
+        F.col("path_prefix").isNotNull()
+        & F.col("__path").startswith(F.col("path_prefix")),
+    )
+    # rank: longest prefix first; allow beats disallow on equal length
+    order = F.when(
+        F.col("__hit"),
+        F.length("path_prefix") * 2 + (F.col("rule") == "allow").cast("int"),
+    ).otherwise(F.lit(-1))
+    winner = joined.groupBy(*[F.col(c) for c in urls.columns]).agg(
+        F.max_by(F.struct("rule", "path_prefix"), order).alias("__w"),
+        F.max(order).alias("__best"),
+    )
+    return winner.select(
+        *urls.columns,
+        F.when(F.col("__best") < 0, F.lit(True))
+        .otherwise(F.col("__w.rule") == "allow")
+        .alias("allowed"),
+        F.when(F.col("__best") >= 0, F.col("__w.rule")).alias("matched_rule"),
+        F.when(F.col("__best") >= 0, F.col("__w.path_prefix")).alias("matched_prefix"),
+    )

@@ -1,0 +1,99 @@
+"""robots.txt parsing + URL exclusion vs hand-derived RFC semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.robots import apply_robots, parse_robots
+
+ROBOTS_A = """
+# crawler policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /tmp
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /special/
+"""
+
+ROBOTS_B = """
+User-agent: *
+Disallow: /wild*card
+Disallow: /end$
+Disallow:
+Allow: /a/b/
+Disallow: /a/
+"""
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark):
+    return spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.org", ROBOTS_B)], ["domain", "robots_txt"]
+    )
+
+
+def test_parse_groups_and_agents(spark, robots_df):
+    star = {
+        (r.domain, r.rule, r.path_prefix)
+        for r in parse_robots(robots_df, agent="*").collect()
+    }
+    assert star == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "allow", "/private/ok/"),
+        ("a.com", "disallow", "/tmp"),
+        # wildcard rules dropped, empty Disallow dropped
+        ("b.org", "allow", "/a/b/"),
+        ("b.org", "disallow", "/a/"),
+    }
+    # a specific agent's groups SHADOW the * groups for that domain
+    special = {
+        (r.domain, r.rule, r.path_prefix)
+        for r in parse_robots(robots_df, agent="SpecialBot").collect()
+    }
+    assert special == {
+        ("a.com", "disallow", "/special/"),
+        ("b.org", "allow", "/a/b/"),   # b.org has no specialbot group -> *
+        ("b.org", "disallow", "/a/"),
+    }
+
+
+def test_apply_longest_match_and_ties(spark, robots_df):
+    rules = parse_robots(robots_df, agent="*")
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/private/x",),        # disallow /private/
+            ("https://a.com/private/ok/x",),     # allow (longer) wins
+            ("https://a.com/tmpfile",),          # prefix match: /tmp
+            ("https://a.com/public",),           # no rule -> allowed
+            ("https://b.org/a/x",),              # disallow /a/
+            ("https://b.org/a/b/c",),            # allow /a/b/ (longest)
+            ("https://b.org/wildXcard",),        # wildcard rule ignored
+            ("https://nowhere.net/x",),          # ruleless domain
+            ("https://a.com",),                  # empty path -> "/"
+        ],
+        ["url"],
+    )
+    got = {r.url: (r.allowed, r.matched_prefix) for r in apply_robots(urls, rules).collect()}
+    assert got["https://a.com/private/x"] == (False, "/private/")
+    assert got["https://a.com/private/ok/x"] == (True, "/private/ok/")
+    assert got["https://a.com/tmpfile"] == (False, "/tmp")
+    assert got["https://a.com/public"] == (True, None)
+    assert got["https://b.org/a/x"] == (False, "/a/")
+    assert got["https://b.org/a/b/c"] == (True, "/a/b/")
+    assert got["https://b.org/wildXcard"] == (True, None)
+    assert got["https://nowhere.net/x"] == (True, None)
+    assert got["https://a.com"] == (True, None)
+
+
+def test_apply_plan_broadcasts_rules(spark, robots_df):
+    import bench
+
+    rules = parse_robots(robots_df)
+    urls = spark.createDataFrame([("https://a.com/x",)], ["url"])
+    d = bench.plan_digest(apply_robots(urls, rules))
+    assert d["broadcast_joins"] >= 1 and d["python_stages"] == 0
+    # SMJs inside parse_robots join the tiny agents/rules tables (AQE
+    # broadcasts them at runtime); the URL-side join itself is the
+    # explicit broadcast asserted above
