@@ -4910,6 +4910,73 @@ FROM d
 """
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap crawl discovery (robots.parse_sitemap): per-source XML
+    assembled from the documents table (lastmod on even ids, priority on
+    %4 ids, one index entry per source), parsed back to entry rows. The
+    oracle never parses XML — it derives each field arithmetically."""
+    from chronon_spark.operators.robots import parse_sitemap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    el = F.concat(
+        F.lit("<url>\n  <loc> https://"),
+        F.col("source"),
+        F.lit(".example.com/d"),
+        F.col("doc_id"),
+        F.lit(" </loc>\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("  <lastmod>2024-01-"),
+                F.lpad((F.col("doc_id") % 28) + 1, 2, "0"),
+                F.lit("</lastmod>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("  <priority>0."), F.col("doc_id") % 10, F.lit("</priority>\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        docs.select("source", el.alias("el"))
+        .groupBy("source")
+        .agg(F.concat_ws("\n", F.collect_list("el")).alias("body"))
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            F.concat(
+                F.lit("<urlset>\n"),
+                F.col("body"),
+                F.lit("\n</urlset>\n<sitemapindex><sitemap><loc>https://"),
+                F.col("source"),
+                F.lit(".example.com/sitemap-2.xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    return parse_sitemap(xml)
+
+
+_SITEMAP_PARSE_ORACLE = """
+SELECT source || '.example.com' AS domain,
+       'url' AS kind,
+       'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR) AS loc,
+       CASE WHEN doc_id % 2 = 0
+            THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN (doc_id % 10) * 100 ELSE 500 END AS BIGINT)
+         AS priority_milli
+FROM documents
+UNION ALL
+SELECT DISTINCT source || '.example.com',
+       'sitemap',
+       'https://' || source || '.example.com/sitemap-2.xml',
+       NULL,
+       CAST(500 AS BIGINT)
+FROM documents
+"""
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus prior (linkgraph.domain_rollup): doc counts,
     corpus-wide duplicate-text counts, integer mean length, and the
@@ -5150,6 +5217,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_rank": q_harmonic_rank,
         "crawl_priority": q_crawl_priority,
         "robots_filter": q_robots_filter,
+        "sitemap_parse": q_sitemap_parse,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -5255,6 +5323,7 @@ def _raw_oracles() -> dict[str, str]:
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,
+        "sitemap_parse": _SITEMAP_PARSE_ORACLE,
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

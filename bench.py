@@ -457,6 +457,7 @@ HEADLINE = [
     "harmonic_rank",
     "crawl_priority",
     "robots_filter",
+    "sitemap_parse",
 ]
 
 

@@ -141,3 +141,61 @@ def apply_robots(
         F.when(F.col("__best") >= 0, F.col("__w.rule")).alias("matched_rule"),
         F.when(F.col("__best") >= 0, F.col("__w.path_prefix")).alias("matched_prefix"),
     )
+
+
+# sitemap grammar (sitemaps.org protocol): one <url> element per page
+# with <loc> required and <lastmod>/<priority> optional; an index file
+# lists further sitemaps as <sitemap><loc> elements. (?s): elements span
+# lines. No backslash classes anywhere — the element pattern is embedded
+# in a SQL string literal (different escaping rules than the Column
+# API), so whitespace is handled by trim() instead.
+_SITEMAP_URL_EL = "(?s)<url>(.*?)</url>"
+_SITEMAP_IDX_EL = "(?s)<sitemap>(.*?)</sitemap>"
+
+
+def parse_sitemap(
+    df: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """(domain, kind, loc, lastmod, priority_milli) from sitemap XML —
+    the crawl-discovery twin of :func:`parse_robots`.
+
+    ``kind`` is ``url`` (a page entry) or ``sitemap`` (an index entry
+    pointing at a child sitemap the frontier must fetch next).
+    ``priority_milli`` is the protocol's 0.0-1.0 priority as an exact
+    integer in thousandths (500 when absent, per the protocol default).
+    Pure projection + explode over ``regexp_extract_all`` (the
+    extract_anchors pattern) — zero Python, zero shuffle; entries per
+    file are protocol-bounded (50k), so explode fan-out is bounded.
+    """
+    def entries(pattern: str, kind: str) -> DataFrame:
+        el = F.explode(
+            F.expr(
+                f"regexp_extract_all(CAST({xml_col} AS STRING), '{pattern}', 1)"
+            )
+        ).alias("el")
+        out = df.select(F.col(domain_col).alias("domain"), el)
+        loc = F.trim(F.regexp_extract("el", "(?s)<loc>([^<]+)</loc>", 1))
+        lastmod = F.trim(
+            F.regexp_extract("el", "(?s)<lastmod>([^<]+)</lastmod>", 1)
+        )
+        prio = F.trim(
+            F.regexp_extract("el", "(?s)<priority>([^<]+)</priority>", 1)
+        )
+        return out.select(
+            "domain",
+            F.lit(kind).alias("kind"),
+            loc.alias("loc"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.when(prio == "", F.lit(500))
+            # round, not floor: 0.3*1000 is 299.99... in doubles, and
+            # protocol priorities have <= 3 decimals so round is exact
+            .otherwise(F.round(prio.cast("double") * 1000).cast("int"))
+            .cast("long")
+            .alias("priority_milli"),
+        ).where(F.col("loc") != "")
+
+    return entries(_SITEMAP_URL_EL, "url").unionByName(
+        entries(_SITEMAP_IDX_EL, "sitemap")
+    )

@@ -97,3 +97,43 @@ def test_apply_plan_broadcasts_rules(spark, robots_df):
     # SMJs inside parse_robots join the tiny agents/rules tables (AQE
     # broadcasts them at runtime); the URL-side join itself is the
     # explicit broadcast asserted above
+
+
+def test_parse_sitemap(spark):
+    from chronon_spark.operators.robots import parse_sitemap
+
+    xml = """<?xml version="1.0"?>
+<urlset>
+  <url>
+    <loc> https://a.com/page1 </loc>
+    <lastmod>2024-01-15</lastmod>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://a.com/page2</loc></url>
+  <url><lastmod>2024-02-02</lastmod></url>
+</urlset>"""
+    idx = """<sitemapindex>
+  <sitemap><loc>https://b.org/sitemap-news.xml</loc><lastmod>2024-03-01</lastmod></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.org", idx)], ["domain", "sitemap_xml"]
+    )
+    got = {
+        (r.domain, r.kind, r.loc): (r.lastmod, r.priority_milli)
+        for r in parse_sitemap(df).collect()
+    }
+    # loc-less entries dropped; whitespace trimmed; defaults applied
+    assert got == {
+        ("a.com", "url", "https://a.com/page1"): ("2024-01-15", 800),
+        ("a.com", "url", "https://a.com/page2"): (None, 500),
+        ("b.org", "sitemap", "https://b.org/sitemap-news.xml"): ("2024-03-01", 500),
+    }
+
+
+def test_parse_sitemap_plan_is_narrow(spark):
+    import bench
+    from chronon_spark.operators.robots import parse_sitemap
+
+    df = spark.createDataFrame([("a.com", "<urlset/>")], ["domain", "sitemap_xml"])
+    d = bench.plan_digest(parse_sitemap(df))
+    assert d["exchanges"] == 0 and d["python_stages"] == 0
