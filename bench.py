@@ -241,14 +241,16 @@ def webtext_ops_bench(spark, path: str, n_rows: int) -> dict:
     # over the PERSISTED frame, whose partition count is the scan's split
     # count — 64m packed the 5MB generator files into ~10 splits, capping
     # every op at 10 of 32 cores (same lesson as run_dedup_job).
+    prior_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prior_open = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.files.openCostInBytes", "1m")
     docs = spark.read.parquet(path).select(
         F.col("url").alias("doc_id"), "text"
     ).persist()
     docs.count()  # materialize once: op timings measure the OP, not the scan
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
-    spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prior_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", prior_open)
 
     def run(name, fn):
         walls = []

@@ -16,10 +16,13 @@ relational plans so the DuckDB oracle replays the identical semantics:
   safe-permissive reading is documented rather than mis-matched).
 
 Scale shape: parsing is posexplode + two window passes PARTITIONED BY
-DOMAIN — one robots.txt per domain and files are KB-sized, so the
-per-domain window is bounded and hot-key-safe (unlike per-entity event
-windows). Matching is one broadcast join (the rules table is bounded by
-|domains| x rules-per-file) + a per-URL max_by — URLs never shuffle.
+(DOMAIN, FILE) — robots files are KB-sized, so the window is bounded
+and hot-key-safe (unlike per-entity event windows); multiple files per
+domain (recrawl snapshots) parse independently and their rule sets
+union. Matching is one broadcast join (the rules table is bounded by
+|domains| x rules-per-file) + ONE hash aggregation whose map-side
+combine collapses the per-rule fan-out back to a single combined row
+per URL row before the exchange — no window, no sort over URLs.
 """
 
 from __future__ import annotations
@@ -44,21 +47,31 @@ def parse_robots(
     groups entirely when present (RFC 9309 §2.2.1: most specific group
     wins, no merging).
     """
-    lines = df.select(
-        F.col(domain_col).alias("domain"),
+    # one window partition PER INPUT FILE: multiple robots rows for a
+    # domain (recrawl snapshots) must parse independently — a shared
+    # per-domain window would interleave the files' lines and attach one
+    # file's rules to another's group. The resulting rule set is the
+    # UNION over the domain's files (conservative), deterministically.
+    # the id must bind BEFORE the explode (withColumn = per input row);
+    # inside the same select as posexplode it would evaluate per LINE
+    lines = df.withColumn("__file", F.monotonically_increasing_id()).select(
+        F.lower(F.col(domain_col)).alias("domain"),
+        "__file",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).select(
         "domain",
+        "__file",
         "pos",
         F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
     ).where(F.col("line") != "")
     typed = lines.select(
         "domain",
+        "__file",
         "pos",
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
     ).where(F.col("key").isin("user-agent", "disallow", "allow"))
-    w = W.partitionBy("domain").orderBy("pos")
+    w = W.partitionBy("domain", "__file").orderBy("pos")
     grouped = (
         typed.withColumn("prev_key", F.lag("key").over(w))
         .withColumn(
@@ -70,13 +83,19 @@ def parse_robots(
         )
         .withColumn("group_id", F.sum("starts_group").over(w))
     )
+    # group ids restart per (domain, file): every downstream join must be
+    # keyed on __file too, or groups from different files would collide
     agents = (
         grouped.where(F.col("key") == "user-agent")
-        .select("domain", "group_id", F.lower("value").alias("agent"))
+        .select("domain", "__file", "group_id", F.lower("value").alias("agent"))
         .distinct()
     )
     rules = grouped.where(F.col("key") != "user-agent").select(
-        "domain", "group_id", F.col("key").alias("rule"), F.col("value").alias("path_prefix")
+        "domain",
+        "__file",
+        "group_id",
+        F.col("key").alias("rule"),
+        F.col("value").alias("path_prefix"),
     )
     # wildcard rules are out of the literal-prefix subset: drop, documented
     for ch in WILDCARD_CHARS:
@@ -88,17 +107,19 @@ def parse_robots(
     has_specific = mine.select("domain").distinct()
     chosen = mine.unionByName(
         star.join(has_specific, "domain", "left_anti")
-    ).select("domain", "group_id").distinct()
+    ).select("domain", "__file", "group_id").distinct()
     return (
-        rules.join(chosen, ["domain", "group_id"])
+        rules.join(chosen, ["domain", "__file", "group_id"])
         .select("domain", "rule", "path_prefix")
         .distinct()
     )
 
 
 def url_path(url_col: Column) -> Column:
-    """Path component of an absolute URL, '/' when empty."""
-    p = F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    """Path component of an absolute URL, '/' when empty. Scheme matching
+    is case-insensitive (URL schemes are); the PATH keeps its case (paths
+    are case-sensitive per the robots spec)."""
+    p = F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?#]*)", 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
@@ -109,11 +130,20 @@ def apply_robots(
 ) -> DataFrame:
     """``urls`` + (allowed, matched_rule, matched_prefix) under ``rules``
     (the :func:`parse_robots` output). Longest-prefix match, Allow wins
-    ties, unmatched/ruleless URLs allowed. One broadcast join keyed by
-    domain; the per-URL winner is a max_by aggregate (no window over the
-    URL table)."""
-    u = urls.withColumn(
-        "__dom", F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    ties, unmatched/ruleless URLs allowed; duplicate input rows are
+    preserved (verdicts attach per ROW, not per distinct URL). Scheme and
+    host comparisons are case-insensitive — a politeness gate must never
+    fail OPEN on 'HTTPS://A.com/...'. Plan: one broadcast join keyed by
+    the lowercased host, then ONE hash aggregation reducing the joined
+    fan-out back to a single combined row per input row (map-side
+    combined max_by; no window, no sort)."""
+    u = urls.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__dom",
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1
+            )
+        ),
     ).withColumn("__path", url_path(F.col(url_col)))
     joined = u.join(
         F.broadcast(rules.withColumnRenamed("domain", "__dom")),
@@ -129,7 +159,7 @@ def apply_robots(
         F.col("__hit"),
         F.length("path_prefix") * 2 + (F.col("rule") == "allow").cast("int"),
     ).otherwise(F.lit(-1))
-    winner = joined.groupBy(*[F.col(c) for c in urls.columns]).agg(
+    winner = joined.groupBy("__rid", *[F.col(c) for c in urls.columns]).agg(
         F.max_by(F.struct("rule", "path_prefix"), order).alias("__w"),
         F.max(order).alias("__best"),
     )

@@ -337,7 +337,7 @@ def epoch_repeat_mix(
     by ceil(e) x group size. Deterministic for fixed (seed, id).
     """
     if not epochs:
-        return df.where(F.lit(False)).withColumn("epoch", F.lit(1))
+        return df.where(F.lit(False)).withColumn("epoch", F.lit(1).cast("long"))
     whole_map, frac_map = [], []
     for k, e in epochs.items():
         assert e >= 0.0, f"negative epochs for {k!r}"

@@ -257,10 +257,9 @@ def fetch_group_by_tiled(
     """
     batch_end_hop = batch_end_ms // hop_ms
     assert batch_end_ms % hop_ms == 0, "batch end must align to a hop"
-    if live_hop is None:
-        mx = tile_irs.agg(F.max("__hop")).first()[0]
-        live_hop = (int(mx) + 1) if mx is not None else batch_end_hop
     bounds = tile_irs.agg(F.min("__hop"), F.max("__hop")).first()
+    if live_hop is None:
+        live_hop = (int(bounds[1]) + 1) if bounds[1] is not None else batch_end_hop
     if bounds[0] is not None:
         assert bounds[0] >= batch_end_hop, (
             f"tile hop {bounds[0]} overlaps the batch range (< {batch_end_hop})"

@@ -48,13 +48,24 @@ _SEP = "\x01"  # never appears in key values produced by our sources
 DEFAULT_MAX_POINT_KEYS = 10_000
 
 
+_NULL_SENTINEL = "\x00"  # concat_ws SKIPS nulls: ('a', NULL) and
+# (NULL, 'a') would otherwise both encode to 'a' and collide
+
+
 def kv_key_col(key_columns: Sequence[str]) -> F.Column:
-    return F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_columns])
+    return F.concat_ws(
+        _SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in key_columns
+        ],
+    )
 
 
 def kv_key_of(values: Sequence) -> str:
-    """Driver-side twin of :func:`kv_key_col` for literal request keys."""
-    return _SEP.join("" if v is None else str(v) for v in values)
+    """Driver-side twin of :func:`kv_key_col` for literal request keys —
+    same NULL sentinel, so both sides encode identically."""
+    return _SEP.join(_NULL_SENTINEL if v is None else str(v) for v in values)
 
 
 def write_kv_table(

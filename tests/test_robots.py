@@ -137,3 +137,50 @@ def test_parse_sitemap_plan_is_narrow(spark):
     df = spark.createDataFrame([("a.com", "<urlset/>")], ["domain", "sitemap_xml"])
     d = bench.plan_digest(parse_sitemap(df))
     assert d["exchanges"] == 0 and d["python_stages"] == 0
+
+
+def test_case_insensitive_host_never_fails_open(spark, robots_df):
+    rules = parse_robots(robots_df, agent="*")
+    urls = spark.createDataFrame(
+        [("HTTPS://A.com/private/x",), ("https://A.COM/private/ok/y",)], ["url"]
+    )
+    got = {r.url: r.allowed for r in apply_robots(urls, rules).collect()}
+    assert got["HTTPS://A.com/private/x"] is False
+    assert got["https://A.COM/private/ok/y"] is True
+
+
+def test_duplicate_url_rows_are_preserved(spark, robots_df):
+    rules = parse_robots(robots_df, agent="*")
+    urls = spark.createDataFrame(
+        [("https://a.com/private/x",)] * 3 + [("https://a.com/ok",)], ["url"]
+    )
+    out = apply_robots(urls, rules)
+    assert out.count() == 4
+    assert out.where("NOT allowed").count() == 3
+
+
+def test_multiple_robots_files_per_domain_union(spark):
+    # two snapshots of a.com's robots: groups must NOT interleave across
+    # files; the effective rule set is the union of both files' * groups
+    f1 = "User-agent: *\nDisallow: /one/"
+    f2 = "User-agent: specialbot\nDisallow: /spec/\nUser-agent: *\nDisallow: /two/"
+    df = spark.createDataFrame(
+        [("a.com", f1), ("a.com", f2)], ["domain", "robots_txt"]
+    )
+    got = {
+        (r.rule, r.path_prefix) for r in parse_robots(df, agent="*").collect()
+    }
+    assert got == {("disallow", "/one/"), ("disallow", "/two/")}
+
+
+def test_kv_key_null_sentinel(spark):
+    from chronon_spark.plans.kvstore import kv_key_col, kv_key_of
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "b")], ["k1", "k2"]
+    )
+    keys = [r.k for r in df.select(kv_key_col(["k1", "k2"]).alias("k")).collect()]
+    assert len(set(keys)) == 3  # ('a', NULL) and (NULL, 'a') must differ
+    assert keys[0] == kv_key_of(["a", None])
+    assert keys[1] == kv_key_of([None, "a"])
+    assert keys[2] == kv_key_of(["a", "b"])
