@@ -4848,6 +4848,41 @@ FROM j LEFT JOIN pr ON j.domain = pr.domain
 """
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-slot assignment (indexing.schedule_crawl) over the
+    crawl_priority frontier: per-domain frontiers capped at 20 via the
+    SALTED exact top-k, ranked (priority desc, url asc), cut into
+    per_slot=5 fetch waves. Oracle ranks the same composed frontier with
+    a plain window — verifying the salted cap against unsalted
+    semantics AND the full priority composition underneath."""
+    from chronon_spark.operators.indexing import schedule_crawl
+
+    frontier = q_crawl_priority(spark, sf_dir).select(
+        "url", "domain", "priority_micro"
+    )
+    return schedule_crawl(
+        frontier,
+        per_slot=5,
+        max_frontier_per_domain=20,
+        salt_partitions=2,
+    ).select("url", "domain", "priority_micro", "rank", "slot")
+
+
+def _crawl_schedule_oracle() -> str:
+    inner = _crawl_priority_oracle()
+    return f"""
+WITH pri AS MATERIALIZED ({inner}),
+r AS (
+  SELECT url, domain, priority_micro,
+     row_number() OVER (PARTITION BY domain
+                        ORDER BY priority_micro DESC, url ASC) AS rank
+  FROM pri)
+SELECT url, domain, priority_micro, CAST(rank AS BIGINT) AS rank,
+   CAST((rank - 1) // 5 AS BIGINT) AS slot
+FROM r WHERE rank <= 20
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl gate (operators/robots): per-source synthetic
     robots bodies (a '*' group with Disallow /pK/ + Allow /pK/keep/, a
@@ -5218,6 +5253,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority": q_crawl_priority,
         "robots_filter": q_robots_filter,
         "sitemap_parse": q_sitemap_parse,
+        "crawl_schedule": q_crawl_schedule,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "crawl_diff": q_crawl_diff,
@@ -5324,6 +5360,7 @@ def _raw_oracles() -> dict[str, str]:
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,
         "sitemap_parse": _SITEMAP_PARSE_ORACLE,
+        "crawl_schedule": _crawl_schedule_oracle(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "phrase_search": _PHRASE_SEARCH_ORACLE,
         "crawl_diff": _CRAWL_DIFF_ORACLE,

@@ -460,6 +460,7 @@ HEADLINE = [
     "crawl_priority",
     "robots_filter",
     "sitemap_parse",
+    "crawl_schedule",
 ]
 
 

@@ -447,3 +447,48 @@ def crawl_priority(
         F.coalesce("rank", F.lit(0)).cast("long").alias("rank"),
         priority.cast("long").alias("priority_micro"),
     )
+
+
+def schedule_crawl(
+    frontier: DataFrame,
+    domain_col: str = "domain",
+    priority_col: str = "priority_micro",
+    url_col: str = "url",
+    per_slot: int = 10,
+    max_frontier_per_domain: int = 0,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Politeness-slot assignment — the last step of the frontier
+    pipeline (discover → robots-filter → prioritize → SCHEDULE): a
+    crawler fetches at most ``per_slot`` URLs per domain per wave, so
+    within each domain the rank-ordered frontier (priority desc, url asc
+    ties) is cut into waves: ``slot = (rank - 1) DIV per_slot``.
+
+    Hot-domain bound: the per-domain rank is a window, so one domain's
+    frontier sits in one task. ``max_frontier_per_domain > 0`` first caps
+    each domain's frontier via the exact SALTED two-phase top-k
+    (``sampling.top_k_per_key`` — no single-task bottleneck), then ranks
+    only the bounded survivors; at web scale pass the crawl budget here.
+    Returns frontier columns + (rank, slot).
+    """
+    from pyspark.sql import Window as W
+
+    from chronon_spark.operators.sampling import top_k_per_key
+
+    df = frontier
+    if max_frontier_per_domain > 0:
+        df = top_k_per_key(
+            df,
+            key_col=domain_col,
+            k=max_frontier_per_domain,
+            id_col=url_col,
+            order_col=priority_col,
+            salt_partitions=salt_partitions,
+        )
+    w = W.partitionBy(domain_col).orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    ranked = df.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.withColumn(
+        "slot", F.expr(f"(rank - 1) DIV {per_slot}").cast("long")
+    )

@@ -324,3 +324,31 @@ def test_crawl_priority_plan_broadcasts_ranks(spark):
     d = bench.plan_digest(crawl_priority(stats, ranks))
     assert d["broadcast_joins"] >= 1 and d["python_stages"] == 0
     assert d["sort_merge_joins"] == 0
+
+
+def test_schedule_crawl_waves_and_cap(spark):
+    from chronon_spark.operators.indexing import schedule_crawl
+
+    rows = [(f"https://a.com/{i}", "a.com", 100 - i) for i in range(7)] + [
+        ("https://b.org/1", "b.org", 5)
+    ]
+    frontier = spark.createDataFrame(rows, ["url", "domain", "priority_micro"])
+    out = schedule_crawl(frontier, per_slot=3).collect()
+    got = {r.url: (r.rank, r.slot) for r in out}
+    # a.com: priorities 100..94 -> ranks 1..7, waves of 3
+    for i in range(7):
+        assert got[f"https://a.com/{i}"] == (i + 1, i // 3)
+    assert got["https://b.org/1"] == (1, 0)
+    # cap: only top-4 per domain survive; salted == unsalted
+    capped = schedule_crawl(
+        frontier, per_slot=3, max_frontier_per_domain=4
+    ).collect()
+    assert {r.url for r in capped if r.domain == "a.com"} == {
+        f"https://a.com/{i}" for i in range(4)
+    }
+    salted = schedule_crawl(
+        frontier, per_slot=3, max_frontier_per_domain=4, salt_partitions=3
+    ).collect()
+    assert sorted((r.url, r.rank, r.slot) for r in capped) == sorted(
+        (r.url, r.rank, r.slot) for r in salted
+    )
