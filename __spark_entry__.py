@@ -974,6 +974,63 @@ FROM q GROUP BY doc_id
 """
 
 
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid Backoff LM scoring (Brants et al. 2007 — the
+    published web-scale LM: every quantity a raw count, sharded joins):
+    per-doc mean negative log-score with a REAL context model, plus the
+    backoff count (unusual-word-order signal). Self-trained; per-position
+    scores quantized to integer micro-nats so the per-doc aggregate is
+    exact integer arithmetic (textstats.stupid_backoff_score)."""
+    from chronon_spark.operators.textstats import stupid_backoff_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stupid_backoff_score(docs, "doc_id")
+
+
+_STUPID_BACKOFF_ORACLE = r"""
+WITH nt AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+ta AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nt),
+tok AS (
+  SELECT doc_id, p.pos, p.w2,
+         CASE WHEN p.pos = 1 THEN NULL ELSE toks[p.pos - 1] END AS w1
+  FROM ta, LATERAL (
+    SELECT unnest(toks) AS w2, generate_subscripts(toks, 1) AS pos) p
+),
+uc AS (SELECT w2 AS token, count(*) AS c FROM tok GROUP BY 1),
+bc AS (SELECT w1, w2, count(*) AS b FROM tok WHERE w1 IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+q AS (
+  SELECT tok.doc_id,
+    CASE
+      WHEN tok.w1 IS NULL THEN
+        CAST(floor((-(ln(CAST(coalesce(c2.c, 1) AS DOUBLE)) - ln(tot.n)))
+             * 1000000 + 0.5) AS BIGINT)
+      WHEN bc.b IS NOT NULL AND c1.c IS NOT NULL THEN
+        CAST(floor((-(ln(CAST(bc.b AS DOUBLE)) - ln(CAST(c1.c AS DOUBLE))))
+             * 1000000 + 0.5) AS BIGINT)
+      ELSE
+        CAST(floor((-(ln(CAST(coalesce(c2.c, 1) AS DOUBLE)) - ln(tot.n)))
+             * 1000000 + 0.5) AS BIGINT) + 916291
+    END AS qn,
+    CASE WHEN tok.w1 IS NOT NULL AND (bc.b IS NULL OR c1.c IS NULL)
+         THEN 1 ELSE 0 END AS bo
+  FROM tok
+  LEFT JOIN uc c2 ON c2.token = tok.w2
+  LEFT JOIN uc c1 ON c1.token = tok.w1
+  LEFT JOIN bc ON bc.w1 = tok.w1 AND bc.w2 = tok.w2
+  CROSS JOIN tot
+)
+SELECT doc_id AS id, count(*) AS n_tokens,
+   CAST(sum(bo) AS BIGINT) AS n_backoff,
+   CAST(sum(qn) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+     AS mean_neg_logscore
+FROM q GROUP BY doc_id
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail (Wenzek et al. 2020): per-language equal-
     count perplexity tiers under the self-trained unigram LM. mode="auto"
@@ -5244,6 +5301,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget cut truncates re-confirmations, never first-time checks.
     return {
         # -- never driver-checked before round 4 ---------------------------
+        "stupid_backoff": q_stupid_backoff,
         "kv_fetch": q_kv_fetch,
         "doc_chunks": q_doc_chunks,
         "epoch_mix": q_epoch_mix,
@@ -5389,6 +5447,7 @@ def _raw_oracles() -> dict[str, str]:
         "duplicated_spans": _DUP_SPANS_ORACLE,
         "span_removal": _SPAN_REMOVAL_ORACLE,
         "ccnet_buckets": _CCNET_ORACLE,
+        "stupid_backoff": _STUPID_BACKOFF_ORACLE,
         "incremental_dedup": _incremental_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "pii_redact": _pii_oracle(),

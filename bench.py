@@ -461,6 +461,7 @@ HEADLINE = [
     "robots_filter",
     "sitemap_parse",
     "crawl_schedule",
+    "stupid_backoff",
 ]
 
 

@@ -369,6 +369,160 @@ def unigram_logprob_score(
     )
 
 
+# round(-ln(0.4) * 1e6): the Stupid Backoff alpha=0.4 penalty (Brants et
+# al. 2007) pre-quantized to integer micro-nats in PYTHON, so neither
+# engine evaluates a transcendental of a non-integer — the only cross-
+# engine log calls are ln() of integer-valued doubles, the same class
+# the unigram oracle already matches bit-for-bit.
+BACKOFF_PENALTY_MICRO = 916291
+
+
+def bigram_counts(
+    corpus: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(w1, w2, c): adjacent-token-pair counts over normalized text —
+    the bigram 'training pass' of the backoff LM.
+
+    Pairs are built with an index-aware array ``transform`` (a pure
+    projection — no window, no positional self-join), then ONE
+    map-side-combined shuffle aggregates. ``min_count`` prunes the
+    model table (count thresholding, as the web-scale LM papers do to
+    bound the n-gram table); scoring treats pruned pairs as unseen.
+    """
+    arr = corpus.select(F.split(norm_text(text_col), " ").alias("__t"))
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 2, greatest(size(__t) - 1, 0)),"
+                " (x, i) -> struct(element_at(__t, i + 1) AS w1, x AS w2))"
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    out = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        out = out.where(F.col("c") >= min_count)
+    return out
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    id_col: str,
+    bigrams: Optional[DataFrame] = None,
+    unigrams: Optional[DataFrame] = None,
+    text_col: str = "text",
+    alpha_penalty_micro: int = BACKOFF_PENALTY_MICRO,
+) -> DataFrame:
+    """Per-doc mean negative log-score under a bigram Stupid Backoff LM
+    (Brants et al. 2007, "Large Language Models in Machine Translation"
+    — the published WEB-SCALE choice: trained on 2T tokens via sharded
+    MapReduce joins precisely because, unlike Kneser-Ney, every quantity
+    is a raw count). CCNet's perplexity filter with a real context model
+    instead of the unigram reduction.
+
+    Score per position i: S(w_i|w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})
+    when the bigram was seen, else alpha * c(w_i)/N (alpha = 0.4 as
+    published, carried as the pre-quantized integer ``alpha_penalty_micro``
+    added to the unigram score); position 1 scores as the unigram.
+    Unseen unigrams floor at count 1 (same rule as
+    ``unigram_logprob_score``).
+
+    Returns (id, n_tokens, n_backoff, mean_neg_logscore). ``n_backoff``
+    — positions that fell back to the unigram — is itself a quality
+    signal (high backoff fraction = unusual word order, i.e. gibberish).
+
+    Determinism: per-position scores are quantized to 1e-6 integer nats
+    before the per-doc SUM (exact integer aggregate, order/partitioning
+    independent, DuckDB oracle bit-exact). The LM total is ONE driver
+    scalar.
+
+    Scale: the model tables are |vocab| and |bigram-vocab| rows — small
+    vs the corpus; they localCheckpoint once (single compute, truncated
+    lineage, nothing left persisted). The token stream shuffles through
+    three hash joins (w2, w1, (w1,w2)) — the sharded-join topology of
+    the Brants paper; AQE broadcasts the model side when it fits, and
+    ``bigram_counts(min_count=...)`` bounds it when it doesn't.
+    """
+    if unigrams is None:
+        unigrams = unigram_counts(docs, text_col)
+    if bigrams is None:
+        bigrams = bigram_counts(docs, text_col)
+    unigrams = unigrams.localCheckpoint()
+    bigrams = bigrams.localCheckpoint()
+    total = unigrams.agg(F.sum("c")).first()[0]
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(norm_text(text_col), " ").alias("__t"),
+    ).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(__t, (x, i) -> struct("
+                "CASE WHEN i = 0 THEN CAST(NULL AS STRING)"
+                " ELSE element_at(__t, i) END AS w1, x AS w2))"
+            )
+        ).alias("__p"),
+    ).select("id", "__p.w1", "__p.w2")
+
+    joined = (
+        tok.join(
+            unigrams.select(F.col("token").alias("w2"), F.col("c").alias("__c2")),
+            "w2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("token").alias("w1"), F.col("c").alias("__c1")),
+            "w1",
+            "left",
+        )
+        .join(
+            bigrams.select("w1", "w2", F.col("c").alias("__b")),
+            ["w1", "w2"],
+            "left",
+        )
+    )
+
+    ln_n = F.log(F.lit(float(total)))
+    q_uni = F.floor(
+        (-(F.log(F.coalesce(F.col("__c2"), F.lit(1)).cast("double")) - ln_n))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    q_big = F.floor(
+        (-(F.log(F.col("__b").cast("double")) - F.log(F.col("__c1").cast("double"))))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    qn = (
+        F.when(F.col("w1").isNull(), q_uni)
+        .when(F.col("__b").isNotNull() & F.col("__c1").isNotNull(), q_big)
+        .otherwise(q_uni + F.lit(alpha_penalty_micro))
+    )
+    backed_off = (
+        F.col("w1").isNotNull()
+        & (F.col("__b").isNull() | F.col("__c1").isNull())
+    ).cast("long")
+    return (
+        joined.select("id", qn.alias("__qn"), backed_off.alias("__bo"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__bo").alias("n_backoff"),
+            F.sum("__qn").alias("__s"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_backoff",
+            (
+                F.col("__s").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_neg_logscore"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization (web-corpus dedup-by-url prerequisite)
 # ---------------------------------------------------------------------------

@@ -428,3 +428,20 @@ def test_digest_invariants_round4_late_queries(spark):
     assert d["python_stages"] == 0, d
     plan = kv._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount:" in plan, "point lookup must prune buckets"
+
+
+def test_digest_invariants_stupid_backoff(spark):
+    """The bigram backoff LM: token stream through three model joins +
+    one aggregate — zero Python anywhere, bounded exchanges (model
+    tables localCheckpoint once, so the digest sees scans, not
+    re-aggregations of the corpus per join)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    d = bench.plan_digest(qs["stupid_backoff"](spark, "/root/testdata/sf0.001"))
+    assert d["python_stages"] == 0, d
+    assert d["exchanges"] <= 5, d
