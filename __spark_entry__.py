@@ -4462,6 +4462,41 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(domain_edges(links), iters=4)
 
 
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004) over the same domain graph as
+    domain_rank: teleport restricted to three trusted seed domains
+    (linkgraph.domain_trustrank) — the published web-spam demotion
+    prior; domains unreachable from the seeds hold zero trust. The
+    oracle unrolls every iteration as CTEs — bit-exact BIGINT algebra."""
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        domain_trustrank,
+        extract_links,
+    )
+
+    links = extract_links(_linkgraph_html(sf_dir, spark))
+    seeds = spark.createDataFrame(
+        [("hub.example.net",), ("src1.example.com",), ("src7.example.com",)],
+        "domain string",
+    )
+    return domain_trustrank(domain_edges(links), seeds, iters=4)
+
+
+def _trust_rank_oracle() -> str:
+    from chronon_spark.operators.linkgraph import trustrank_oracle_sql
+
+    edges_sql = (
+        "WITH " + _LINKGRAPH_LINKS_SQL
+        + "SELECT DISTINCT src_domain, dst_domain FROM links"
+        + " WHERE src_domain <> dst_domain"
+    )
+    seeds_sql = (
+        "SELECT * FROM (VALUES ('hub.example.net'), ('src1.example.com'),"
+        " ('src7.example.com')) t(domain)"
+    )
+    return trustrank_oracle_sql(edges_sql, seeds_sql, iters=4)
+
+
 def q_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities over the same domain graph as
     domain_rank (linkgraph.domain_hits, 3 iterations, divide-only L1
@@ -5323,6 +5358,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
+        "trust_rank": q_trust_rank,
         "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
@@ -5479,6 +5515,7 @@ def _raw_oracles() -> dict[str, str]:
         "warc_ingest": _WARC_INGEST_ORACLE,
         "link_graph": _LINK_GRAPH_ORACLE,
         "domain_rank": _domain_rank_oracle(),
+        "trust_rank": _trust_rank_oracle(),
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,

@@ -462,6 +462,7 @@ HEADLINE = [
     "sitemap_parse",
     "crawl_schedule",
     "stupid_backoff",
+    "trust_rank",
 ]
 
 

@@ -342,6 +342,180 @@ def pagerank_oracle_sql(
     return "WITH " + ",\n".join(parts) + f"\nSELECT domain, rank FROM {prev}"
 
 
+def domain_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    damping: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport vector RESTRICTED to a trusted seed set —
+    trust flows out from hand-vetted domains, so spam farms that
+    manufacture arbitrary in-link mass (which plain PageRank rewards)
+    stay near zero unless a trusted domain eventually links toward them.
+    The published web-spam demotion prior; the curation use is weighting
+    (or gating) a domain's corpus contribution by trust instead of raw
+    centrality.
+
+    ``seeds``: a (domain) frame of trusted domains; entries not present
+    in the graph are ignored (standard formulation). Returns
+    (domain, rank) in integer ``scale`` units.
+
+    Same integer algebra as ``domain_pagerank`` — teleport AND dangling
+    mass redistribute over the |S| seeds instead of all n nodes:
+    seed:     rank' = teleport + d * (inflow + dangling DIV s) DIV 100
+    non-seed: rank' =            d *  inflow                   DIV 100
+    Every operation is exact integer division on non-negative values, so
+    the unrolled DuckDB oracle (``trustrank_oracle_sql``) matches
+    bit-for-bit. Driver traffic: ONE scalar (the seed count); the seed
+    flag rides a broadcast join (|S| rows); per-iteration plans are
+    localCheckpoint-ed with the superseded checkpoint released.
+    """
+    if not 0 <= damping <= 100:
+        raise ValueError(f"damping must be a percentage 0..100, got {damping}")
+    spark = edges.sparkSession
+    edges = edges.select("src_domain", "dst_domain").persist()
+    nodes = outdeg = None
+    try:
+        nodes = (
+            edges.select(F.col("src_domain").alias("domain"))
+            .union(edges.select(F.col("dst_domain").alias("domain")))
+            .distinct()
+            .join(
+                F.broadcast(seeds.select("domain").distinct()).withColumn(
+                    "__seed", F.lit(True)
+                ),
+                "domain",
+                "left",
+            )
+            .select("domain", F.coalesce("__seed", F.lit(False)).alias("is_seed"))
+            .persist()
+        )
+        s = nodes.where("is_seed").count()  # the ONE driver scalar
+        if s == 0:
+            raise ValueError("no seed domain appears in the edge set")
+        # persisted: consumed twice per iteration, same as domain_pagerank
+        outdeg = (
+            edges.groupBy(F.col("src_domain").alias("domain"))
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .persist()
+        )
+        teleport = ((100 - damping) * scale // 100) // s
+
+        ranks = nodes.select(
+            "domain",
+            "is_seed",
+            F.when(F.col("is_seed"), F.lit(scale // s))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+        for _ in range(iters):
+            prev_ckpt = ranks
+            ranked = ranks.join(outdeg, "domain", "left")
+            dangling = ranked.where(F.col("outdeg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("dm")
+            )
+            inflow = (
+                edges.join(
+                    ranked.where(F.col("outdeg").isNotNull()).withColumnRenamed(
+                        "domain", "src_domain"
+                    ),
+                    "src_domain",
+                )
+                .select("dst_domain", F.expr("rank DIV outdeg").alias("share"))
+                .groupBy(F.col("dst_domain").alias("domain"))
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(inflow, "domain", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "domain",
+                    "is_seed",
+                    F.when(
+                        F.col("is_seed"),
+                        F.lit(teleport)
+                        + F.expr(
+                            f"{damping} * (coalesce(inflow, 0) + dm DIV {s}) DIV 100"
+                        ),
+                    )
+                    .otherwise(F.expr(f"{damping} * coalesce(inflow, 0) DIV 100"))
+                    .cast("long")
+                    .alias("rank"),
+                )
+            )
+            ranks = ranks.localCheckpoint()
+            release_checkpoint(prev_ckpt)
+        # re-checkpoint the two-column projection so the RETURNED frame is
+        # itself the one checkpoint that outlives the call (callers release
+        # it with release_checkpoint, same contract as domain_pagerank)
+        final = ranks.select("domain", "rank").localCheckpoint()
+        release_checkpoint(ranks)
+        return final
+    finally:
+        edges.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
+        if outdeg is not None:
+            outdeg.unpersist()
+
+
+def trustrank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 4,
+    damping: int = 85,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB oracle: unroll every TrustRank iteration as a CTE chain.
+    ``seeds_sql`` produces (domain) rows; like the engine, seeds outside
+    the node set are dropped. Same integer algebra, AS MATERIALIZED for
+    the same multi-reference reason as ``pagerank_oracle_sql``."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src_domain AS domain FROM edges"
+        " UNION SELECT dst_domain FROM edges)",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT sd.domain FROM ({seeds_sql}) sd"
+        " JOIN nodes nd ON nd.domain = sd.domain)",
+        "ss AS MATERIALIZED (SELECT count(*) AS s FROM seeds)",
+        "outdeg AS MATERIALIZED (SELECT src_domain AS domain, count(*) AS outdeg"
+        " FROM edges GROUP BY 1)",
+        f"tp AS (SELECT (({100 - damping} * {scale}) // 100) // s AS teleport"
+        " FROM ss)",
+        f"r0 AS MATERIALIZED (SELECT nd.domain,"
+        f" CASE WHEN sd.domain IS NOT NULL THEN {scale} // (SELECT s FROM ss)"
+        f" ELSE 0 END AS rank"
+        f" FROM nodes nd LEFT JOIN seeds sd ON nd.domain = sd.domain)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"dm{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS dm FROM {prev} r"
+            f" LEFT JOIN outdeg o ON r.domain = o.domain WHERE o.domain IS NULL)"
+        )
+        parts.append(
+            f"in{i} AS MATERIALIZED (SELECT e.dst_domain AS domain,"
+            f" sum(r.rank // o.outdeg) AS inflow"
+            f" FROM edges e JOIN {prev} r ON e.src_domain = r.domain"
+            f" JOIN outdeg o ON e.src_domain = o.domain GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nd.domain,"
+            f" CAST(CASE WHEN sd.domain IS NOT NULL THEN (SELECT teleport FROM tp)"
+            f" + {damping} * (coalesce(i.inflow, 0)"
+            f" + (SELECT dm FROM dm{i}) // (SELECT s FROM ss)) // 100"
+            f" ELSE {damping} * coalesce(i.inflow, 0) // 100 END"
+            f" AS BIGINT) AS rank"
+            f" FROM nodes nd LEFT JOIN in{i} i ON nd.domain = i.domain"
+            f" LEFT JOIN seeds sd ON nd.domain = sd.domain)"
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT domain, rank FROM {prev}"
+
+
 HITS_SCALE = 10**9  # smaller than PageRank's SCALE: per-node mass sums
 # over in/out-neighborhoods before renormalization, so edges*scale must
 # stay < 2^63 — 1e9 leaves headroom for ~10^9-edge domain graphs.

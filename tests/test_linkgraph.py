@@ -387,3 +387,116 @@ def test_harmonic_rejects_bad_mode(spark):
 
     with pytest.raises(ValueError, match="mode"):
         harmonic_centrality(_edges_df(spark, 1), mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (seed-personalized PageRank, Gyöngyi et al. 2004)
+# ---------------------------------------------------------------------------
+
+def _py_trustrank(edges, seeds, iters=4, damping=85, scale=SCALE):
+    """Reference implementation of the exact seed-teleport integer algebra."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seedset = {d for d in seeds if d in nodes}
+    s = len(seedset)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    teleport = ((100 - damping) * scale // 100) // s
+    rank = {d: (scale // s if d in seedset else 0) for d in nodes}
+    for _ in range(iters):
+        dm = sum(r for d, r in rank.items() if d not in outdeg)
+        inflow = {d: 0 for d in nodes}
+        for a, b in edges:
+            inflow[b] += rank[a] // outdeg[a]
+        rank = {
+            d: (teleport + damping * (inflow[d] + dm // s) // 100
+                if d in seedset else damping * inflow[d] // 100)
+            for d in nodes
+        }
+    return rank
+
+
+def _seeds_df(spark, seeds):
+    return spark.createDataFrame(pd.DataFrame({"domain": list(seeds)}))
+
+
+def test_trustrank_matches_python_oracle(spark):
+    from chronon_spark.operators.linkgraph import domain_trustrank
+
+    seeds = ["a", "d", "not-in-graph"]  # out-of-graph seed must be ignored
+    want = _py_trustrank(EDGES, seeds)
+    got = {
+        r["domain"]: r["rank"]
+        for r in domain_trustrank(
+            _edges_df(spark, 4), _seeds_df(spark, seeds)
+        ).collect()
+    }
+    assert got == want
+    # trust demotion: 'sink1' is only reachable from e, which no seed
+    # links to — it must hold ZERO trust while plain PageRank gives it
+    # teleport mass
+    assert got["sink1"] == 0
+    assert {
+        r["domain"]: r["rank"] for r in domain_pagerank(_edges_df(spark, 4)).collect()
+    }["sink1"] > 0
+
+
+def test_trustrank_duckdb_oracle_parity_and_invariance(spark):
+    import duckdb
+
+    from chronon_spark.operators.linkgraph import (
+        domain_trustrank,
+        trustrank_oracle_sql,
+    )
+
+    seeds = ["a", "b"]
+    got = (
+        domain_trustrank(_edges_df(spark, 3), _seeds_df(spark, seeds),
+                         iters=5, damping=80)
+        .orderBy("domain")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("edges_src", pd.DataFrame(EDGES, columns=["src_domain", "dst_domain"]))
+    sql = trustrank_oracle_sql(
+        "SELECT DISTINCT src_domain, dst_domain FROM edges_src"
+        " WHERE src_domain <> dst_domain",
+        "SELECT * FROM (VALUES ('a'), ('b')) t(domain)",
+        iters=5,
+        damping=80,
+    )
+    want = con.sql(sql + " ORDER BY domain").df()
+    assert got["domain"].tolist() == want["domain"].tolist()
+    assert got["rank"].astype(int).tolist() == want["rank"].astype(int).tolist()
+
+    # partitioning invariance
+    a = {r["domain"]: r["rank"]
+         for r in domain_trustrank(_edges_df(spark, 1), _seeds_df(spark, seeds)).collect()}
+    b = {r["domain"]: r["rank"]
+         for r in domain_trustrank(_edges_df(spark, 16), _seeds_df(spark, seeds)).collect()}
+    assert a == b
+
+
+def test_trustrank_validation_and_leakfree(spark):
+    from chronon_spark.checkpoint import release_checkpoint
+    from chronon_spark.operators.linkgraph import domain_trustrank
+
+    with pytest.raises(ValueError):
+        domain_trustrank(_edges_df(spark, 2), _seeds_df(spark, ["zzz"]))
+    with pytest.raises(ValueError):
+        domain_trustrank(_edges_df(spark, 2), _seeds_df(spark, ["a"]), damping=101)
+
+    def _ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    before = _ids()
+    out = domain_trustrank(_edges_df(spark, 2), _seeds_df(spark, ["a"]), iters=6)
+    out.collect()
+    added = _ids() - before
+    assert len(added) == 1, added
+    assert release_checkpoint(out)
+    assert not (_ids() - before)

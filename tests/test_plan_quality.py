@@ -445,3 +445,7 @@ def test_digest_invariants_stupid_backoff(spark):
     d = bench.plan_digest(qs["stupid_backoff"](spark, "/root/testdata/sf0.001"))
     assert d["python_stages"] == 0, d
     assert d["exchanges"] <= 5, d
+
+    # TrustRank folds the iterative lineage into one result checkpoint
+    d = bench.plan_digest(qs["trust_rank"](spark, "/root/testdata/sf0.001"))
+    assert d["python_stages"] == 0 and d["exchanges"] == 0, d
