@@ -4462,6 +4462,61 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(domain_edges(links), iters=4)
 
 
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (indexing.url_trap_stats): per-source
+    synthetic URLs where every third source is a calendar trap (all its
+    URLs collapse to the /cal/N/N template) and the rest carry md5-slug
+    paths (distinct templates). Flags volume + template collapse with
+    integer-exact ratios."""
+    from chronon_spark.operators.indexing import url_trap_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.substring("source", 4, 10).cast("int") % 3
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.when(
+                k == 0,
+                F.concat(
+                    F.lit("/cal/"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit("/"),
+                    ((F.col("doc_id") * 7) % 89).cast("string"),
+                ),
+            ).otherwise(F.concat(F.lit("/a/"), F.md5("text"))),
+        ).alias("url")
+    )
+    return url_trap_stats(urls, min_urls=20, min_urls_per_template=10)
+
+
+_URL_TRAPS_ORACLE = r"""
+WITH u AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+         THEN 'https://' || source || '.example.com/cal/'
+              || CAST(doc_id % 97 AS VARCHAR) || '/'
+              || CAST((doc_id * 7) % 89 AS VARCHAR)
+         ELSE 'https://' || source || '.example.com/a/' || md5(text)
+         END AS url
+  FROM documents),
+p AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+         regexp_replace(regexp_replace(url, '^https?://[^/]*', ''),
+                        '[0-9]+', 'N', 'g') AS template
+  FROM u),
+t AS (SELECT domain, template, count(*) AS c FROM p GROUP BY 1, 2)
+SELECT domain,
+       CAST(sum(c) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS urls_per_template,
+       CAST(max(c) AS BIGINT) AS max_template_urls,
+       (CAST(sum(c) AS BIGINT) >= 20
+        AND CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) >= 10) AS is_trap
+FROM t GROUP BY domain
+"""
+
+
 def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (Gyöngyi et al. 2004) over the same domain graph as
     domain_rank: teleport restricted to three trusted seed domains
@@ -5359,6 +5414,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
         "trust_rank": q_trust_rank,
+        "url_traps": q_url_traps,
         "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
@@ -5516,6 +5572,7 @@ def _raw_oracles() -> dict[str, str]:
         "link_graph": _LINK_GRAPH_ORACLE,
         "domain_rank": _domain_rank_oracle(),
         "trust_rank": _trust_rank_oracle(),
+        "url_traps": _URL_TRAPS_ORACLE,
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,

@@ -463,6 +463,7 @@ HEADLINE = [
     "crawl_schedule",
     "stupid_backoff",
     "trust_rank",
+    "url_traps",
 ]
 
 

@@ -492,3 +492,63 @@ def schedule_crawl(
     return ranked.withColumn(
         "slot", F.expr(f"(rank - 1) DIV {per_slot}").cast("long")
     )
+
+
+def url_trap_stats(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 20,
+    min_urls_per_template: int = 10,
+) -> DataFrame:
+    """Crawl-trap detection: flag domains whose URL space collapses to a
+    handful of templates — calendar traps, session-id explosions,
+    faceted-search infinite spaces. The classic crawler defense (every
+    production frontier caps these): a domain offering millions of URLs
+    that are all ``/cal/N/N`` is generating pages, not hosting them, and
+    crawling it starves real domains of fetch slots.
+
+    Template rule (deterministic, literal-subset): strip scheme+host,
+    collapse every digit run in the remaining path+query to ``N``. URLs
+    per template is the explosion measure; ``is_trap`` needs BOTH volume
+    (``n_urls >= min_urls``) and collapse
+    (``n_urls DIV n_templates >= min_urls_per_template`` — integer
+    division, cross-engine exact).
+
+    Plan: one pure projection (regexp — zero Python), then a two-level
+    aggregate: (domain, template) counts first — map-side combinable, so
+    a trap's millions of identical templates collapse per-partition
+    before the exchange and a hot domain never lands on one task — then
+    the per-domain rollup. Output is |domains| rows.
+
+    Returns (domain, n_urls, n_templates, urls_per_template,
+    max_template_urls, is_trap).
+    """
+    from chronon_spark.operators.linkgraph import DOMAIN_PATTERN
+
+    proj = urls.select(
+        F.regexp_extract(F.col(url_col), DOMAIN_PATTERN, 1).alias("domain"),
+        F.regexp_replace(
+            F.regexp_replace(F.col(url_col), "^https?://[^/]*", ""),
+            "[0-9]+",
+            "N",
+        ).alias("template"),
+    )
+    per_template = proj.groupBy("domain", "template").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = per_template.groupBy("domain").agg(
+        F.sum("c").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_templates"),
+        F.max("c").alias("max_template_urls"),
+    )
+    return out.select(
+        "domain",
+        "n_urls",
+        "n_templates",
+        F.expr("n_urls DIV n_templates").alias("urls_per_template"),
+        "max_template_urls",
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.expr("n_urls DIV n_templates") >= min_urls_per_template)
+        ).alias("is_trap"),
+    )

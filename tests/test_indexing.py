@@ -7,6 +7,7 @@ occurrences, and every crawl_diff status.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -352,3 +353,58 @@ def test_schedule_crawl_waves_and_cap(spark):
     assert sorted((r.url, r.rank, r.slot) for r in capped) == sorted(
         (r.url, r.rank, r.slot) for r in salted
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap detection (URL-template explosion)
+# ---------------------------------------------------------------------------
+
+def test_url_trap_stats_hand_computed(spark):
+    from chronon_spark.operators.indexing import url_trap_stats
+
+    urls = (
+        # calendar trap: 30 urls, ONE template /cal/N/N
+        [f"https://trap.example/cal/{i}/{i * 7}" for i in range(30)]
+        # session-id explosion in the QUERY string: one template /p?sid=N
+        + [f"https://sid.example/p?sid={10000 + i}" for i in range(25)]
+        # healthy: 30 urls, 30 distinct letter-based templates
+        + [f"https://ok.example/article/{'x' * (i % 10)}y{'z' * (i // 10)}" for i in range(30)]
+        # low volume: collapses to one template but under min_urls
+        + [f"https://tiny.example/d/{i}" for i in range(5)]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got = {r["domain"]: r for r in url_trap_stats(df, min_urls=20,
+                                                  min_urls_per_template=10).collect()}
+
+    assert got["trap.example"]["n_templates"] == 1
+    assert got["trap.example"]["n_urls"] == 30
+    assert got["trap.example"]["urls_per_template"] == 30
+    assert got["trap.example"]["is_trap"]
+
+    assert got["sid.example"]["n_templates"] == 1
+    assert got["sid.example"]["is_trap"]
+
+    assert got["ok.example"]["n_templates"] == 30
+    assert got["ok.example"]["urls_per_template"] == 1
+    assert not got["ok.example"]["is_trap"]
+
+    # volume gate: full collapse but only 5 urls
+    assert got["tiny.example"]["urls_per_template"] == 5
+    assert not got["tiny.example"]["is_trap"]
+
+
+def test_url_trap_stats_partition_invariance(spark):
+    from chronon_spark.operators.indexing import url_trap_stats
+
+    urls = [f"https://d{i % 7}.example/p/{i}/{i % 13}" for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+
+    def run(parts):
+        return (
+            url_trap_stats(df.repartition(parts))
+            .toPandas()
+            .sort_values("domain")
+            .reset_index(drop=True)
+        )
+
+    assert run(2).equals(run(16))

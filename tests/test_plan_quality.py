@@ -449,3 +449,8 @@ def test_digest_invariants_stupid_backoff(spark):
     # TrustRank folds the iterative lineage into one result checkpoint
     d = bench.plan_digest(qs["trust_rank"](spark, "/root/testdata/sf0.001"))
     assert d["python_stages"] == 0 and d["exchanges"] == 0, d
+
+    # crawl-trap detection: one projection + two-level aggregate, no joins
+    d = bench.plan_digest(qs["url_traps"](spark, "/root/testdata/sf0.001"))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 2, d
+    assert d["sort_merge_joins"] == 0 and d["broadcast_joins"] == 0, d
