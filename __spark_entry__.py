@@ -5030,6 +5030,66 @@ FROM r WHERE rank <= 20
 """
 
 
+def q_robots_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness rates end-to-end: per-source robots bodies
+    carry a '*'-group Crawl-delay of (k+1).5 seconds (ceil -> k+2), a
+    shadowed fastbot group BEFORE it (the Crawl-delay line between the
+    two User-agent lines must SEPARATE the groups), and every fourth
+    source a non-numeric value (ignored -> scheduler default 7).
+    parse_crawl_delay feeds schedule_crawl, whose not_before_sec =
+    (rank-1)*delay. The oracle derives every delay arithmetically — it
+    never parses."""
+    from chronon_spark.operators.indexing import schedule_crawl
+    from chronon_spark.operators.robots import parse_crawl_delay
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.substring("source", 4, 10).cast("int") % 4
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: fastbot\nCrawl-delay: 0\nUser-agent: *\nCrawl-delay: "),
+            F.when(k == 3, F.lit("soon")).otherwise(
+                F.concat((k + 1).cast("string"), F.lit(".5"))
+            ),
+            F.lit("\nDisallow: /private/\n"),
+        ).alias("robots_txt"),
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        (F.col("doc_id") % 11).cast("long").alias("priority_micro"),
+    )
+    delays = parse_crawl_delay(robots, agent="*")
+    return schedule_crawl(
+        frontier, per_slot=4, delays=delays, default_delay_sec=7
+    ).select("url", "domain", "rank", "slot", "not_before_sec")
+
+
+_ROBOTS_DELAY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 4 AS k
+  FROM documents),
+f AS (
+  SELECT 'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.com' AS domain,
+         doc_id % 11 AS priority_micro,
+         CASE WHEN k = 3 THEN 7 ELSE k + 2 END AS delay
+  FROM d),
+r AS (
+  SELECT url, domain, delay,
+     row_number() OVER (PARTITION BY domain
+                        ORDER BY priority_micro DESC, url ASC) AS rank
+  FROM f)
+SELECT url, domain, CAST(rank AS BIGINT) AS rank,
+   CAST((rank - 1) // 4 AS BIGINT) AS slot,
+   CAST((rank - 1) * delay AS BIGINT) AS not_before_sec
+FROM r
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl gate (operators/robots): per-source synthetic
     robots bodies (a '*' group with Disallow /pK/ + Allow /pK/keep/, a
@@ -5415,6 +5475,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank": q_domain_rank,
         "trust_rank": q_trust_rank,
         "url_traps": q_url_traps,
+        "robots_delay": q_robots_delay,
         "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
@@ -5573,6 +5634,7 @@ def _raw_oracles() -> dict[str, str]:
         "domain_rank": _domain_rank_oracle(),
         "trust_rank": _trust_rank_oracle(),
         "url_traps": _URL_TRAPS_ORACLE,
+        "robots_delay": _ROBOTS_DELAY_ORACLE,
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,

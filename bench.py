@@ -464,6 +464,7 @@ HEADLINE = [
     "stupid_backoff",
     "trust_rank",
     "url_traps",
+    "robots_delay",
 ]
 
 

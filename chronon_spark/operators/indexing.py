@@ -457,6 +457,8 @@ def schedule_crawl(
     per_slot: int = 10,
     max_frontier_per_domain: int = 0,
     salt_partitions: int = 0,
+    delays: DataFrame = None,
+    default_delay_sec: int = 1,
 ) -> DataFrame:
     """Politeness-slot assignment — the last step of the frontier
     pipeline (discover → robots-filter → prioritize → SCHEDULE): a
@@ -469,7 +471,14 @@ def schedule_crawl(
     each domain's frontier via the exact SALTED two-phase top-k
     (``sampling.top_k_per_key`` — no single-task bottleneck), then ranks
     only the bounded survivors; at web scale pass the crawl budget here.
-    Returns frontier columns + (rank, slot).
+
+    ``delays``: an optional (domain, crawl_delay_sec) frame — the
+    :func:`robots.parse_crawl_delay` output — joined broadcast (it is
+    bounded by |domains|); domains without a directive take
+    ``default_delay_sec``. Each URL then carries
+    ``not_before_sec = (rank - 1) * delay``, the earliest fetch offset
+    that honors one request per delay per domain — exact integer
+    arithmetic. Returns frontier columns + (rank, slot, not_before_sec).
     """
     from pyspark.sql import Window as W
 
@@ -489,9 +498,26 @@ def schedule_crawl(
         F.desc(priority_col), F.asc(url_col)
     )
     ranked = df.withColumn("rank", F.row_number().over(w).cast("long"))
-    return ranked.withColumn(
+    ranked = ranked.withColumn(
         "slot", F.expr(f"(rank - 1) DIV {per_slot}").cast("long")
     )
+    if delays is not None:
+        ranked = ranked.join(
+            F.broadcast(
+                delays.select(
+                    F.col("domain").alias(domain_col),
+                    F.col("crawl_delay_sec").alias("__delay"),
+                )
+            ),
+            domain_col,
+            "left",
+        )
+        delay = F.coalesce(F.col("__delay"), F.lit(default_delay_sec))
+    else:
+        delay = F.lit(default_delay_sec)
+    return ranked.withColumn(
+        "not_before_sec", ((F.col("rank") - 1) * delay).cast("long")
+    ).drop("__delay")
 
 
 def url_trap_stats(

@@ -47,6 +47,34 @@ def parse_robots(
     groups entirely when present (RFC 9309 §2.2.1: most specific group
     wins, no merging).
     """
+    grouped = _directives(df, domain_col, text_col)
+    rules = grouped.where(F.col("key").isin("disallow", "allow")).select(
+        "domain",
+        "__file",
+        "group_id",
+        F.col("key").alias("rule"),
+        F.col("value").alias("path_prefix"),
+    )
+    # wildcard rules are out of the literal-prefix subset: drop, documented
+    for ch in WILDCARD_CHARS:
+        rules = rules.where(~F.col("path_prefix").contains(ch))
+    # empty Disallow: means "allow everything" for the group — no rule
+    rules = rules.where(F.col("path_prefix") != "")
+    chosen = _chosen_groups(grouped, agent)
+    return (
+        rules.join(chosen, ["domain", "__file", "group_id"])
+        .select("domain", "rule", "path_prefix")
+        .distinct()
+    )
+
+
+def _directives(df: DataFrame, domain_col: str, text_col: str) -> DataFrame:
+    """Shared robots.txt line grammar: (domain, __file, pos, key, value,
+    group_id). EVERY keyed line is retained for grouping (RFC 9309 §2.1:
+    a User-agent line starts a new group when the previous line is any
+    NON-user-agent line — so a Crawl-delay between two User-agent lines
+    separates their groups even though it is not an allow/disallow
+    rule); callers filter ``key`` afterwards."""
     # one window partition PER INPUT FILE: multiple robots rows for a
     # domain (recrawl snapshots) must parse independently — a shared
     # per-domain window would interleave the files' lines and attach one
@@ -70,7 +98,7 @@ def parse_robots(
         "pos",
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
-    ).where(F.col("key").isin("user-agent", "disallow", "allow"))
+    ).where(F.col("key") != "")
     w = W.partitionBy("domain", "__file").orderBy("pos")
     grouped = (
         typed.withColumn("prev_key", F.lag("key").over(w))
@@ -85,34 +113,54 @@ def parse_robots(
     )
     # group ids restart per (domain, file): every downstream join must be
     # keyed on __file too, or groups from different files would collide
+    return grouped
+
+
+def _chosen_groups(grouped: DataFrame, agent: str) -> DataFrame:
+    """(domain, __file, group_id) of the groups governing ``agent``:
+    token equality plus the ``*`` catch-all, a specific agent's groups
+    SHADOWING the ``*`` groups entirely (RFC 9309 §2.2.1)."""
     agents = (
         grouped.where(F.col("key") == "user-agent")
         .select("domain", "__file", "group_id", F.lower("value").alias("agent"))
         .distinct()
     )
-    rules = grouped.where(F.col("key") != "user-agent").select(
-        "domain",
-        "__file",
-        "group_id",
-        F.col("key").alias("rule"),
-        F.col("value").alias("path_prefix"),
-    )
-    # wildcard rules are out of the literal-prefix subset: drop, documented
-    for ch in WILDCARD_CHARS:
-        rules = rules.where(~F.col("path_prefix").contains(ch))
-    # empty Disallow: means "allow everything" for the group — no rule
-    rules = rules.where(F.col("path_prefix") != "")
     mine = agents.where(F.lower(F.lit(agent)) == F.col("agent"))
     star = agents.where(F.col("agent") == "*")
     has_specific = mine.select("domain").distinct()
-    chosen = mine.unionByName(
+    return mine.unionByName(
         star.join(has_specific, "domain", "left_anti")
     ).select("domain", "__file", "group_id").distinct()
-    return (
-        rules.join(chosen, ["domain", "__file", "group_id"])
-        .select("domain", "rule", "path_prefix")
-        .distinct()
+
+
+def parse_crawl_delay(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(domain, crawl_delay_sec) from the ``Crawl-delay:`` directive of
+    the groups governing ``agent`` — the de-facto politeness-rate
+    extension every major crawler honors (not in RFC 9309 proper, but in
+    the same grammar). Feeds :func:`indexing.schedule_crawl` so fetch
+    waves respect per-domain rates instead of one global cadence.
+
+    Non-numeric values are ignored; fractional seconds round UP (a
+    politeness floor must never round toward impolite); multiple
+    governing groups/files take the MAX (conservative). Same group
+    grammar and agent-shadowing as :func:`parse_robots`.
+    """
+    grouped = _directives(df, domain_col, text_col)
+    chosen = _chosen_groups(grouped, agent)
+    delays = (
+        grouped.where(
+            (F.col("key") == "crawl-delay")
+            & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .join(chosen, ["domain", "__file", "group_id"])
+        .select("domain", F.ceil(F.col("value").cast("double")).cast("long").alias("__d"))
     )
+    return delays.groupBy("domain").agg(F.max("__d").alias("crawl_delay_sec"))
 
 
 def url_path(url_col: Column) -> Column:

@@ -184,3 +184,85 @@ def test_kv_key_null_sentinel(spark):
     assert keys[0] == kv_key_of(["a", None])
     assert keys[1] == kv_key_of([None, "a"])
     assert keys[2] == kv_key_of(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay directive + politeness-rate scheduling
+# ---------------------------------------------------------------------------
+
+ROBOTS_DELAY = """
+User-agent: fastbot
+Crawl-delay: 0
+
+User-agent: *
+Crawl-delay: 2.5
+Disallow: /private/
+
+User-agent: slowbot
+Crawl-delay: 99
+"""
+
+
+def test_parse_crawl_delay_agent_shadowing_and_ceil(spark):
+    from chronon_spark.operators.robots import parse_crawl_delay
+
+    df = spark.createDataFrame([("a.com", ROBOTS_DELAY)], ["domain", "robots_txt"])
+    # '*' group: 2.5 rounds UP to 3 (politeness floor never rounds down)
+    star = {(r.domain, r.crawl_delay_sec)
+            for r in parse_crawl_delay(df, agent="*").collect()}
+    assert star == {("a.com", 3)}
+    # specific agents shadow '*' entirely
+    assert {(r.domain, r.crawl_delay_sec)
+            for r in parse_crawl_delay(df, agent="slowbot").collect()} == {("a.com", 99)}
+    assert {(r.domain, r.crawl_delay_sec)
+            for r in parse_crawl_delay(df, agent="fastbot").collect()} == {("a.com", 0)}
+
+
+def test_crawl_delay_separates_groups(spark):
+    """A Crawl-delay line between two User-agent lines means the second
+    UA starts a NEW group (RFC 9309 start-of-group counts every non-UA
+    line) — bot 'b' must NOT inherit group a's delay or rules."""
+    from chronon_spark.operators.robots import parse_crawl_delay, parse_robots
+
+    txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x/\n"
+    df = spark.createDataFrame([("d.com", txt)], ["domain", "robots_txt"])
+    assert parse_crawl_delay(df, agent="b").count() == 0
+    assert parse_crawl_delay(df, agent="a").collect()[0].crawl_delay_sec == 5
+    # and the rules attach to b's group only
+    assert parse_robots(df, agent="a").count() == 0
+    assert {r.path_prefix for r in parse_robots(df, agent="b").collect()} == {"/x/"}
+
+
+def test_parse_crawl_delay_nonnumeric_and_multifile_max(spark):
+    from chronon_spark.operators.robots import parse_crawl_delay
+
+    df = spark.createDataFrame(
+        [
+            ("m.com", "User-agent: *\nCrawl-delay: soon\n"),   # ignored
+            ("m.com", "User-agent: *\nCrawl-delay: 4\n"),
+            ("m.com", "User-agent: *\nCrawl-delay: 9\n"),      # max wins
+        ],
+        ["domain", "robots_txt"],
+    )
+    got = parse_crawl_delay(df, agent="*").collect()
+    assert [(r.domain, r.crawl_delay_sec) for r in got] == [("m.com", 9)]
+
+
+def test_schedule_crawl_not_before(spark):
+    from chronon_spark.operators.indexing import schedule_crawl
+
+    frontier = spark.createDataFrame(
+        [("a.com", f"https://a.com/{i}", 100 - i) for i in range(6)]
+        + [("b.com", f"https://b.com/{i}", 50 - i) for i in range(3)],
+        "domain string, url string, priority_micro long",
+    )
+    delays = spark.createDataFrame([("a.com", 10)],
+                                   "domain string, crawl_delay_sec long")
+    out = schedule_crawl(frontier, per_slot=2, delays=delays,
+                         default_delay_sec=3)
+    got = {(r.domain, r.rank): r.not_before_sec for r in out.collect()}
+    # a.com honors its directive: rank r fetches at (r-1)*10
+    assert got[("a.com", 1)] == 0 and got[("a.com", 4)] == 30
+    # b.com takes the default delay
+    assert got[("b.com", 3)] == 6
+    assert "not_before_sec" in out.columns and "__delay" not in out.columns
