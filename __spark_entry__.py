@@ -4462,6 +4462,39 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(domain_edges(links), iters=4)
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (linkgraph.resolve_redirects): per-doc
+    synthetic 3xx edges form 4-hop chains within each 5-id block, with
+    every 97th id a self-loop trap (the degenerate cycle — must come
+    back 'unresolved' at the hop cap). The oracle unrolls every follow
+    step as CTEs — exact string algebra both sides."""
+    from chronon_spark.operators.linkgraph import resolve_redirects
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    edges = docs.where(d % 5 != 4).select(
+        F.concat(F.lit("https://r.example/u"), d).alias("src_url"),
+        F.when(
+            d % 97 == 0, F.concat(F.lit("https://r.example/u"), d)
+        ).otherwise(F.concat(F.lit("https://r.example/u"), d + 1)).alias("dst_url"),
+    )
+    return resolve_redirects(edges, max_hops=8)
+
+
+def _redirect_resolve_oracle() -> str:
+    from chronon_spark.operators.linkgraph import redirect_oracle_sql
+
+    edges_sql = """
+SELECT 'https://r.example/u' || CAST(doc_id AS VARCHAR) AS src_url,
+       CASE WHEN doc_id % 97 = 0
+            THEN 'https://r.example/u' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://r.example/u' || CAST(doc_id + 1 AS VARCHAR) END
+         AS dst_url
+FROM documents WHERE doc_id % 5 <> 4
+"""
+    return redirect_oracle_sql(edges_sql, max_hops=8)
+
+
 def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (indexing.url_trap_stats): per-source
     synthetic URLs where every third source is a calendar trap (all its
@@ -5476,6 +5509,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "url_traps": q_url_traps,
         "robots_delay": q_robots_delay,
+        "redirect_resolve": q_redirect_resolve,
         "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
@@ -5635,6 +5669,7 @@ def _raw_oracles() -> dict[str, str]:
         "trust_rank": _trust_rank_oracle(),
         "url_traps": _URL_TRAPS_ORACLE,
         "robots_delay": _ROBOTS_DELAY_ORACLE,
+        "redirect_resolve": _redirect_resolve_oracle(),
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,

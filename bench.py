@@ -465,6 +465,7 @@ HEADLINE = [
     "trust_rank",
     "url_traps",
     "robots_delay",
+    "redirect_resolve",
 ]
 
 

@@ -500,3 +500,105 @@ def test_trustrank_validation_and_leakfree(spark):
     assert len(added) == 1, added
     assert release_checkpoint(out)
     assert not (_ids() - before)
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+def _py_resolve(edges, max_hops=8):
+    """Pure-Python replica: min-dst determinization, <= max_hops steps."""
+    nxt = {}
+    for s, d in edges:
+        nxt[s] = min(nxt.get(s, d), d)
+    out = {}
+    for s in nxt:
+        cur, hops = nxt[s], 1
+        for _ in range(max_hops - 1):
+            if cur in nxt:
+                cur, hops = nxt[cur], hops + 1
+        out[s] = (cur, hops, "unresolved" if cur in nxt else "resolved")
+    return out
+
+
+REDIRECT_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "final"),      # 3-hop chain
+    ("loop", "loop"),                            # self-loop trap
+    ("x", "y"), ("y", "x"),                      # 2-cycle
+    ("dup", "z2"), ("dup", "z1"),                # multi-dst -> min wins
+    ("deep0", "deep1"), ("deep1", "deep2"), ("deep2", "deep3"),
+    ("deep3", "deep4"), ("deep4", "deep5"), ("deep5", "deep6"),
+    ("deep6", "deep7"), ("deep7", "deep8"), ("deep8", "deep9"),
+]
+
+
+def test_resolve_redirects_matches_python_oracle(spark):
+    from chronon_spark.operators.linkgraph import resolve_redirects
+
+    df = spark.createDataFrame(
+        pd.DataFrame(REDIRECT_EDGES, columns=["src_url", "dst_url"])
+    ).repartition(4)
+    got = {r.src_url: (r.final_url, r.n_hops, r.status)
+           for r in resolve_redirects(df, max_hops=8).collect()}
+    assert got == _py_resolve(REDIRECT_EDGES, max_hops=8)
+    # the interesting rows, spelled out
+    assert got["a"] == ("final", 3, "resolved")
+    assert got["loop"] == ("loop", 8, "unresolved")
+    assert got["x"][2] == "unresolved"
+    assert got["dup"] == ("z1", 1, "resolved")
+    # 9-hop chain exceeds the 8-hop budget
+    assert got["deep0"] == ("deep8", 8, "unresolved")
+    assert got["deep1"] == ("deep9", 8, "resolved")
+
+
+def test_resolve_redirects_duckdb_parity_and_invariance(spark):
+    import duckdb
+
+    from chronon_spark.operators.linkgraph import (
+        redirect_oracle_sql,
+        resolve_redirects,
+    )
+
+    pdf = pd.DataFrame(REDIRECT_EDGES, columns=["src_url", "dst_url"])
+    df = spark.createDataFrame(pdf)
+    got = resolve_redirects(df, max_hops=5).orderBy("src_url").toPandas()
+    con = duckdb.connect()
+    con.register("redir", pdf)
+    want = con.sql(
+        redirect_oracle_sql("SELECT src_url, dst_url FROM redir", max_hops=5)
+        + " ORDER BY src_url"
+    ).df()
+    assert got["src_url"].tolist() == want["src_url"].tolist()
+    assert got["final_url"].tolist() == want["final_url"].tolist()
+    assert got["n_hops"].astype(int).tolist() == want["n_hops"].astype(int).tolist()
+    assert got["status"].tolist() == want["status"].tolist()
+
+    a = sorted(map(tuple, resolve_redirects(df.repartition(1)).collect()))
+    b = sorted(map(tuple, resolve_redirects(df.repartition(16)).collect()))
+    assert a == b
+
+
+def test_resolve_redirects_validation_and_leakfree(spark):
+    from chronon_spark.checkpoint import release_checkpoint
+    from chronon_spark.operators.linkgraph import resolve_redirects
+
+    df = spark.createDataFrame(
+        pd.DataFrame(REDIRECT_EDGES, columns=["src_url", "dst_url"])
+    )
+    with pytest.raises(ValueError):
+        resolve_redirects(df, max_hops=0)
+
+    def _ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    before = _ids()
+    out = resolve_redirects(df, max_hops=6)
+    out.collect()
+    added = _ids() - before
+    assert len(added) == 1, added
+    assert release_checkpoint(out)
+    assert not (_ids() - before)

@@ -454,3 +454,7 @@ def test_digest_invariants_stupid_backoff(spark):
     d = bench.plan_digest(qs["url_traps"](spark, "/root/testdata/sf0.001"))
     assert d["python_stages"] == 0 and d["exchanges"] <= 2, d
     assert d["sort_merge_joins"] == 0 and d["broadcast_joins"] == 0, d
+
+    # redirect resolution folds the follow loop into one result checkpoint
+    d = bench.plan_digest(qs["redirect_resolve"](spark, "/root/testdata/sf0.001"))
+    assert d["python_stages"] == 0 and d["exchanges"] == 0, d
