@@ -4462,6 +4462,53 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(domain_edges(links), iters=4)
 
 
+def q_site_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (PSL-lite) host collapsing
+    (linkgraph.registered_domain): four synthetic host shapes per doc —
+    www-subdomain, blogspot platform suffix, deep co.uk subdomain, bare
+    two-label — roll up to site-level counts. The oracle derives each
+    registrable domain ARITHMETICALLY from the case id (it never splits
+    hostnames), so a suffix-logic bug cannot cancel out."""
+    from chronon_spark.operators.linkgraph import registered_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id") % 4
+    host = (
+        F.when(k == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .when(k == 1, F.concat(F.col("source"), F.lit(".blogspot.com")))
+        .when(k == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("news."), F.col("source"), F.lit(".io")))
+    )
+    hosts = docs.select(host.alias("host"))
+    return (
+        hosts.select("host", registered_domain("host").alias("site"))
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+_SITE_COLLAPSE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, doc_id % 4 AS k FROM documents),
+h AS (
+  SELECT CASE k WHEN 0 THEN 'www.' || source || '.example.com'
+                WHEN 1 THEN source || '.blogspot.com'
+                WHEN 2 THEN 'a.b.' || source || '.co.uk'
+                ELSE 'news.' || source || '.io' END AS host,
+         CASE k WHEN 0 THEN 'example.com'
+                WHEN 1 THEN source || '.blogspot.com'
+                WHEN 2 THEN source || '.co.uk'
+                ELSE source || '.io' END AS site
+  FROM d)
+SELECT site, count(*) AS n_rows,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM h GROUP BY site
+"""
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (linkgraph.resolve_redirects): per-doc
     synthetic 3xx edges form 4-hop chains within each 5-id block, with
@@ -5510,6 +5557,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "robots_delay": q_robots_delay,
         "redirect_resolve": q_redirect_resolve,
+        "site_collapse": q_site_collapse,
         "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
@@ -5670,6 +5718,7 @@ def _raw_oracles() -> dict[str, str]:
         "url_traps": _URL_TRAPS_ORACLE,
         "robots_delay": _ROBOTS_DELAY_ORACLE,
         "redirect_resolve": _redirect_resolve_oracle(),
+        "site_collapse": _SITE_COLLAPSE_ORACLE,
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,

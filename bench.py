@@ -466,6 +466,7 @@ HEADLINE = [
     "url_traps",
     "robots_delay",
     "redirect_resolve",
+    "site_collapse",
 ]
 
 

@@ -92,6 +92,47 @@ def domain_edges(links: DataFrame) -> DataFrame:
     )
 
 
+# Literal subset of the Public Suffix List: the multi-label suffixes a
+# registrable domain sits under. The real PSL is ~9k rules and changes
+# monthly; a production deployment swaps this tuple for the full list
+# (the plan shape — one CASE cascade, zero joins — is unchanged, since
+# the list compiles to a literal expression either way). Single-label
+# TLDs need no entry: the default branch keeps the last two labels.
+PUBLIC_SUFFIXES_2LABEL = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "blogspot.com",
+)
+
+
+def registered_domain(host_col) -> "F.Column":
+    """Registrable ('site-level') domain of a hostname: the label just
+    above its public suffix — ``a.b.news.co.uk`` -> ``news.co.uk``,
+    ``www.example.com`` -> ``example.com``, bare/1-label hosts pass
+    through. Host graphs over-resolve sites (every subdomain a node, so
+    blogspot farms dominate); per-SITE graphs and rollups collapse hosts
+    with this first.
+
+    Pure Catalyst: split on dots + a literal CASE cascade over
+    ``PUBLIC_SUFFIXES_2LABEL`` — no join, no Python, trivially
+    SQL-mirrorable. Case-insensitive (hosts are)."""
+    h = F.lower(host_col if isinstance(host_col, F.Column) else F.col(host_col))
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_2label_suffix = last2.isin(*PUBLIC_SUFFIXES_2LABEL)
+    return (
+        F.when(n <= 2, h)
+        .when(is_2label_suffix & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def extract_anchors(
     df: DataFrame,
     html_col: str = "html",

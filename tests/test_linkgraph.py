@@ -602,3 +602,25 @@ def test_resolve_redirects_validation_and_leakfree(spark):
     assert len(added) == 1, added
     assert release_checkpoint(out)
     assert not (_ids() - before)
+
+
+def test_registered_domain_cases(spark):
+    from chronon_spark.operators.linkgraph import registered_domain
+
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.news.co.uk": "news.co.uk",
+        "news.co.uk": "news.co.uk",
+        "foo.github.io": "foo.github.io",
+        "deep.sub.foo.github.io": "foo.github.io",
+        "user.blogspot.com": "user.blogspot.com",
+        "example.com": "example.com",
+        "localhost": "localhost",
+        "WWW.Example.COM": "example.com",   # hosts are case-insensitive
+        "x.com.au": "x.com.au",
+        "m.x.com.au": "x.com.au",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"host": list(cases)}))
+    got = {r["host"]: r["reg"] for r in df.select(
+        "host", registered_domain("host").alias("reg")).collect()}
+    assert got == cases

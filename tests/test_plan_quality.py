@@ -458,3 +458,8 @@ def test_digest_invariants_stupid_backoff(spark):
     # redirect resolution folds the follow loop into one result checkpoint
     d = bench.plan_digest(qs["redirect_resolve"](spark, "/root/testdata/sf0.001"))
     assert d["python_stages"] == 0 and d["exchanges"] == 0, d
+
+    # registered-domain collapse is a literal CASE cascade: no joins
+    d = bench.plan_digest(qs["site_collapse"](spark, "/root/testdata/sf0.001"))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 2, d
+    assert d["sort_merge_joins"] == 0 and d["broadcast_joins"] == 0, d
