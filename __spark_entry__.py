@@ -4581,8 +4581,9 @@ WITH u AS (
          END AS url
   FROM documents),
 p AS (
-  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
-         regexp_replace(regexp_replace(url, '^https?://[^/]*', ''),
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1))
+           AS domain,
+         regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
                         '[0-9]+', 'N', 'g') AS template
   FROM u),
 t AS (SELECT domain, template, count(*) AS c FROM p GROUP BY 1, 2)

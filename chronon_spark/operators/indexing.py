@@ -502,14 +502,17 @@ def schedule_crawl(
         "slot", F.expr(f"(rank - 1) DIV {per_slot}").cast("long")
     )
     if delays is not None:
-        ranked = ranked.join(
+        # join on the LOWERCASED domain: parse_crawl_delay lowercases and
+        # a politeness rate must never fail open on 'Example.com' (the
+        # same never-fail-open rule as apply_robots' host join)
+        ranked = ranked.withColumn("__dkey", F.lower(F.col(domain_col))).join(
             F.broadcast(
                 delays.select(
-                    F.col("domain").alias(domain_col),
+                    F.lower(F.col("domain")).alias("__dkey"),
                     F.col("crawl_delay_sec").alias("__delay"),
                 )
             ),
-            domain_col,
+            "__dkey",
             "left",
         )
         delay = F.coalesce(F.col("__delay"), F.lit(default_delay_sec))
@@ -517,7 +520,7 @@ def schedule_crawl(
         delay = F.lit(default_delay_sec)
     return ranked.withColumn(
         "not_before_sec", ((F.col("rank") - 1) * delay).cast("long")
-    ).drop("__delay")
+    ).drop("__delay", "__dkey")
 
 
 def url_trap_stats(
@@ -549,12 +552,20 @@ def url_trap_stats(
     Returns (domain, n_urls, n_templates, urls_per_template,
     max_template_urls, is_trap).
     """
-    from chronon_spark.operators.linkgraph import DOMAIN_PATTERN
-
+    # scheme/host comparisons are case-insensitive (apply_robots' rule:
+    # a crawl control must never split or miss on 'HTTPS://TRAP.example')
+    # — the host lowercases and the scheme pattern accepts any case; the
+    # PATH keeps its case (paths are case-sensitive)
     proj = urls.select(
-        F.regexp_extract(F.col(url_col), DOMAIN_PATTERN, 1).alias("domain"),
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1
+            )
+        ).alias("domain"),
         F.regexp_replace(
-            F.regexp_replace(F.col(url_col), "^https?://[^/]*", ""),
+            F.regexp_replace(
+                F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""
+            ),
             "[0-9]+",
             "N",
         ).alias("template"),
@@ -567,14 +578,14 @@ def url_trap_stats(
         F.count(F.lit(1)).alias("n_templates"),
         F.max("c").alias("max_template_urls"),
     )
+    upt = F.expr("n_urls DIV n_templates")
     return out.select(
         "domain",
         "n_urls",
         "n_templates",
-        F.expr("n_urls DIV n_templates").alias("urls_per_template"),
+        upt.alias("urls_per_template"),
         "max_template_urls",
         (
-            (F.col("n_urls") >= min_urls)
-            & (F.expr("n_urls DIV n_templates") >= min_urls_per_template)
+            (F.col("n_urls") >= min_urls) & (upt >= min_urls_per_template)
         ).alias("is_trap"),
     )

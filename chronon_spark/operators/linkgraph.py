@@ -117,8 +117,12 @@ def registered_domain(host_col) -> "F.Column":
 
     Pure Catalyst: split on dots + a literal CASE cascade over
     ``PUBLIC_SUFFIXES_2LABEL`` — no join, no Python, trivially
-    SQL-mirrorable. Case-insensitive (hosts are)."""
+    SQL-mirrorable. Case-insensitive (hosts are); a ``:port`` (which
+    ``DOMAIN_PATTERN`` extraction keeps) and a trailing FQDN dot are
+    stripped first, so 'www.example.com:8080' and 'example.com.' roll
+    up with their plain forms."""
     h = F.lower(host_col if isinstance(host_col, F.Column) else F.col(host_col))
+    h = F.regexp_replace(F.regexp_replace(h, r":\d+$", ""), r"\.$", "")
     parts = F.split(h, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))

@@ -344,8 +344,8 @@ def unigram_logprob_score(
     """
     if counts is None:
         counts = unigram_counts(docs, text_col)
-    counts = counts.persist()
-    total = counts.agg(F.sum("c")).first()[0]
+    # empty corpus: keep the plan constructible (result is empty anyway)
+    total = counts.agg(F.sum("c")).first()[0] or 1
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(norm_text(text_col), " ")).alias("token"),
@@ -435,20 +435,29 @@ def stupid_backoff_score(
     independent, DuckDB oracle bit-exact). The LM total is ONE driver
     scalar.
 
-    Scale: the model tables are |vocab| and |bigram-vocab| rows — small
-    vs the corpus; they localCheckpoint once (single compute, truncated
-    lineage, nothing left persisted). The token stream shuffles through
-    three hash joins (w2, w1, (w1,w2)) — the sharded-join topology of
-    the Brants paper; AQE broadcasts the model side when it fits, and
+    Scale: this is a PURE PLAN — nothing is persisted or checkpointed,
+    so nothing leaks (the global_top_k contract). The price of purity is
+    that the self-trained default re-derives the model aggregations
+    inside each of the three joins; at corpus scale, train ONCE and pass
+    the tables in::
+
+        uni = unigram_counts(corpus).localCheckpoint()
+        big = bigram_counts(corpus, min_count=5).localCheckpoint()
+        scores = stupid_backoff_score(docs, "id", bigrams=big, unigrams=uni)
+        ...  # after the job: release_checkpoint(uni); release_checkpoint(big)
+
+    The token stream shuffles through three hash joins (w2, w1,
+    (w1,w2)) — the sharded-join topology of the Brants paper; AQE
+    broadcasts the model side when it fits, and
     ``bigram_counts(min_count=...)`` bounds it when it doesn't.
     """
     if unigrams is None:
         unigrams = unigram_counts(docs, text_col)
     if bigrams is None:
         bigrams = bigram_counts(docs, text_col)
-    unigrams = unigrams.localCheckpoint()
-    bigrams = bigrams.localCheckpoint()
-    total = unigrams.agg(F.sum("c")).first()[0]
+    # empty corpus / all-NULL text: keep the plan constructible; the
+    # result is empty anyway, so the constant only needs to be finite
+    total = unigrams.agg(F.sum("c")).first()[0] or 1
 
     tok = docs.select(
         F.col(id_col).alias("id"),

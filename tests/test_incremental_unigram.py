@@ -272,3 +272,34 @@ def test_stupid_backoff_partition_invariance(spark, sf_dir):
 
     a, b = run(3), run(17)
     assert a.equals(b)
+
+
+def test_lm_scoring_empty_corpus_and_leakfree(spark):
+    """Empty corpus must yield an empty frame (not a plan-build crash),
+    and scoring must leave NOTHING persisted — it is a pure plan (the
+    global_top_k contract); the scale path passes pre-checkpointed model
+    tables instead."""
+    from chronon_spark.operators.textstats import (
+        stupid_backoff_score,
+        unigram_logprob_score,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert stupid_backoff_score(empty, "doc_id").count() == 0
+    assert unigram_logprob_score(empty, "doc_id").count() == 0
+
+    def _ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(i, "some plain text here") for i in range(20)],
+                     columns=["doc_id", "text"])
+    )
+    before = _ids()
+    stupid_backoff_score(docs, "doc_id").collect()
+    unigram_logprob_score(docs, "doc_id").collect()
+    assert not (_ids() - before)

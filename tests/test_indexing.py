@@ -408,3 +408,38 @@ def test_url_trap_stats_partition_invariance(spark):
         )
 
     assert run(2).equals(run(16))
+
+
+def test_url_trap_stats_case_insensitive_host(spark):
+    """Case variants of one host (and an uppercase scheme) must count as
+    ONE domain — a crawl control never splits on case."""
+    from chronon_spark.operators.indexing import url_trap_stats
+
+    urls = (
+        [f"https://trap.example/cal/{i}" for i in range(10)]
+        + [f"https://TRAP.example/cal/{i}" for i in range(10, 20)]
+        + [f"HTTPS://Trap.Example/cal/{i}" for i in range(20, 25)]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got = {r["domain"]: r for r in url_trap_stats(df, min_urls=20,
+                                                  min_urls_per_template=10).collect()}
+    assert set(got) == {"trap.example"}
+    assert got["trap.example"]["n_urls"] == 25
+    assert got["trap.example"]["n_templates"] == 1
+    assert got["trap.example"]["is_trap"]
+
+
+def test_schedule_crawl_delay_join_case_insensitive(spark):
+    """parse_crawl_delay lowercases domains; a mixed-case frontier must
+    still pick up its directive instead of failing open to the default."""
+    from chronon_spark.operators.indexing import schedule_crawl
+
+    frontier = spark.createDataFrame(
+        [("Example.com", f"https://Example.com/{i}", 10 - i) for i in range(3)],
+        "domain string, url string, priority_micro long",
+    )
+    delays = spark.createDataFrame([("example.com", 30)],
+                                   "domain string, crawl_delay_sec long")
+    out = schedule_crawl(frontier, per_slot=2, delays=delays, default_delay_sec=1)
+    got = {r.rank: r.not_before_sec for r in out.collect()}
+    assert got == {1: 0, 2: 30, 3: 60}

@@ -624,3 +624,17 @@ def test_registered_domain_cases(spark):
     got = {r["host"]: r["reg"] for r in df.select(
         "host", registered_domain("host").alias("reg")).collect()}
     assert got == cases
+
+
+def test_registered_domain_port_and_fqdn_dot(spark):
+    from chronon_spark.operators.linkgraph import registered_domain
+
+    cases = {
+        "www.example.com:8080": "example.com",
+        "example.com.": "example.com",
+        "a.news.co.uk:443": "news.co.uk",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"host": list(cases)}))
+    got = {r["host"]: r["reg"] for r in df.select(
+        "host", registered_domain("host").alias("reg")).collect()}
+    assert got == cases
