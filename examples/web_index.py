@@ -13,6 +13,10 @@ processor does:
   7. phrase search (positional intersection) for exact-phrase probes
   8. per-domain rollup joining dup rate, length stats, and rank
   9. crawl-frontier priorities from recrawl change rates x rank
+ 10. TrustRank from the top-PageRank domains as a stand-in seed list
+     (a real deployment hand-vets the seeds)
+ 11. crawl-trap detection over the URL space (template explosion)
+ 12. politeness-slot fetch waves over the prioritized frontier
 
 Every step is a pure DataFrame plan from chronon_spark.operators —
 nothing here is bespoke; the example only wires the operators.
@@ -114,6 +118,27 @@ def build_index(
     )
     stats = recrawl_stats(pages.select("url", "text"))
     frontier = log("frontier", crawl_priority(stats, ranks))
+
+    # --- trust, traps, fetch schedule ----------------------------------
+    from chronon_spark.operators.indexing import schedule_crawl, url_trap_stats
+    from chronon_spark.operators.linkgraph import domain_trustrank
+
+    # stand-in seed list: the top PageRank domains (|seeds| rows to the
+    # driver — bounded by construction); a real deployment hand-vets this
+    seeds = spark.createDataFrame(
+        [(r.domain,) for r in ranks.orderBy(F.desc("rank"), "domain").limit(3).collect()],
+        "domain string",
+    )
+    trust = log("trust", domain_trustrank(edges, seeds, iters=4))
+    traps = log("traps", url_trap_stats(crawl.select("url")))
+    schedule = log(
+        "schedule",
+        schedule_crawl(
+            frontier.select("url", "domain", "priority_micro"),
+            per_slot=5,
+            max_frontier_per_domain=50,
+        ),
+    )
     edges.unpersist()
     return {
         "ranks": ranks,
@@ -126,6 +151,9 @@ def build_index(
         "phrases": matches,
         "rollup": rollup,
         "frontier": frontier,
+        "trust": trust,
+        "traps": traps,
+        "schedule": schedule,
     }
 
 

@@ -23,10 +23,18 @@ def test_web_index_example_artifacts(spark):
     )
     counts = {k: df.count() for k, df in arts.items()}
     for k in ("ranks", "hits", "harmonic", "anchors", "postings", "vocab",
-              "bm25", "phrases", "rollup", "frontier"):
+              "bm25", "phrases", "rollup", "frontier", "trust", "traps",
+              "schedule"):
         assert counts[k] > 0, (k, counts)
-    # all three centralities rank the same node set
+    # all three centralities rank the same node set; trust too
     assert counts["ranks"] == counts["hits"] == counts["harmonic"]
+    assert counts["trust"] == counts["ranks"]
+    # the fetch schedule covers the capped frontier (per-domain budget
+    # trims hot domains, so schedule <= frontier and every domain <= cap)
+    assert 0 < counts["schedule"] <= counts["frontier"]
+    per_dom = arts["schedule"].groupBy("domain").count().agg(
+        {"count": "max"}).first()[0]
+    assert per_dom <= 50
 
 
 def test_generator_links_flag_is_optin(spark):
