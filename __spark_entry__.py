@@ -689,6 +689,36 @@ WHERE (CAST('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BI
 """
 
 
+def q_temperature_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-mass temperature mix (the published definition: mT5's
+    p_k ∝ tokens_k^alpha, not docs^alpha): per-language mass measured
+    as sum(n_chars) via temperature_mix(weight_col=...), acceptance
+    still doc-level. Oracle recomputes the per-key fractions over the
+    identical summed mass with the identical FP operations."""
+    from chronon_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return temperature_mix(
+        docs, "lang", alpha=0.5, id_col="doc_id", seed=13, weight_col="n_chars"
+    ).select("doc_id", "lang")
+
+
+_TEMPERATURE_MIX_TOKENS_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang HAVING SUM(n_chars) > 0
+),
+raw AS (SELECT lang, pow(c, -0.5) AS r FROM counts),
+fr AS (SELECT lang, least(1.0, r / (SELECT max(r) FROM raw)) AS f FROM raw)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN fr ON d.lang = fr.lang
+WHERE (CAST('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+     % 1000000) < CAST(floor(f * 1000000) AS BIGINT)
+"""
+
+
 # data-recipe epochs per source: floor(e) full copies + a frac(e) hash
 # slice gets one more. Buckets precomputed in Python and inlined into the
 # oracle so both engines compare against identical integers.
@@ -5559,6 +5589,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_delay": q_robots_delay,
         "redirect_resolve": q_redirect_resolve,
         "site_collapse": q_site_collapse,
+        "temperature_mix_tokens": q_temperature_mix_tokens,
         "anchor_topk": q_anchor_topk,
         "eval_preflight": q_eval_preflight,
         "bpe_tokens": q_bpe_tokens,
@@ -5720,6 +5751,7 @@ def _raw_oracles() -> dict[str, str]:
         "robots_delay": _ROBOTS_DELAY_ORACLE,
         "redirect_resolve": _redirect_resolve_oracle(),
         "site_collapse": _SITE_COLLAPSE_ORACLE,
+        "temperature_mix_tokens": _TEMPERATURE_MIX_TOKENS_ORACLE,
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,

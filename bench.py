@@ -467,6 +467,7 @@ HEADLINE = [
     "robots_delay",
     "redirect_resolve",
     "site_collapse",
+    "temperature_mix_tokens",
 ]
 
 
@@ -587,6 +588,59 @@ def run_dedup_job(master: str, cores: int, path: str, rows: int, repeats: int = 
                     docs, "doc_id", n_hashes=16, bands=4, verify_threshold=0.4
                 )
             )
+            walls.append(time.time() - t0)
+    finally:
+        spark.stop()
+    wall = min(walls)
+    return {"cores": cores, "wall_sec": round(wall, 3), "walls": [round(w, 3) for w in walls],
+            "rows_per_sec": round(rows / wall, 1)}
+
+
+def webtext_linked_parquet(spark, n_rows: int) -> str:
+    """Scaling input for the graph shape: the same generator with
+    deterministic cross-domain anchors (with_links) — cached like
+    webtext_parquet, separate file so the flagship input's bytes stay
+    byte-identical across rounds."""
+    from chronon_spark.sources.webtext import generate_webtext
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"webtext_{n_rows}_linked.parquet")
+    if not os.path.exists(path):
+        generate_webtext(
+            spark, n_rows, seed=42, n_domains=500,
+            partitions=max(CPUS * 2, 16), with_links=True,
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_graph_job(master: str, cores: int, path: str, rows: int, repeats: int = 2) -> dict:
+    """Third scaling job SHAPE: link-graph build + integer-exact
+    PageRank — the ITERATIVE profile (per-iteration join + aggregate
+    barriers with checkpoint release) vs the as-of join's range/sort-
+    merge and the dedup pipeline's hash/self-join. The scan-stage work
+    is the href regexp projection, so split sizing is this job's
+    parallelism too (same 8m rule as the dedup shape)."""
+    from chronon_spark.checkpoint import release_checkpoint
+    from chronon_spark.operators.linkgraph import (
+        domain_edges,
+        domain_pagerank,
+        extract_links,
+    )
+
+    spark = build(master, shuffle_partitions=max(cores * 2, 8))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+    walls = []
+    try:
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            crawl = spark.read.parquet(path).selectExpr(
+                "parse_url(url, 'HOST') AS src_domain", "html"
+            )
+            ranks = domain_pagerank(domain_edges(extract_links(crawl)), iters=4)
+            force(ranks)
+            release_checkpoint(ranks)
             walls.append(time.time() - t0)
     finally:
         spark.stop()
@@ -755,6 +809,33 @@ def main() -> None:
                     "efficiency": round(eff2, 3),
                     "n_rows_per_sec": lo2["rows_per_sec"],
                     "four_n_rows_per_sec": hi2["rows_per_sec"],
+                }
+            )
+            # third job SHAPE: link-graph build + PageRank — the
+            # ITERATIVE profile (per-iteration barriers + checkpoint
+            # release); three shapes cover the engine's plan families
+            spark = build(f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+            try:
+                gpath = webtext_linked_parquet(spark, n_scale)
+            finally:
+                spark.stop()
+            lo3 = run_graph_job(f"local[{n_small}]", n_small, gpath, n_scale)
+            hi3 = run_graph_job(f"local[{n_large}]", n_large, gpath, n_scale)
+            eff3 = (hi3["rows_per_sec"] / lo3["rows_per_sec"]) / (n_large / n_small)
+            result["scaling_graph"] = {
+                "n_cores": lo3,
+                "four_n_cores": hi3,
+                "efficiency": round(eff3, 3),
+            }
+            record_scaling(
+                {
+                    "job": "linkgraph_pagerank",
+                    "rows": n_scale,
+                    "n": n_small,
+                    "four_n": n_large,
+                    "efficiency": round(eff3, 3),
+                    "n_rows_per_sec": lo3["rows_per_sec"],
+                    "four_n_rows_per_sec": hi3["rows_per_sec"],
                 }
             )
     finally:

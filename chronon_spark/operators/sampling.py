@@ -177,6 +177,7 @@ def temperature_mix(
     alpha: float,
     id_col: str,
     seed: int = 42,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Temperature-scaled source mixing: keep each group with target mass
     proportional to count^alpha (the multilingual/pretraining mix knob —
@@ -185,12 +186,25 @@ def temperature_mix(
     the XLM-R / mT5 papers). Downsample-only: acceptance fraction per key
     is count^(alpha-1) scaled so the smallest surviving group passes
     whole. Two passes — one map-side-combined count per key (tiny
-    collect), then one narrow deterministic hash filter."""
+    collect), then one narrow deterministic hash filter.
+
+    ``weight_col``: measure each group's mass as sum(weight) instead of
+    row count — the published mixtures are defined over TOKENS, not
+    documents (mT5's p_k ∝ tokens_k^alpha), so pass a token-count
+    column to match them. Acceptance stays doc-level (the standard
+    practice: the per-key fraction applies uniformly to the key's docs,
+    so expected surviving token mass ∝ mass^alpha)."""
     assert 0.0 <= alpha <= 1.0
+    if weight_col is None:
+        grouped = df.groupBy(key_col).count()
+    else:
+        grouped = df.groupBy(key_col).agg(
+            F.sum(weight_col).alias("count")
+        )
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(key_col).count().collect()
-        if r[0] is not None
+        for r in grouped.collect()
+        if r[0] is not None and r[1] is not None and r[1] > 0
     }
     if not counts:
         return df.where(F.lit(False))

@@ -637,6 +637,45 @@ def test_temperature_mix_damps_head_groups(spark):
     assert m["sw"] == 2000 and 2000 < m["de"] < 6000 and m["en"] > m["de"]
 
 
+def test_temperature_mix_token_weighted(spark):
+    """weight_col measures group mass as sum(weight): a group with FEW
+    docs but MANY tokens is the head under token weighting even though
+    it is the tail by doc count."""
+    from chronon_spark.operators.sampling import temperature_mix
+
+    df = (
+        spark.range(0, 12_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 12 < 10, "en")   # 10k docs
+            .otherwise("de"),                          # 2k docs
+        )
+        # de docs are 100x longer: token mass de=200k >> en=10k
+        .withColumn(
+            "n_tok",
+            F.when(F.col("lang") == "de", F.lit(100)).otherwise(F.lit(1)),
+        )
+    )
+    # by DOC count, en is the head -> en downsampled, de kept whole
+    by_docs = temperature_mix(df, "lang", 0.0, "doc_id", seed=5).toPandas()
+    d = by_docs.groupby("lang").size()
+    assert d["de"] == 2000 and d["en"] < 2600
+
+    # by TOKEN mass, de is the head -> de downsampled, en kept whole
+    by_tok = temperature_mix(
+        df, "lang", 0.0, "doc_id", seed=5, weight_col="n_tok"
+    ).toPandas()
+    t = by_tok.groupby("lang").size()
+    assert t["en"] == 10_000
+    # de's acceptance at alpha=0 is mass_en/mass_de = 0.05 -> ~100 of 2000
+    assert 50 < t["de"] < 180
+
+    # alpha=1 keeps everything regardless of weighting
+    assert temperature_mix(
+        df, "lang", 1.0, "doc_id", weight_col="n_tok").count() == 12_000
+
+
 def test_shuffle_shards_is_permutation(spark):
     from chronon_spark.operators.sampling import shuffle_shards
 
