@@ -421,6 +421,56 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed as-of counter (half-life 3 days,
+    hop-granular decay): precise inclusive head in the query's own hop +
+    hopped tail of per-hop IRs weighted 2^-d (operators/decay.py; the
+    reference's HopsAggregator/SawtoothOnlineAggregator architecture with
+    decay at merge time). Integer-cent values and power-of-two weights
+    make the BIGINT result bit-exact against the oracle."""
+    from chronon_spark.operators.decay import decayed_sum_asof
+    from chronon_spark.sources.scan import millis_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        f"{millis_expr('ts')} AS ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    qr = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", f"{millis_expr('ts')} AS ts"
+    )
+    return decayed_sum_asof(
+        ev, qr, "user_id", "ts", "cents", half_life_ms=259_200_000,
+        query_id_col="event_id",
+    )
+
+
+_DECAYED_SUM_ORACLE = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                   epoch_ms(ts) // 259200000 AS b FROM events),
+q AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
+             epoch_ms(ts) // 259200000 AS b FROM events),
+head AS (
+  SELECT q.event_id, COALESCE(SUM(e.c), 0) AS h
+  FROM q LEFT JOIN ev e
+    ON e.user_id = q.user_id AND e.b = q.b AND e.ts <= q.ts
+  GROUP BY q.event_id),
+hs AS (SELECT user_id, b, SUM(c) AS s FROM ev GROUP BY 1, 2),
+tail AS (
+  SELECT q.event_id,
+         SUM(hs.s * (CAST(1 AS BIGINT) << CAST(20 - (q.b - hs.b) AS INT))) AS t
+  FROM q JOIN hs
+    ON hs.user_id = q.user_id AND hs.b BETWEEN q.b - 20 AND q.b - 1
+  GROUP BY q.event_id)
+SELECT q.event_id, q.user_id, q.ts,
+       head.h * (CAST(1 AS BIGINT) << 20) + COALESCE(tail.t, 0) AS decayed_q
+FROM q
+JOIN head ON head.event_id = q.event_id
+LEFT JOIN tail ON tail.event_id = q.event_id
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.analytic import session_stats
     from chronon_spark.sources.scan import millis_expr
@@ -5622,6 +5672,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_snapshot": q_entity_snapshot,
         "shard_shuffle": q_shard_shuffle,
         "lag_lead": q_lag_lead,
+        "decayed_sum": q_decayed_sum,
         "corpus_split": q_corpus_split,
         "embedding_topk": q_embedding_topk,
         "tpch_q3": q_tpch_q3,
@@ -5700,6 +5751,7 @@ def _raw_oracles() -> dict[str, str]:
         "asof_percentile": _ASOF_PCT_ORACLE,
         "snapshot_groupby": _SNAPSHOT_ORACLE,
         "lag_lead": _LAG_LEAD_ORACLE,
+        "decayed_sum": _DECAYED_SUM_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -468,6 +468,7 @@ HEADLINE = [
     "redirect_resolve",
     "site_collapse",
     "temperature_mix_tokens",
+    "decayed_sum",
 ]
 
 
