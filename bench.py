@@ -335,7 +335,15 @@ def bpe_train_bench(spark) -> dict:
     ceil(32768/batch) rounds x (one pair-count aggregation over the
     unique-word table + one top-pairs collect). batch=1 (the bit-exact
     sequential default) measured 1.11 s/round -> ~10 h at 32k; batch=32
-    measured ~52 min extrapolated on this host."""
+    measured ~52 min extrapolated on this host.
+
+    Both trainer arms run: full per-round recount, and incremental
+    delta maintenance (only words containing a merged occurrence are
+    re-exploded; pair table updated by +/- delta). Output is
+    pytest-pinned bit-equal; the bench re-asserts it and reports both
+    walls. Incremental wins grow with merge index — the changed-word
+    fraction vanishes at production vocab sizes while the full path
+    re-pays the whole explode every round."""
     from pyspark.sql import functions as F
 
     from chronon_spark.operators.tokenizer import bpe_train
@@ -356,6 +364,10 @@ def bpe_train_bench(spark) -> dict:
     t0 = time.time()
     merges = bpe_train(docs, num_merges=n, min_count=2, batch_size=batch)
     wall = time.time() - t0
+    t0 = time.time()
+    inc = bpe_train(docs, num_merges=n, min_count=2, batch_size=batch,
+                    incremental=True)
+    inc_wall = time.time() - t0
     docs.unpersist()
     got = len(merges)
     return {
@@ -364,6 +376,10 @@ def bpe_train_bench(spark) -> dict:
         "wall_sec": round(wall, 2),
         "merges_per_sec": round(got / wall, 2),
         "extrapolated_32k_wall_min": round((32_768 / max(got, 1)) * wall / 60, 1),
+        "incremental_wall_sec": round(inc_wall, 2),
+        "incremental_32k_wall_min": round(
+            (32_768 / max(got, 1)) * inc_wall / 60, 1),
+        "incremental_bit_equal": inc == merges,
     }
 
 
@@ -601,14 +617,22 @@ def webtext_linked_parquet(spark, n_rows: int) -> str:
     """Scaling input for the graph shape: the same generator with
     deterministic cross-domain anchors (with_links) — cached like
     webtext_parquet, separate file so the flagship input's bytes stay
-    byte-identical across rounds."""
+    byte-identical across rounds.
+
+    The DOMAIN count scales with rows (2000 docs/domain, floor 500): a
+    fixed 500-domain graph saturates its distinct-edge table, so at
+    bigger inputs the PageRank iterations would stay constant-size and
+    the pair would measure scan scaling only — scaling the graph keeps
+    the iterative stages carrying real parallel work, which is what the
+    shape exists to evidence."""
     from chronon_spark.sources.webtext import generate_webtext
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"webtext_{n_rows}_linked.parquet")
+    n_domains = max(500, n_rows // 2000)
+    path = os.path.join(CACHE_DIR, f"webtext_{n_rows}_linked_{n_domains}d.parquet")
     if not os.path.exists(path):
         generate_webtext(
-            spark, n_rows, seed=42, n_domains=500,
+            spark, n_rows, seed=42, n_domains=n_domains,
             partitions=max(CPUS * 2, 16), with_links=True,
         ).write.mode("overwrite").parquet(path)
     return path

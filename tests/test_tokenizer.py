@@ -203,3 +203,33 @@ def test_encode_banana_and_runs(abab_df):
     assert got["b3"] == ["b", "an", "an", "a", "m", "a", "m", "a"]
     # 'aaaaa aaa' + (a,n)(a,a): greedy left-to-right pairs
     assert got["b2"] == ["aa", "aa", "a", "aa", "a"]
+
+
+# ------------------------------------------- incremental delta trainer
+# bpe_train(incremental=True) maintains the pair-count table by delta
+# (only words containing a merged occurrence are re-exploded) instead of
+# a full per-round recount. Same selection rule, same tie-break, same
+# batch non-interference filter -> output must be BIT-EQUAL to the full
+# path on every corpus, including the shared-boundary regression corpus
+# and multi-merge batches.
+
+
+def test_incremental_training_bit_equal_full(docs_df):
+    full = bpe_train(docs_df, num_merges=24, min_count=2)
+    inc = bpe_train(docs_df, num_merges=24, min_count=2, incremental=True)
+    assert inc == full
+
+
+def test_incremental_training_bit_equal_batched(docs_df):
+    full = bpe_train(docs_df, num_merges=24, min_count=2, batch_size=6)
+    inc = bpe_train(docs_df, num_merges=24, min_count=2, batch_size=6, incremental=True)
+    assert inc == full
+
+
+def test_incremental_training_handles_overlapping_runs(abab_df):
+    # 'aaaaa' + (a,a) is where delta maintenance is easiest to get wrong:
+    # overlapping positions count, and one replace changes several pairs.
+    full = bpe_train(abab_df, num_merges=12, min_count=2)
+    inc = bpe_train(abab_df, num_merges=12, min_count=2, incremental=True)
+    assert inc == full
+    assert [tuple(m) for m in inc] == py_train(ABAB_CORPUS, 12, 2)
