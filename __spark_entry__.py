@@ -1847,6 +1847,144 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+PQ_M, PQ_K, PQ_ITERS, PQ_NQ, PQ_TOPK = 4, 8, 2, 4, 5
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): per-subspace
+    Lloyd's with integer-rounded centroids, so every distance in train
+    AND encode is an exact BIGINT sum — the oracle replays the whole
+    fit as unrolled CTEs and hash-matches the codes bit-for-bit."""
+    from chronon_spark.operators.pq import pq_encode, pq_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_fit(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    # comma-joined code string: the repo's engine-portable list
+    # serialization (same convention as lastk/bpe_tokens)
+    return pq_encode(emb, cbs).select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws(",", F.col("codes")).alias("codes_csv"),
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the float embedding
+    column is never read at query time — scoring is one projection over
+    the 4-byte-code table (the 100 TB story: a 512x column shrink at
+    production m/k). Integer adist means no float tie ambiguity."""
+    from chronon_spark.operators.pq import pq_fit, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_fit(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    queries = emb.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(emb, queries, cbs, k_neighbors=PQ_TOPK)
+    return out.select(
+        "query_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _pq_ctes(m: int, k: int, iters: int, d: int) -> str:
+    """Unrolled PQ-fit CTE chain (shared by the encode + topk oracles).
+
+    All-integer exactness: vectors quantize to BIGINT 1e-6 units once;
+    every distance is a BIGINT sum of squared differences; centroid
+    means round back to BIGINT via floor(sum/n + 0.5) — the identical
+    IEEE-double division Spark and Python perform — so there is no
+    float comparison anywhere and the replay is exact, not approximate.
+    """
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {d} + 1),"
+        " j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+    parts = [
+        f"""q0 AS (
+  SELECT vec_id,
+     list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subsv AS (
+  SELECT vec_id, s.sub, list_slice(q.qv, s.sub * {d} + 1, (s.sub + 1) * {d}) AS sv
+  FROM q0 q CROSS JOIN (SELECT unnest(range({m})) AS sub) s
+),
+cent0 AS (
+  SELECT s.sub, r.cell, list_slice(r.qv, s.sub * {d} + 1, (s.sub + 1) * {d}) AS cv
+  FROM (SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) - 1 AS cell
+        FROM q0
+        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC) <= {k}) r
+  CROSS JOIN (SELECT unnest(range({m})) AS sub) s
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""score{i} AS (
+  SELECT v.vec_id, v.sub, c.cell, {dist} AS dist
+  FROM subsv v JOIN cent{i - 1} c USING (sub)
+),
+assign{i} AS (
+  SELECT vec_id, sub, cell FROM score{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) = 1
+),
+upd{i} AS (
+  SELECT sub, cell, pos,
+         CAST(floor(CAST(SUM(comp) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cval
+  FROM (SELECT a.sub, a.cell, unnest(v.sv) AS comp, unnest(range(1, {d} + 1)) AS pos
+        FROM assign{i} a JOIN subsv v USING (vec_id, sub))
+  GROUP BY sub, cell, pos
+),
+cent{i} AS (
+  SELECT c.sub, c.cell, COALESCE(u.cv, c.cv) AS cv
+  FROM cent{i - 1} c
+  LEFT JOIN (SELECT sub, cell, list(cval ORDER BY pos) AS cv
+             FROM upd{i} GROUP BY sub, cell) u USING (sub, cell)
+)""")
+    parts.append(f"""scoref AS (
+  SELECT v.vec_id, v.sub, c.cell, {dist} AS dist
+  FROM subsv v JOIN cent{iters} c USING (sub)
+),
+assignf AS (
+  SELECT vec_id, sub, cell FROM scoref
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) = 1
+)""")
+    return ",\n".join(parts)
+
+
+def _pq_encode_oracle() -> str:
+    d = 64 // PQ_M
+    return (
+        "WITH "
+        + _pq_ctes(PQ_M, PQ_K, PQ_ITERS, d)
+        + """
+SELECT vec_id, string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub) AS codes_csv
+FROM assignf GROUP BY vec_id"""
+    )
+
+
+def _pq_topk_oracle() -> str:
+    d = 64 // PQ_M
+    return (
+        "WITH "
+        + _pq_ctes(PQ_M, PQ_K, PQ_ITERS, d)
+        + f""",
+adc AS (
+  SELECT qs.vec_id AS query_id, nc.vec_id AS neighbor_id,
+         CAST(SUM(CAST(list_sum(list_transform(range(1, {d} + 1),
+            j -> (qs.sv[j] - c.cv[j]) * (qs.sv[j] - c.cv[j]))) AS BIGINT)) AS BIGINT) AS adist
+  FROM subsv qs
+  JOIN assignf nc ON nc.sub = qs.sub AND nc.vec_id <> qs.vec_id
+  JOIN cent{PQ_ITERS} c ON c.sub = nc.sub AND c.cell = nc.cell
+  WHERE qs.vec_id < {PQ_NQ}
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM adc)
+WHERE rank <= {PQ_TOPK}"""
+    )
+
+
 ANN_PLANES, ANN_TABLES, ANN_SEED, ANN_DIM = 6, 4, 42, 64
 
 
@@ -5718,6 +5856,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "asof_groupby": q_asof_groupby,
         "kmeans_cluster": q_kmeans_cluster,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -5781,6 +5921,8 @@ def _raw_oracles() -> dict[str, str]:
         "tfidf_topk": _TFIDF_ORACLE,
         "blocklist": _blocklist_oracle(),
         "embedding_topk": _TOPK_ORACLE,
+        "pq_encode": _pq_encode_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         "asof_sawtooth": _SAWTOOTH_ORACLE,
         "fetch_join": _FETCH_JOIN_ORACLE,
         "chained_join": _CHAINED_ORACLE,

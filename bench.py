@@ -485,6 +485,8 @@ HEADLINE = [
     "site_collapse",
     "temperature_mix_tokens",
     "decayed_sum",
+    "pq_encode",
+    "pq_topk",
 ]
 
 

@@ -1,0 +1,265 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split a D-dim vector into ``m`` subvectors of
+``D/m`` dims, k-means each subspace independently, and store a vector
+as ``m`` small centroid ids. Asymmetric distance computation (ADC)
+approximates the L2 distance of a query to a stored vector as the sum
+of per-subspace distances between the query's subvector and the stored
+code's centroid.
+
+Why it's here: at 10^12-document scale a 1024-dim float32 embedding
+column is ~4 TB per 10^9 vectors; PQ codes at m=8/k=256 are 8 bytes —
+a 512x column shrink that turns "scan the embedding table" into a
+cache-resident pass. This is the storage/scan half of the ANN stack
+(similarity.py's IVF gives the candidate-pruning half; IVF+PQ is the
+standard composition). The reference engine has no vector search at
+all — this extends the training-data surface on the same oracle
+discipline as clustering.py.
+
+Design for scale (same shape as clustering.kmeans_fit):
+- codebooks are TINY (m x k x D/m) — they live on the driver and enter
+  every expression as literals, so assignment/encode/ADC are pure
+  projections over the corpus: zero joins, zero shuffles, zero Python
+  in the per-row path,
+- the training update aggregates (sub, cell) partial sums map-side, so
+  per-iteration shuffle traffic is m*k*(D/m + 2) longs per partition —
+  independent of corpus size,
+- ADC top-k runs as one projection over the CODES table (never touches
+  the original floats) followed by the bounded per-query rank.
+
+Cross-engine determinism — stricter than the cosine k-means: vectors
+quantize ONCE to integer 1e-6 units, and centroids ROUND BACK to
+integer units after every mean update (floor(sum/n + 0.5), identical
+IEEE-double division in Spark/DuckDB/Python). Every distance is then
+an exact BIGINT sum of squared integer differences: no float compare
+anywhere, so assignment (argmin, ties to the smallest cell) is exact in
+any engine at any parallelism. The quantization loss is sub-quantum
+relative to k-means' own approximation and is applied identically to
+corpus and queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.clustering import quantize
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_slices(qv: Column, m: int, d: int) -> list[Column]:
+    """The m subvectors of a quantized vector (1-based F.slice)."""
+    return [F.slice(qv, s * d + 1, d) for s in range(m)]
+
+
+def _assign_sub(sv: Column, centroids: list[list[int]]) -> Column:
+    """Nearest-centroid cell for ONE subspace: argmin of exact integer
+    squared L2 over literal centroids, ties to the smallest cell id
+    (array_min on (dist, cell) structs is lexicographic)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_l2(sv, F.array(*[F.lit(int(v)) for v in c])).alias("dist"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["cell"].cast("int")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train per-subspace codebooks; returns codebooks[sub][cell] as
+    lists of INTEGER 1e-6-unit components.
+
+    Init: the k corpus vectors with smallest md5(id) — the same
+    deterministic pseudo-random draw as kmeans_fit — sliced into their
+    m subvectors (so cent0[s][c] all come from the same k rows).
+    Iteration: one projection computes all m assignments per row, a
+    posexplode keys partial sums by (sub, cell) — ONE map-side-combined
+    aggregation per iteration regardless of m — and the driver rounds
+    the means back to integer units. Empty cells keep their previous
+    centroid. Driver traffic per iteration: m*k*(D/m+2) longs.
+    """
+    from chronon_spark.operators.dedup import ensure_parallelism
+
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
+    qdf = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+        .persist()
+    )
+    try:
+        dim_row = qdf.select(F.size("qv").alias("dim")).limit(1).collect()
+        if not dim_row:
+            raise ValueError("pq_fit: empty corpus")
+        dim = int(dim_row[0]["dim"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
+
+        init = (
+            qdf.orderBy(F.md5(F.col("id").cast("string")).asc())
+            .limit(k)
+            .select("qv")
+            .collect()
+        )
+        if len(init) < k:
+            raise ValueError(f"pq_fit: k={k} exceeds corpus size {len(init)}")
+        codebooks = [
+            [[int(r["qv"][s * d + p]) for p in range(d)] for r in init]
+            for s in range(m)
+        ]
+
+        for _ in range(iters):
+            subs = _sub_slices(F.col("qv"), m, d)
+            per_sub = F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        _assign_sub(subs[s], codebooks[s]).alias("cell"),
+                        subs[s].alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+            exploded = qdf.select(F.explode(per_sub).alias("a")).select(
+                F.col("a.sub").alias("sub"),
+                F.col("a.cell").alias("cell"),
+                F.col("a.sv").alias("sv"),
+            )
+            sums = (
+                exploded.groupBy("sub", "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("sv", p + 1)).alias(f"s{p}")
+                        for p in range(d)
+                    ],
+                )
+                .collect()
+            )
+            by_key = {(r["sub"], r["cell"]): r for r in sums}
+            codebooks = [
+                [
+                    [
+                        _round_mean(by_key[(s, c)][f"s{p}"], by_key[(s, c)]["n"])
+                        for p in range(d)
+                    ]
+                    if (s, c) in by_key
+                    else codebooks[s][c]
+                    for c in range(k)
+                ]
+                for s in range(m)
+            ]
+        return codebooks
+    finally:
+        qdf.unpersist()
+
+
+def _round_mean(total: int, n: int) -> int:
+    """floor(total/n + 0.5) with IEEE-double division — the exact
+    expression the SQL oracles evaluate."""
+    import math
+
+    return int(math.floor(total / n + 0.5))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector's m nearest-centroid cell ids — the
+    compressed representation. Pure literal-codebook projection."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qdf = corpus.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    subs = _sub_slices(F.col("qv"), m, d)
+    codes = F.array(*[_assign_sub(subs[s], codebooks[s]) for s in range(m)])
+    return qdf.select("id", codes.alias("codes"))
+
+
+def pq_adc_dist(
+    codes_col: str, query_qv: Column, codebooks: list[list[list[int]]]
+) -> Column:
+    """ADC distance: sum over subspaces of the exact integer squared L2
+    between the query's subvector and the centroid the stored code
+    names. ``element_at(literal array of centroid arrays, code+1)`` is
+    the table lookup; everything stays JVM-side."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qsubs = _sub_slices(query_qv, m, d)
+    total = F.lit(0).cast("long")
+    for s in range(m):
+        table = F.array(
+            *[F.array(*[F.lit(int(v)) for v in c]) for c in codebooks[s]]
+        )
+        cent = F.element_at(table, F.element_at(F.col(codes_col), s + 1) + 1)
+        total = total + _sq_l2(qsubs[s], cent)
+    return total
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes.
+
+    ``queries`` is a small (query_id, ``vec_col``) frame — broadcast
+    into one projection over the ENCODED corpus (the float embedding
+    column is never read at query time; that is the point of PQ).
+    Returns (query_id, neighbor_id, adist, rank) with rank 1..k by
+    (adist ASC, neighbor_id ASC) — exact integer ordering, no float
+    tie ambiguity. Self-matches are excluded.
+
+    The rank is a per-query window: fine for bounded query batches
+    (the online/eval pattern). For query sets big enough to skew a
+    window, route the scored frame through sampling.global_top_k.
+    """
+    from pyspark.sql import Window
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = queries.select(
+        F.col("query_id"), quantize(vec_col).alias("q_qv")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_dist("codes", F.col("q_qv"), codebooks).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+    )

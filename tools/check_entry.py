@@ -33,8 +33,8 @@ def norm_cell(v):
         if math.isnan(v):
             return None
         return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0) >= 1:
+        return tuple(norm_cell(x) for x in v)  # list / numpy array
     if hasattr(v, "item"):  # numpy scalar
         return norm_cell(v.item())
     return v
