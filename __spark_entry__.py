@@ -471,6 +471,83 @@ LEFT JOIN tail ON tail.event_id = q.event_id
 """
 
 
+def q_label_sawtooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-window label join, event granularity (the reference's
+    `label-join` run mode, repo/constants.py:26): for each event row the
+    SUM/COUNT of user activity STRICTLY after it, through the end of its
+    day plus 7 whole day-hops (forward sawtooth — exact leakage edge,
+    hop-rounded far edge; operators/label_join.py)."""
+    from chronon_spark.operators.label_join import label_sawtooth
+    from chronon_spark.sources.scan import millis_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        f"{millis_expr('ts')} AS ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    qr = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", f"{millis_expr('ts')} AS ts"
+    )
+    return label_sawtooth(
+        ev, qr, "user_id", "ts", "cents",
+        hop_ms=86_400_000, n_hops=7, query_id_col="event_id",
+    )
+
+
+_LABEL_SAWTOOTH_ORACLE = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                   epoch_ms(ts) // 86400000 AS b FROM events),
+q AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
+             epoch_ms(ts) // 86400000 AS b FROM events)
+SELECT q.event_id, q.user_id, q.ts,
+       CAST(SUM(e.c) AS BIGINT) AS label_sum,
+       COUNT(e.c) AS label_cnt
+FROM q LEFT JOIN ev e
+  ON e.user_id = q.user_id AND e.ts > q.ts AND e.b <= q.b + 7
+GROUP BY q.event_id, q.user_id, q.ts
+"""
+
+
+def q_label_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity label join (the reference's LabelJoin semantics;
+    immature-window refresh is thrift api.thrift:100-106 recomputeDays):
+    every order labeled with the customer's order mass over the NEXT 30
+    days — sum/count/min/max of cents, NULL while no label has landed."""
+    from chronon_spark.operators.label_join import label_join_snapshot
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = orders.selectExpr(
+        "o_orderkey", "o_custkey AS k", "CAST(o_orderdate AS DATE) AS ds"
+    )
+    labels = orders.selectExpr(
+        "o_custkey AS k",
+        "CAST(o_orderdate AS DATE) AS ds",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    out = label_join_snapshot(left, labels, "k", "ds", "cents", offset_days=30)
+    return out.select(
+        "o_orderkey", "k",
+        F.date_format("ds", "yyyy-MM-dd").alias("ds"),
+        "label_sum", "label_cnt", "label_min", "label_max",
+    )
+
+
+_LABEL_SNAPSHOT_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_custkey AS k, CAST(o_orderdate AS DATE) AS ds,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT l.o_orderkey, l.k, strftime(l.ds, '%Y-%m-%d') AS ds,
+       CAST(SUM(r.cents) AS BIGINT) AS label_sum,
+       CASE WHEN COUNT(r.cents) > 0 THEN COUNT(r.cents) END AS label_cnt,
+       MIN(r.cents) AS label_min,
+       MAX(r.cents) AS label_max
+FROM o l LEFT JOIN o r
+  ON r.k = l.k AND r.ds > l.ds AND r.ds <= l.ds + 30
+GROUP BY l.o_orderkey, l.k, l.ds
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.analytic import session_stats
     from chronon_spark.sources.scan import millis_expr
@@ -5750,6 +5827,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget cut truncates re-confirmations, never first-time checks.
     return {
         # -- never driver-checked before round 4 ---------------------------
+        "label_sawtooth": q_label_sawtooth,
+        "label_snapshot": q_label_snapshot,
         "stupid_backoff": q_stupid_backoff,
         "kv_fetch": q_kv_fetch,
         "doc_chunks": q_doc_chunks,
@@ -5892,6 +5971,8 @@ def _raw_oracles() -> dict[str, str]:
         "snapshot_groupby": _SNAPSHOT_ORACLE,
         "lag_lead": _LAG_LEAD_ORACLE,
         "decayed_sum": _DECAYED_SUM_ORACLE,
+        "label_sawtooth": _LABEL_SAWTOOTH_ORACLE,
+        "label_snapshot": _LABEL_SNAPSHOT_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

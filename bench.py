@@ -487,6 +487,8 @@ HEADLINE = [
     "decayed_sum",
     "pq_encode",
     "pq_topk",
+    "label_sawtooth",
+    "label_snapshot",
 ]
 
 
