@@ -548,6 +548,55 @@ GROUP BY l.o_orderkey, l.k, l.ds
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe time-aware target encoding (operators/target_encode.py):
+    smoothed prior-mean of each user's past event mass — EXACT strictly-
+    before per-key prior (self/tie labels excluded), hop-granular global
+    prior, all-BIGINT micro-unit arithmetic, bit-exact vs the oracle."""
+    from chronon_spark.operators.target_encode import target_encode_asof
+    from chronon_spark.sources.scan import millis_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        f"{millis_expr('ts')} AS ts",
+        "CAST(floor(greatest(value, 0) * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    qr = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", f"{millis_expr('ts')} AS ts"
+    )
+    return target_encode_asof(
+        ev, qr, "user_id", "ts", "cents",
+        hop_ms=86_400_000, query_id_col="event_id", smoothing=20,
+    )
+
+
+_TARGET_ENCODE_ORACLE = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
+                   CAST(floor(greatest(value, 0) * 100 + 0.5) AS BIGINT) AS c,
+                   epoch_ms(ts) // 86400000 AS b FROM events),
+q AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
+             epoch_ms(ts) // 86400000 AS b FROM events),
+gh AS (SELECT b, SUM(c) AS s, COUNT(*) AS n FROM ev GROUP BY b),
+gcum AS (SELECT b,
+  SUM(s) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gs,
+  SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gc
+  FROM gh),
+kp AS (SELECT q.event_id, CAST(COALESCE(SUM(e.c), 0) AS BIGINT) AS ks,
+              COUNT(e.c) AS kc
+       FROM q LEFT JOIN ev e
+         ON e.user_id = q.user_id AND e.ts < q.ts
+       GROUP BY q.event_id)
+SELECT q.event_id, q.user_id, q.ts,
+       CASE WHEN gcum.gc > 0 THEN
+         CAST((kp.ks * 1000000 + 20 * ((1000000 * CAST(gcum.gs AS BIGINT)) // CAST(gcum.gc AS BIGINT)))
+              // (kp.kc + 20) AS BIGINT)
+       END AS te_micro
+FROM q
+JOIN kp ON kp.event_id = q.event_id
+JOIN gcum ON gcum.b = q.b
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.analytic import session_stats
     from chronon_spark.sources.scan import millis_expr
@@ -5829,6 +5878,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 4 ---------------------------
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
+        "target_encode": q_target_encode,
         "stupid_backoff": q_stupid_backoff,
         "kv_fetch": q_kv_fetch,
         "doc_chunks": q_doc_chunks,
@@ -5973,6 +6023,7 @@ def _raw_oracles() -> dict[str, str]:
         "decayed_sum": _DECAYED_SUM_ORACLE,
         "label_sawtooth": _LABEL_SAWTOOTH_ORACLE,
         "label_snapshot": _LABEL_SNAPSHOT_ORACLE,
+        "target_encode": _TARGET_ENCODE_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -489,6 +489,7 @@ HEADLINE = [
     "pq_topk",
     "label_sawtooth",
     "label_snapshot",
+    "target_encode",
 ]
 
 
