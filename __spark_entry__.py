@@ -597,6 +597,84 @@ JOIN gcum ON gcum.b = q.b
 """
 
 
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end point-in-time training-set export — the north-star
+    composition in ONE plan: backward as-of features (exact windows,
+    zero temporal leakage) + forward sawtooth labels (strictly-after
+    edge) + entity-level leakage-safe split (hash of user_id, so one
+    user never straddles train/val/test)."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.operators.asof_join import group_by_asof
+    from chronon_spark.operators.label_join import label_sawtooth
+    from chronon_spark.operators.sampling import train_val_test_split
+    from chronon_spark.sources.scan import millis_expr
+
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        name="user_value",
+    )
+    queries = _event_queries(spark, sf_dir).distinct()
+    feats = group_by_asof(spark, gb, queries)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        f"{millis_expr('ts')} AS ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    qd = queries.select(
+        F.concat_ws(":", F.col("user_id"), F.col("ts")).alias("qid"),
+        "user_id", "ts",
+    )
+    labels = label_sawtooth(
+        ev, qd, "user_id", "ts", "cents",
+        hop_ms=86_400_000, n_hops=7, query_id_col="qid",
+    ).drop("qid")
+    out = feats.join(labels, ["user_id", "ts"], "inner")
+    return train_val_test_split(out, "user_id", seed=17).select(
+        "user_id",
+        "ts",
+        "value_count_7d",
+        _r6(F.col("value_sum_7d") / 100).alias("value_sum_7d"),
+        "label_sum",
+        "label_cnt",
+        "split",
+    )
+
+
+_TRAINING_SET_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                   epoch_ms(ts) // 86400000 AS b FROM events),
+q AS (SELECT DISTINCT user_id, ts, b FROM ev),
+f AS (
+  SELECT q.user_id, q.ts,
+     count(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS value_count_7d,
+     round(CAST(sum(CASE WHEN e.ts > q.ts - {7 * DAY_MS} THEN e.c END) AS DOUBLE) / 100, 6)
+       AS value_sum_7d
+  FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+  GROUP BY q.user_id, q.ts),
+l AS (
+  SELECT q.user_id, q.ts,
+     CAST(SUM(CASE WHEN e.ts > q.ts AND e.b <= q.b + 7 THEN e.c END) AS BIGINT)
+       AS label_sum,
+     COUNT(CASE WHEN e.ts > q.ts AND e.b <= q.b + 7 THEN e.c END) AS label_cnt
+  FROM q LEFT JOIN ev e ON e.user_id = q.user_id
+  GROUP BY q.user_id, q.ts)
+SELECT f.user_id, f.ts, f.value_count_7d, f.value_sum_7d,
+       l.label_sum, l.label_cnt,
+       CASE WHEN (CAST('0x' || substr(md5('17:' || CAST(f.user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000) < 900000 THEN 'train'
+            WHEN (CAST('0x' || substr(md5('17:' || CAST(f.user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000) < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM f JOIN l ON l.user_id = f.user_id AND l.ts = f.ts
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.operators.analytic import session_stats
     from chronon_spark.sources.scan import millis_expr
@@ -5879,6 +5957,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
         "target_encode": q_target_encode,
+        "training_set": q_training_set,
         "stupid_backoff": q_stupid_backoff,
         "kv_fetch": q_kv_fetch,
         "doc_chunks": q_doc_chunks,
@@ -6024,6 +6103,7 @@ def _raw_oracles() -> dict[str, str]:
         "label_sawtooth": _LABEL_SAWTOOTH_ORACLE,
         "label_snapshot": _LABEL_SNAPSHOT_ORACLE,
         "target_encode": _TARGET_ENCODE_ORACLE,
+        "training_set": _TRAINING_SET_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "exact_dedup": _EXACT_DEDUP_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

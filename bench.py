@@ -490,6 +490,7 @@ HEADLINE = [
     "label_sawtooth",
     "label_snapshot",
     "target_encode",
+    "training_set",
 ]
 
 
