@@ -463,3 +463,35 @@ def test_digest_invariants_stupid_backoff(spark):
     d = bench.plan_digest(qs["site_collapse"](spark, "/root/testdata/sf0.001"))
     assert d["python_stages"] == 0 and d["exchanges"] <= 2, d
     assert d["sort_merge_joins"] == 0 and d["broadcast_joins"] == 0, d
+
+
+def test_digest_invariants_label_and_target_queries(spark):
+    """Pin the label-join / target-encode / training-set plan shapes:
+    every fan-out rides a compact per-(key, day|hop) partial table
+    (bounded exchanges), the tombstone/label small sides broadcast, and
+    nothing introduces a Python stage (training_set carries exactly the
+    flagship kernel's one Arrow stage and no more)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    d = bench.plan_digest(qs["label_sawtooth"](spark, sf))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 4, d
+    assert d["sort_merge_joins"] == 0, d
+
+    d = bench.plan_digest(qs["label_snapshot"](spark, sf))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 3, d
+    assert d["sort_merge_joins"] == 0, d
+
+    d = bench.plan_digest(qs["target_encode"](spark, sf))
+    assert d["python_stages"] == 0 and d["exchanges"] <= 7, d
+    assert d["broadcast_joins"] >= 1, d  # tiny global-prior table broadcasts
+
+    d = bench.plan_digest(qs["training_set"](spark, sf))
+    assert d["python_stages"] == 1, d  # the flagship kernel, nothing else
+    assert d["exchanges"] <= 7, d
