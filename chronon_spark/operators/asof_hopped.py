@@ -319,12 +319,29 @@ def group_by_asof_hopped(
         if events_df is not None
         else events_df_for_group_by(spark, group_by, min_ts, max_ts)
     )
-    q = (
-        queries.select(*keys, F.col(TS).cast("long").alias(TS))
-        .dropna(subset=keys)
-        .distinct()
-        .withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
-    )
+    # Drop null keys/ts UPFRONT (they can never match: SQL join-on-null is
+    # false, and a null ts has no hop) so every branch that re-derives q
+    # pushes the SAME filter set into the scan. With identical subtrees,
+    # exchange reuse collapses the three q consumers (hop grid, exact head,
+    # final combine) onto ONE scan + ONE distinct shuffle — measured 11
+    # FileScans -> 5 on the two-part flagship, the rest ReusedExchange.
+    q = queries.select(*keys, F.col(TS).cast("long").alias(TS))
+    for _c in list(keys) + [TS]:
+        q = q.where(F.col(_c).isNotNull())
+    q = q.distinct().withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
+    # The query set is consumed THREE times below (hop grid, exact head,
+    # final combine). Catalyst cannot share the subtree — per-branch column
+    # pruning/filter pushdown specializes each copy, so without
+    # materialization the left is scanned + distinct-shuffled once PER
+    # CONSUMER (measured: 6 redundant left passes on a two-part join; at a
+    # 10^12-row left that is the plan's single biggest waste). The
+    # reference materializes part queries for the same reason
+    # (spark/.../JoinPartJob.scala writes the part table before use).
+    # Lazy local checkpoint: first consumer computes, BlockManager block
+    # locks make races single-compute; the cached copy lives as long as the
+    # returned plan (caller-release exempt, same contract as stage() in
+    # examples/webtext_curation.py).
+    q = q.localCheckpoint(eager=False)
     if prune_keys:
         from chronon_spark.operators.join_utils import prune_events_by_keys
 
@@ -332,6 +349,13 @@ def group_by_asof_hopped(
     from chronon_spark.operators.asof_join import null_out_nans
 
     events = null_out_nans(events, list({p.input_column for p in parts}))
+    # Same upfront null-key/ts drop as q: a null-key event groups under a
+    # key no query can match, a null-ts event has no hop — both contribute
+    # nothing. Filtering here equalizes the hop-IR and exact-head branches'
+    # pushed filters so the shared repartition below is REUSED (one events
+    # scan + one shuffle per part) instead of re-planned per consumer.
+    for _c in list(keys) + [TS]:
+        events = events.where(F.col(_c).isNotNull())
     events = events.withColumn("__hop", (F.col(TS) / hop_ms).cast("long"))
     # ONE shuffle of the big side: repartition on (keys, hop) satisfies the
     # distribution requirement of BOTH consumers — the hop-IR aggregation
