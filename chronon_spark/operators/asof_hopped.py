@@ -412,26 +412,51 @@ def group_by_asof_hopped(
     # only query hops are needed downstream — the tag filter costs nothing
     tails = tails.where(F.col("__isq") == 1).drop("__isq")
 
-    # 3. exact head: events of the query's own hop with e.ts <= q.ts
+    # 3. exact head: events of the query's own hop with e.ts <= q.ts.
+    #    LEFT join (inequality inside the join condition) so every query
+    #    row survives with one all-null event row when its hop is empty —
+    #    the head aggregate then carries q's full grain and the final
+    #    combine needs NO third pass over q (the old shape joined q a
+    #    third time to assemble tails x heads).
     head_needed = list(dict.fromkeys(p.input_column for p in parts))
     ev_head = events.select(*keys, "__hop", F.col(TS).alias("__ets"), *head_needed)
-    qh = q.select(*keys, "__hop", TS)
-    head_join = qh.join(ev_head, on=keys + ["__hop"], how="inner").where(
-        F.col("__ets") <= F.col(TS)
+    # string-qualified aliases: q and events can share lineage (the
+    # GroupBy-as-query case), where expr-id column refs are ambiguous
+    qh = q.alias("__q")
+    eh = ev_head.alias("__e")
+    cond = None
+    for k in keys + ["__hop"]:
+        c = F.col(f"__q.{k}") == F.col(f"__e.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col("__e.__ets") <= F.col(f"__q.{TS}"))
+    head_join = qh.join(eh, on=cond, how="left").select(
+        *[F.col(f"__q.{k}") for k in keys],
+        F.col("__q.__hop"),
+        F.col(f"__q.{TS}").alias("__qts"),
+        F.col("__e.__ets").alias(TS),
+        *[F.col(f"__e.{c}") for c in head_needed],
     )
-    head_agg_input = head_join.withColumnRenamed(TS, "__qts").withColumnRenamed(
-        "__ets", TS
+    heads = head_join.groupBy(*keys, "__qts", "__hop").agg(
+        F.count(F.col(TS)).alias("__h_n"), *_ir_aggs(parts)
     )
-    heads = head_agg_input.groupBy(*keys, "__qts").agg(*_ir_aggs(parts))
+    # no-event query rows must expose NULL head IRs (identical to the old
+    # inner-join shape where the row was simply absent) — an empty
+    # collect_set/hll sketch is NOT the same as null for UNIQUE_COUNT /
+    # APPROX_UNIQUE_COUNT zero-event semantics
     heads = heads.select(
-        *keys, F.col("__qts").alias(TS), *[F.col(c).alias("h" + c[1:]) for c in ir_cols]
+        *keys,
+        "__hop",
+        F.col("__qts").alias(TS),
+        *[
+            F.when(F.col("__h_n") > 0, F.col(c)).alias("h" + c[1:])
+            for c in ir_cols
+        ],
     )
 
-    # 4. combine tail ⊕ head per part
-    joined = (
-        q.join(tails, on=keys + ["__hop"], how="left")
-        .join(heads, on=keys + [TS], how="left")
-    )
+    # 4. combine tail ⊕ head per part: heads carries one row per query row
+    #    (keys, ts, hop), so a single left join against the per-hop tails
+    #    completes the sawtooth — q itself is not consumed again.
+    joined = heads.join(tails, on=keys + ["__hop"], how="left")
 
     out_cols: list[Column] = []
     for p in parts:
