@@ -45,6 +45,12 @@ def sf_of(path: str) -> float:
 def force(df) -> int:
     """Fully execute a DataFrame without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+    # best-of-N loops rebuild the as-of plan each pass; free the prior
+    # pass's cached query-set checkpoints so repeats don't accumulate
+    # RDD storage (invisible to DataFrame.unpersist, unbounded under GC)
+    from chronon_spark.operators.asof_hopped import release_query_checkpoints
+
+    release_query_checkpoints()
     return 0
 
 

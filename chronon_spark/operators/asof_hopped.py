@@ -64,6 +64,35 @@ HOPPED_OPS = {
 }
 
 
+# Query-set checkpoints created by group_by_asof_hopped, in creation
+# order. Each lives as long as the join plan that reads it; a session
+# that builds MANY joins (bench best-of-N loops, long notebooks) should
+# release superseded ones explicitly — RDD-level cache is invisible to
+# DataFrame.unpersist() and ContextCleaner GC timing is unbounded (see
+# chronon_spark.checkpoint).
+_query_checkpoints: list = []
+
+
+def release_query_checkpoints() -> int:
+    """Free the cached per-part query sets of PRIOR join plans.
+
+    CONTRACT: call only once every frame built by earlier
+    join_asof / group_by_asof_hopped calls has been fully materialized
+    (or abandoned) — a released checkpoint is unreadable, so a still-
+    pending plan that references one will fail. Returns the number of
+    checkpoints released. bench.py calls this between repeat passes;
+    the driver's one-shot query executions don't need it (a sf0.01
+    query set is a few hundred KB).
+    """
+    from chronon_spark.checkpoint import release_checkpoint
+
+    n = 0
+    for df in _query_checkpoints:
+        n += bool(release_checkpoint(df))
+    _query_checkpoints.clear()
+    return n
+
+
 def supports_hopped(group_by: GroupBy, hop_ms: int) -> bool:
     for p in group_by.unpack():
         if p.operation not in HOPPED_OPS:
@@ -342,6 +371,7 @@ def group_by_asof_hopped(
     # returned plan (caller-release exempt, same contract as stage() in
     # examples/webtext_curation.py).
     q = q.localCheckpoint(eager=False)
+    _query_checkpoints.append(q)
     if prune_keys:
         from chronon_spark.operators.join_utils import prune_events_by_keys
 

@@ -334,3 +334,31 @@ def test_variance_stable_at_extreme_magnitude(spark, tmp_path):
     s, ssq = vals.sum(), (vals ** 2).sum()
     naive = ssq / n - (s / n) ** 2
     assert abs(naive - true_var) / true_var > 0.01  # catastrophic on raw doubles
+
+
+def test_query_checkpoints_released(spark, sf_dir):
+    """Every group_by_asof_hopped call lazily checkpoints its query set
+    (the q-derivation dedup — Catalyst can't share the subtree across its
+    consumers). Repeated calls in one session must not accumulate RDD
+    storage: release_query_checkpoints() returns the registry to
+    baseline after the built frames are fully materialized (bench.force
+    calls it between best-of-N passes)."""
+    from chronon_spark.operators.asof_hopped import release_query_checkpoints
+
+    def _ids():
+        # ids, not counts — ContextCleaner may drop other tests' frames
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    release_query_checkpoints()  # drain anything earlier tests built
+    before = _ids()
+    gb = _gb(sf_dir, (Aggregation("value", Operation.SUM, windows=(Window.days(30),)),))
+    for _ in range(2):
+        out = group_by_asof_hopped(spark, gb, _queries(spark, sf_dir), hop_ms=86_400_000)
+        out.count()
+        assert _ids() - before  # the pass really cached a query set
+        assert release_query_checkpoints() >= 1
+        assert not (_ids() - before)
