@@ -977,12 +977,23 @@ def compact_summary(result: dict) -> dict:
     if hc:
         out["canary"] = {"wall_sec": hc.get("wall_sec"), "score": hc.get("score")}
     pairs = result.get("scaling_recorded", {}).get("pairs", [])
+    # representative-first ordering so the size-budget truncation below
+    # never drops a whole job SHAPE: the largest-rows pair of each job
+    # leads, then the rest by rows desc (r4 bug: [-3:] kept three
+    # flagship-family pairs and silently dropped the dedup shape)
+    best = {}
+    for p in pairs:
+        j = p.get("job", "flagship")
+        if j not in best or p["rows"] > best[j]["rows"]:
+            best[j] = p
+    lead = list(best.values())
+    rest = sorted((p for p in pairs if p not in lead), key=lambda p: -p["rows"])
     out["scaling"] = [
         {
             **({"job": p["job"]} if p.get("job") else {}),
             "rows": p["rows"], "n": p["n"], "4n": p["four_n"], "eff": p["efficiency"],
         }
-        for p in pairs
+        for p in lead + rest
     ]
     if "scaling" in result:
         out["scaling_live_eff"] = result["scaling"].get("efficiency")
@@ -993,7 +1004,7 @@ def compact_summary(result: dict) -> dict:
     # hard budget: drop detail before ever emitting an unparseable tail
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        out["scaling"] = out["scaling"][-3:]
+        out["scaling"] = out["scaling"][:3]  # the per-job-shape leads
         line = json.dumps(out, separators=(",", ":"))
     while len(line) > 1900 and out["queries"]:
         # shed the cheapest queries first; totals stay in `value`
