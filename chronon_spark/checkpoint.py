@@ -43,3 +43,32 @@ def release_checkpoint(df: DataFrame | None) -> bool:
         return True
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Plan-lifetime checkpoint registry: operators that materialize a shared
+# sub-plan (e.g. a query set consumed by several branches — Catalyst cannot
+# share such subtrees, see operators/asof_hopped.py) register it here. The
+# checkpoint must live as long as the plan that reads it, so the operator
+# cannot release it; the SESSION owner releases between top-level
+# materializations (bench.force does; the driver's one-shot queries don't
+# need to — sf-scale query sets are a few hundred KB).
+
+_plan_checkpoints: list = []
+
+
+def register_plan_checkpoint(df: DataFrame) -> DataFrame:
+    """Track a localCheckpoint()-ed frame for deferred bulk release."""
+    _plan_checkpoints.append(df)
+    return df
+
+
+def release_plan_checkpoints() -> int:
+    """Free every registered checkpoint. CONTRACT: call only once all
+    frames built since the previous release are fully materialized or
+    abandoned — released checkpoints are unreadable."""
+    n = 0
+    for df in _plan_checkpoints:
+        n += bool(release_checkpoint(df))
+    _plan_checkpoints.clear()
+    return n

@@ -64,33 +64,16 @@ HOPPED_OPS = {
 }
 
 
-# Query-set checkpoints created by group_by_asof_hopped, in creation
-# order. Each lives as long as the join plan that reads it; a session
-# that builds MANY joins (bench best-of-N loops, long notebooks) should
-# release superseded ones explicitly — RDD-level cache is invisible to
-# DataFrame.unpersist() and ContextCleaner GC timing is unbounded (see
-# chronon_spark.checkpoint).
-_query_checkpoints: list = []
-
-
-def release_query_checkpoints() -> int:
-    """Free the cached per-part query sets of PRIOR join plans.
-
-    CONTRACT: call only once every frame built by earlier
-    join_asof / group_by_asof_hopped calls has been fully materialized
-    (or abandoned) — a released checkpoint is unreadable, so a still-
-    pending plan that references one will fail. Returns the number of
-    checkpoints released. bench.py calls this between repeat passes;
-    the driver's one-shot query executions don't need it (a sf0.01
-    query set is a few hundred KB).
-    """
-    from chronon_spark.checkpoint import release_checkpoint
-
-    n = 0
-    for df in _query_checkpoints:
-        n += bool(release_checkpoint(df))
-    _query_checkpoints.clear()
-    return n
+# The per-part query-set checkpoints register in the shared plan-lifetime
+# registry (chronon_spark.checkpoint): each lives as long as the join plan
+# that reads it; sessions that build MANY joins (bench best-of-N loops,
+# long notebooks) release superseded ones via release_query_checkpoints()
+# — RDD-level cache is invisible to DataFrame.unpersist() and
+# ContextCleaner GC timing is unbounded.
+from chronon_spark.checkpoint import (  # noqa: E402
+    register_plan_checkpoint,
+    release_plan_checkpoints as release_query_checkpoints,
+)
 
 
 def supports_hopped(group_by: GroupBy, hop_ms: int) -> bool:
@@ -370,8 +353,7 @@ def group_by_asof_hopped(
     # locks make races single-compute; the cached copy lives as long as the
     # returned plan (caller-release exempt, same contract as stage() in
     # examples/webtext_curation.py).
-    q = q.localCheckpoint(eager=False)
-    _query_checkpoints.append(q)
+    q = register_plan_checkpoint(q.localCheckpoint(eager=False))
     if prune_keys:
         from chronon_spark.operators.join_utils import prune_events_by_keys
 

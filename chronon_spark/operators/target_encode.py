@@ -92,6 +92,14 @@ def target_encode_asof(
         _hop(ts.cast("long"), hop_ms).alias("__hop"),
     )
     qid_t = qr.schema["__qid"].dataType
+    # qr is consumed by three branches (same-hop head union, tail hop grid,
+    # global per-hop prior) — Catalyst re-derives the subtree per consumer
+    # (pruning/pushdown defeats ReuseExchange), so materialize the bounded
+    # query set once; registered for session-owner release (see
+    # chronon_spark.checkpoint, same contract as the as-of join's q).
+    from chronon_spark.checkpoint import register_plan_checkpoint
+
+    qr = register_plan_checkpoint(qr.localCheckpoint(eager=False))
 
     # --- per-key same-hop STRICT prefix (union trick). Order (ts, is_q
     # DESC): at equal ts the query (is_q=1) sorts FIRST, so a prefix
@@ -147,8 +155,11 @@ def target_encode_asof(
     # --- global hop-granular prior: tiny per-hop table (union in query
     # hops with zeros), one single-partition prefix window over #hops
     # rows, quantize mean to micro-units, broadcast.
-    g_hops = ev.groupBy("__hop").agg(
-        F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__c")
+    # algebraic rollup of the COMPACT per-key table — NOT a third scan of
+    # the event corpus: sum over keys of per-(key,hop) sums/counts is the
+    # per-hop global by associativity
+    g_hops = hop_sums.groupBy("__hop").agg(
+        F.sum("__s").alias("__s"), F.sum("__c").alias("__c")
     )
     gq = qr.select("__hop").distinct()
     g_u = g_hops.select("__hop", "__s", "__c", F.lit(0).alias("__is_q"))
