@@ -281,6 +281,7 @@ def group_by_asof_hopped(
     events_df: Optional[DataFrame] = None,
     extra_hop_irs: Optional[DataFrame] = None,
     verify_disjoint: bool = True,
+    events_clustered: bool = False,
 ) -> DataFrame:
     """Sawtooth as-of features at each distinct (keys, ts) query row —
     tail snapped to ``hop_ms`` boundaries, head exact (see module doc).
@@ -373,7 +374,15 @@ def group_by_asof_hopped(
     # distribution requirement of BOTH consumers — the hop-IR aggregation
     # (map-side combine still applies within partitions) and the exact-head
     # sort-merge join — so events move across the network once, not twice.
-    events = events.repartition(*keys, "__hop")
+    # events_clustered: the caller's frame is a bucketed-by-keys table
+    # (plans/clustered.py) whose scan already reports HashPartitioning
+    # (keys) — that satisfies both consumers' ClusteredDistribution (keys
+    # is a subset of (keys, hop)), so skipping the repartition makes the
+    # big side move ZERO times. Hint-only: if the frame is not actually
+    # bucketed, EnsureRequirements re-inserts the exchange — results are
+    # identical either way (pinned in tests/test_clustered.py).
+    if not events_clustered:
+        events = events.repartition(*keys, "__hop")
 
     # 1. hop partial IRs (+ precomputed batch IRs for the lambda merge)
     hop_irs = events.groupBy(*keys, "__hop").agg(*_ir_aggs(parts))

@@ -85,23 +85,11 @@ def write_kv_table(
     upload is a pure function of (group_by, batch_end) — idempotent).
     """
     table = table or f"kv_{validate_identifier(group_by.name)}"
-    assert "." not in table, "unqualified (default-database) names only"
     if upload is None:
         upload = upload_group_by(spark, group_by, batch_end_ms, hop_ms)
-    # idempotence across SESSIONS, not just within one: a prior session's
-    # managed-table directory survives in the warehouse while the new
-    # session's catalog has no entry for it, and saveAsTable then fails
-    # with LOCATION_ALREADY_EXISTS. Drop the catalog entry AND purge the
-    # location through the session's Hadoop FS (portable to any
-    # warehouse filesystem).
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
-    fs = loc.getFileSystem(hconf)
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    from chronon_spark.plans.clustered import drop_managed_table
+
+    drop_managed_table(spark, table)
     (
         upload.withColumn(KV_KEY, kv_key_col(group_by.key_columns))
         .write.bucketBy(num_buckets, KV_KEY)
