@@ -421,6 +421,57 @@ FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from the event log treated as an entity
+    update stream (operators/scd2.py): one surviving row per distinct
+    (event_type, cents) version per user, half-open [valid_from,
+    valid_to) — the interval encoding of the same history the
+    temporal-entities replay (mutations.py) consumes as deltas. No-op
+    updates collapse; duplicate-ts updates resolve to the greatest
+    attribute tuple on both engines."""
+    from chronon_spark.operators.scd2 import scd2_intervals
+    from chronon_spark.sources.scan import millis_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        f"{millis_expr('ts')} AS ts",
+        "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    return scd2_intervals(
+        ev, ["user_id"], ["event_type", "cents"], ts_col="ts"
+    )
+
+
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT user_id, epoch_ms(ts) AS ts, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+one AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, ts
+    ORDER BY event_type DESC NULLS LAST, cents DESC NULLS LAST
+  ) AS rn FROM upd
+),
+u AS (SELECT user_id, ts, event_type, cents FROM one WHERE rn = 1),
+k AS (
+  SELECT *, lag(ts) OVER w AS pt, lag(event_type) OVER w AS pe,
+         lag(cents) OVER w AS pc
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+kept AS (
+  SELECT user_id, ts, event_type, cents FROM k
+  WHERE pt IS NULL OR event_type IS DISTINCT FROM pe
+     OR cents IS DISTINCT FROM pc
+)
+SELECT user_id, event_type, cents, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM kept
+"""
+
+
 def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed as-of counter (half-life 3 days,
     hop-granular decay): precise inclusive head in the query's own hop +
@@ -6054,6 +6105,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency": q_consistency,
         "quality_classifier": q_quality_classifier,
         "decayed_sum": q_decayed_sum,
+        "scd2_intervals": q_scd2_intervals,
         "clustered_asof": q_clustered_asof,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
@@ -6197,6 +6249,7 @@ def _raw_oracles() -> dict[str, str]:
         # same SQL on purpose: the clustered STORAGE layout must be
         # invisible in the results
         "clustered_asof": _SAWTOOTH_ORACLE,
+        "scd2_intervals": _SCD2_ORACLE,
         "fetch_join": _FETCH_JOIN_ORACLE,
         "chained_join": _CHAINED_ORACLE,
         "snapshot_join": _SNAPSHOT_JOIN_ORACLE,
