@@ -2646,6 +2646,60 @@ def q_tiled_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture tile compaction (plans/upload.compact_tiles):
+    the batch end advances from T0 to T1 by folding the closed streaming
+    tiles covering [T0, T1) into the batch IR table — IR algebra only,
+    raw events never rescanned. Serving then reads (compacted upload ⊕
+    tiles [T1, live) ⊕ live-hop events). Oracle: the SAME direct
+    sawtooth SQL as `tiled_fetch` — fetch results must be invariant to
+    when compaction last ran; reference analogue: GroupByUpload's daily
+    batch-end advance (spark/.../GroupByUpload.scala:64-130), done there
+    by full recompute over raw events."""
+    from chronon_spark.api.types import Aggregation, GroupBy, Operation, Window
+    from chronon_spark.plans.fetcher import fetch_group_by_tiled
+    from chronon_spark.plans.upload import compact_tiles, upload_group_by
+    from chronon_spark.sources.scan import scan_source
+    from chronon_spark.streaming.stream_groupby import stream_hop_irs
+
+    t0 = 1_705_276_800_000  # 2024-01-15 midnight, hop-aligned
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.COUNT),  # unbounded -> collapsed IR
+            Aggregation("value", Operation.LAST),
+        ),
+        name="compaction_entry",
+    )
+    ev = _event_queries(spark, sf_dir)
+    live_start = (int(ev.agg(F.max("ts")).first()[0]) // DAY_MS) * DAY_MS
+    t1 = min(t0 + 5 * DAY_MS, live_start)
+    events = scan_source(spark, gb.sources[0])
+
+    def tiles(lo, hi):
+        sliced = events.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        return stream_hop_irs(sliced, gb, DAY_MS)  # batch mode: same i_* shape
+
+    compacted = compact_tiles(
+        spark, gb, upload_group_by(spark, gb, t0, DAY_MS), tiles(t0, t1),
+        t0, t1, DAY_MS,
+    )
+    requests = ev.where(F.col("ts") >= live_start).distinct()
+    out = fetch_group_by_tiled(
+        spark, gb, requests, t1, DAY_MS, compacted, tiles(t1, live_start),
+        events.where(F.col("ts") >= live_start),
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        _r6(F.col("value_sum_7d") / 100).alias("sum_7d"),
+        F.col("value_count").alias("cnt_all"),
+        _r6(F.col("value_last") / 100).alias("last_v"),
+    )
+
+
 _TILED_FETCH_ORACLE = f"""
 WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
 live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM ev),
@@ -6062,6 +6116,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget cut truncates re-confirmations, never first-time checks.
     return {
         # -- never driver-checked before round 4 ---------------------------
+        "tile_compaction": q_tile_compaction,
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
         "target_encode": q_target_encode,
@@ -6190,6 +6245,8 @@ def _raw_oracles() -> dict[str, str]:
         "epoch_mix": _epoch_mix_oracle(),
         "hits_rank": _hits_rank_oracle(),
         "tiled_fetch": _TILED_FETCH_ORACLE,
+        "tile_compaction": _TILED_FETCH_ORACLE,  # fetch ≡ regardless of
+        # when compaction last ran — the invariant IS the oracle
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,

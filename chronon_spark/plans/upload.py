@@ -104,12 +104,29 @@ def upload_group_by(
     events = events.where(F.col(TS) < batch_end_ms)
     irs = hop_irs_for(events, group_by, hop_ms)
 
+    upload = collapse_irs(irs, keys, parts, _tail_start_hop(parts, batch_end_ms, hop_ms))
+    if output_path:
+        upload.write.mode("overwrite").parquet(output_path)
+        upload = spark.read.parquet(output_path)
+    return upload
+
+
+def _tail_start_hop(parts: list, batch_end_ms: int, hop_ms: int) -> int:
     # tail region = the largest WINDOWED window; everything older collapses
     # into one row per key (read only by unbounded frames — its hop index
     # sits far below any windowed frame's range)
     windowed = [p.window.millis for p in parts if p.window is not None]
     mw_w = max(windowed) if windowed else 0
-    tail_start_hop = (batch_end_ms - mw_w) // hop_ms
+    return (batch_end_ms - mw_w) // hop_ms
+
+
+def collapse_irs(
+    irs: DataFrame, keys: list, parts: list, tail_start_hop: int
+) -> DataFrame:
+    """Fold every IR row older than ``tail_start_hop`` (including a prior
+    COLLAPSED row — its hop sits below any real hop) into one collapsed
+    row per key; rows at/after the boundary pass through untouched. The
+    shared merge step of GroupByUpload and tile compaction."""
     tails = irs.where(F.col("__hop") >= tail_start_hop)
     old = irs.where(F.col("__hop") < tail_start_hop)
     var_cols = sorted(
@@ -141,8 +158,58 @@ def upload_group_by(
     collapsed = collapsed.withColumn("__hop", F.lit(COLLAPSED_HOP)).select(
         *tails.columns
     )
-    upload = tails.unionByName(collapsed)
-    if output_path:
-        upload.write.mode("overwrite").parquet(output_path)
-        upload = spark.read.parquet(output_path)
-    return upload
+    return tails.unionByName(collapsed)
+
+
+def compact_tiles(
+    spark: SparkSession,
+    group_by: GroupBy,
+    upload: DataFrame,
+    tile_irs: DataFrame,
+    old_batch_end_ms: int,
+    new_batch_end_ms: int,
+    hop_ms: int,
+) -> DataFrame:
+    """Advance the batch end by folding CLOSED streaming tiles into the
+    batch IR table — the lambda architecture's compaction step.
+
+    Reference: the steady-state online topology keeps the batch upload
+    (GroupByUpload.scala) plus per-hop streaming tiles; without periodic
+    compaction the tile range a fetch must merge grows without bound.
+    The reference handles this by re-running the batch upload over raw
+    events each day; at a 10^12-event table that is a full recompute.
+    This job instead merges the EXISTING upload with the closed tiles
+    covering ``[old_batch_end, new_batch_end)`` — IR algebra only, never
+    touching raw events — and emits a new FinalBatchIr table whose rows
+    are ≡ ``upload_group_by`` at ``new_batch_end_ms`` (pinned in tests;
+    VARIANCE merges by the same shifted-moment algebra, allclose).
+
+    Double-count guards: tiles must lie in ``[old_end_hop, new_end_hop)``
+    — a tile inside the old batch range is already in the upload, a tile
+    at/after the new end belongs to the next compaction — and the tile
+    frame must not carry a collapsed row. Scale: one groupBy over
+    (keys × tail hops) IR rows — input-size independent.
+    """
+    assert old_batch_end_ms % hop_ms == 0 and new_batch_end_ms % hop_ms == 0, (
+        "batch ends must align to hop boundaries"
+    )
+    assert new_batch_end_ms >= old_batch_end_ms, "batch end cannot move backward"
+    keys = list(group_by.key_columns)
+    parts = [p for p in group_by.unpack() if p.bucket is None]
+    old_hop, new_hop = old_batch_end_ms // hop_ms, new_batch_end_ms // hop_ms
+    bounds = tile_irs.agg(F.min("__hop"), F.max("__hop")).first()
+    if bounds[0] is not None:
+        if int(bounds[0]) < old_hop:
+            raise ValueError(
+                f"tile hop {bounds[0]} inside the old batch range (< {old_hop}): "
+                "already counted in the upload"
+            )
+        if int(bounds[1]) >= new_hop:
+            raise ValueError(
+                f"tile hop {bounds[1]} at/after the new batch end ({new_hop}): "
+                "compact it in the next cycle"
+            )
+    merged = upload.unionByName(tile_irs, allowMissingColumns=True)
+    return collapse_irs(
+        merged, keys, parts, _tail_start_hop(parts, new_batch_end_ms, hop_ms)
+    )
