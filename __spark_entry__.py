@@ -2646,6 +2646,86 @@ def q_tiled_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile features on the lambda read path
+    (plans/sketch_serving.py): DDSketch (bucket,count) IR rows as the
+    upload/tile payload — the reference serves APPROX_PERCENTILE online
+    because its IRs carry KLL sketches (aggregator/.../ApproxPercentiles,
+    GroupByUpload.scala); here the sawtooth window is 7 whole hops back
+    plus an exact ts<=query head over live-hop events. Oracle mirrors
+    the bucket math, join, and cumulative walk per request."""
+    from chronon_spark.plans.sketch_serving import (
+        fetch_percentile_sketch,
+        sketch_hop_irs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "CAST(value AS DOUBLE) AS value",
+    )
+    live_start = (int(ev.agg(F.max("ts")).first()[0]) // DAY_MS) * DAY_MS
+    irs = sketch_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "value", DAY_MS
+    )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    out = fetch_percentile_sketch(
+        spark, reqs, irs, ev, ["user_id"], "value", DAY_MS, [0.5, 0.9], n_hops=7,
+        verify_disjoint=False,  # irs sliced ts < live_start above
+    )
+    return out.select(
+        "user_id", "ts", _r6(F.col("p50")).alias("p50"), _r6(F.col("p90")).alias("p90")
+    )
+
+
+def _percentile_serve_oracle() -> str:
+    import math
+
+    from chronon_spark.operators.ddsketch import _Z, gamma_of
+
+    g = gamma_of(0.01)
+    lg = math.log(g)
+    rep_scale = (2.0 * g / (g + 1.0)) / g
+
+    def rep(b):
+        return (
+            f"CASE WHEN {b} = {_Z} THEN 0.0 "
+            f"WHEN {b} > {_Z} THEN exp(({b} - {_Z}) * {lg!r}) * {rep_scale!r} "
+            f"ELSE -exp(({_Z} - 1 - {b}) * {lg!r}) * {rep_scale!r} END"
+        )
+
+    return f"""
+WITH raw AS (SELECT user_id, epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS v FROM events),
+live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM raw),
+q AS (SELECT DISTINCT user_id, ts FROM raw WHERE ts >= (SELECT t0 FROM live)),
+b AS (
+  SELECT q.user_id, q.ts,
+     CASE WHEN e.v = 0 THEN {_Z}
+          WHEN e.v > 0 THEN {_Z} + CAST(ceil(ln(abs(e.v)) / {lg!r}) AS BIGINT)
+          ELSE {_Z} - CAST(ceil(ln(abs(e.v)) / {lg!r}) AS BIGINT) - 1 END AS bucket
+  FROM q JOIN raw e
+    ON e.user_id = q.user_id AND e.ts <= q.ts
+   AND e.ts >= (SELECT t0 FROM live) - {7 * DAY_MS}
+  WHERE e.v IS NOT NULL
+),
+h AS (SELECT user_id, ts, bucket, count(*) AS cnt FROM b GROUP BY user_id, ts, bucket),
+c AS (
+  SELECT user_id, ts, bucket, cnt,
+     sum(cnt) OVER (PARTITION BY user_id, ts ORDER BY bucket) AS cum,
+     sum(cnt) OVER (PARTITION BY user_id, ts) AS n
+  FROM h
+),
+p AS (
+  SELECT user_id, ts,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.5) AS BIGINT), 1) THEN bucket END) AS b50,
+     min(CASE WHEN cum >= greatest(CAST(ceil(n * 0.9) AS BIGINT), 1) THEN bucket END) AS b90
+  FROM c GROUP BY user_id, ts
+)
+SELECT q.user_id, q.ts, round({rep('p.b50')}, 6) AS p50, round({rep('p.b90')}, 6) AS p90
+FROM q LEFT JOIN p ON p.user_id = q.user_id AND p.ts = q.ts
+"""
+
+
 def q_tile_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambda-architecture tile compaction (plans/upload.compact_tiles):
     the batch end advances from T0 to T1 by folding the closed streaming
@@ -2682,10 +2762,13 @@ def q_tile_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliced = events.where((F.col("ts") >= lo) & (F.col("ts") < hi))
         return stream_hop_irs(sliced, gb, DAY_MS)  # batch mode: same i_* shape
 
+    # each downstream action would otherwise recompute the whole
+    # upload/tile DAG (bounds guard + serve) — materialize the compact IR
+    # frames once (they are per-(key,hop) rows, tiny next to events)
     compacted = compact_tiles(
         spark, gb, upload_group_by(spark, gb, t0, DAY_MS), tiles(t0, t1),
         t0, t1, DAY_MS,
-    )
+    ).localCheckpoint(eager=False)
     requests = ev.where(F.col("ts") >= live_start).distinct()
     out = fetch_group_by_tiled(
         spark, gb, requests, t1, DAY_MS, compacted, tiles(t1, live_start),
@@ -6117,6 +6200,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked before round 4 ---------------------------
         "tile_compaction": q_tile_compaction,
+        "percentile_serve": q_percentile_serve,
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
         "target_encode": q_target_encode,
@@ -6247,6 +6331,7 @@ def _raw_oracles() -> dict[str, str]:
         "tiled_fetch": _TILED_FETCH_ORACLE,
         "tile_compaction": _TILED_FETCH_ORACLE,  # fetch ≡ regardless of
         # when compaction last ran — the invariant IS the oracle
+        "percentile_serve": _percentile_serve_oracle(),
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,
