@@ -111,6 +111,46 @@ def test_fetch_invariant_to_compaction(spark, sf_dir):
         _compare(got, _direct(ev, reqs, min_ts=min_ts))
 
 
+def test_streamed_sketch_tiles_serve(spark, sf_dir, tmp_path):
+    """sketch_hop_irs is streaming-legal: the closed hops flow through a
+    REAL streaming query into the idempotent KV upsert log, resolve to
+    the exact batch tile rows, and the serve from streamed tiles equals
+    the direct sketch — the same end-to-end pin as the main tiled path."""
+    from chronon_spark.streaming.stream_groupby import (
+        read_kv_table,
+        run_untiled_upsert,
+    )
+
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    closed = ev.where((F.col("ts") >= T0) & (F.col("ts") < live_start))
+    src, kv, ck = (str(tmp_path / d) for d in ("src", "kv", "ck"))
+    closed.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = run_untiled_upsert(
+        sketch_hop_irs(stream, ["user_id"], "value", DAY_MS),
+        ["user_id", "__hop", "bucket"],
+        kv, ck,
+    )
+    q.awaitTermination()
+    streamed = read_kv_table(spark, kv, ["user_id", "__hop", "bucket"])
+
+    batch = sketch_hop_irs(closed, ["user_id"], "value", DAY_MS)
+    _b = batch.orderBy("user_id", "__hop", "bucket").toPandas()
+    _s = streamed.select(batch.columns).orderBy("user_id", "__hop", "bucket").toPandas()
+    assert len(_b) == len(_s) > 0
+    assert (_b.values == _s.values).all()
+
+    irs = sketch_hop_irs(
+        ev.where(F.col("ts") < T0), ["user_id"], "value", DAY_MS
+    ).unionByName(streamed.select(batch.columns))
+    reqs = _requests(ev, live_start)
+    got = fetch_percentile_sketch(
+        spark, reqs, irs, ev, ["user_id"], "value", DAY_MS, QS, n_hops=7
+    )
+    _compare(got, _direct(ev, reqs, min_ts=(live_hop - 7) * DAY_MS))
+
+
 def test_collapse_boundary_and_guards(spark, sf_dir):
     ev = _events(spark, sf_dir)
     live_hop, live_start = _live(ev)
