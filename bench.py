@@ -544,6 +544,10 @@ HEADLINE = [
     "label_snapshot",
     "target_encode",
     "training_set",
+    "clustered_asof",
+    "scd2_intervals",
+    "tile_compaction",
+    "percentile_serve",
 ]
 
 
