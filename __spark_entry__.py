@@ -2646,6 +2646,59 @@ def q_tiled_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_noagg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-agg GroupBy (aggregations=None — reference api.thrift:368 null
+    aggregations + join/NoAggTest.scala): the entity snapshot row IS the
+    feature vector; a snapshot join attaches it under the day-shift PIT
+    rule (left ts_ds = snapshot ds + 1). Temporal paths refuse no-agg
+    with a typed error (pinned in test_snapshot_join)."""
+    from chronon_spark.api.types import (
+        Accuracy,
+        EntitySource,
+        EventSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Query,
+    )
+    from chronon_spark.operators.snapshot_join import join_snapshot
+
+    snap_src = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={
+                "c_custkey": "c_custkey",
+                "c_mktsegment": "c_mktsegment",
+                "c_acctbal_c": "floor(c_acctbal * 100 + 0.5)",
+                "ds": "'2024-01-01'",
+            },
+            partition_column="ds",
+        ),
+    )
+    gb = GroupBy((snap_src,), ("c_custkey",), None,
+                 accuracy=Accuracy.SNAPSHOT, name="cust")
+    left = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_orderkey": "o_orderkey", "c_custkey": "o_custkey"},
+            time_column="1704196800000",  # 2024-01-02T12:00Z → ts_ds 01-02
+        ),
+    )
+    out = join_snapshot(spark, Join(left=left, join_parts=(JoinPart(gb),), name="noagg"))
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("cust_c_mktsegment").alias("mktsegment"),
+        _r6(F.col("cust_c_acctbal_c") / 100).alias("acctbal"),
+    )
+
+
+_NOAGG_SNAPSHOT_ORACLE = """
+SELECT o.o_orderkey, c.c_mktsegment AS mktsegment,
+       round(floor(c.c_acctbal * 100 + 0.5) / 100, 6) AS acctbal
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_percentile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile features on the lambda read path
     (plans/sketch_serving.py): DDSketch (bucket,count) IR rows as the
@@ -6201,6 +6254,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 4 ---------------------------
         "tile_compaction": q_tile_compaction,
         "percentile_serve": q_percentile_serve,
+        "noagg_snapshot": q_noagg_snapshot,
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
         "target_encode": q_target_encode,
@@ -6332,6 +6386,7 @@ def _raw_oracles() -> dict[str, str]:
         "tile_compaction": _TILED_FETCH_ORACLE,  # fetch ≡ regardless of
         # when compaction last ran — the invariant IS the oracle
         "percentile_serve": _percentile_serve_oracle(),
+        "noagg_snapshot": _NOAGG_SNAPSHOT_ORACLE,
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,

@@ -250,13 +250,16 @@ class GroupBy:
 
     sources: tuple  # tuple[EventSource | EntitySource]
     key_columns: tuple
-    aggregations: tuple  # tuple[Aggregation]
+    # None = no-agg passthrough (reference: GroupBy with null aggregations,
+    # api.thrift:368 + join/NoAggTest.scala) — the snapshot row itself is
+    # the feature vector; only SNAPSHOT-accuracy entity parts support it
+    aggregations: Optional[tuple]  # tuple[Aggregation] | None
     accuracy: Accuracy = Accuracy.TEMPORAL
     name: str = "group_by"
     derivations: Optional[dict] = None  # alias -> Spark SQL expr over outputs
 
     def unpack(self) -> list[AggregationPart]:
-        return [p for a in self.aggregations for p in a.unpack()]
+        return [p for a in (self.aggregations or ()) for p in a.unpack()]
 
     @property
     def max_window_millis(self) -> Optional[int]:

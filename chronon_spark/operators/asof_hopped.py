@@ -293,6 +293,12 @@ def group_by_asof_hopped(
     sets must cover DISJOINT hop ranges (batch end aligned to a hop
     boundary, the reference's batchEndTs-at-midnight rule).
     """
+    if group_by.aggregations is None:
+        raise ValueError(
+            "no-agg GroupBys (aggregations=None) are SNAPSHOT entity "
+            "passthroughs (snapshot_join.snapshot_entities); temporal "
+            "accuracy needs explicit aggregations"
+        )
     keys = [validate_identifier(k) for k in group_by.key_columns]
     all_parts = group_by.unpack()
     assert supports_hopped(group_by, hop_ms), "unsupported op/window for hopped path"

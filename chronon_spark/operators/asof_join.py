@@ -226,6 +226,12 @@ def group_by_asof(
     ``num_groups`` bounds per-group memory at scale: a group materializes
     |events+queries|/G rows in pandas. Default 4× default parallelism.
     """
+    if group_by.aggregations is None:
+        raise ValueError(
+            "no-agg GroupBys (aggregations=None) are SNAPSHOT entity "
+            "passthroughs (snapshot_join.snapshot_entities); temporal "
+            "accuracy needs explicit aggregations"
+        )
     keys = [validate_identifier(k) for k in group_by.key_columns]
     parts = group_by.unpack()
     min_ts, max_ts = query_range if query_range else (None, None)

@@ -58,6 +58,12 @@ def snapshot_group_by(
     end_ds: str,
 ) -> DataFrame:
     """One row per (keys, ds) for every ds in [start_ds, end_ds]."""
+    if group_by.aggregations is None:
+        raise ValueError(
+            "no-agg GroupBys (aggregations=None) are SNAPSHOT entity "
+            "passthroughs (snapshot_join.snapshot_entities); temporal "
+            "accuracy needs explicit aggregations"
+        )
     keys = list(group_by.key_columns)
     parts = group_by.unpack()
     if any(p.bucket for p in parts):

@@ -55,8 +55,19 @@ def _agg_col(part) -> Column:
 
 
 def snapshot_entities(spark: SparkSession, group_by: GroupBy) -> DataFrame:
-    """One row per (keys, ds): aggregate each day's snapshot rows."""
+    """One row per (keys, ds): aggregate each day's snapshot rows — or,
+    with ``aggregations=None``, the no-agg PASSTHROUGH (reference:
+    GroupBy with null aggregations, join/NoAggTest.scala): the selected
+    snapshot columns ARE the features, one row per (keys, ds) expected
+    from the source (the reference makes the same assumption)."""
     keys = list(group_by.key_columns)
+    if group_by.aggregations is None:
+        src = group_by.sources[0]
+        pc = src.query.partition_column
+        df = scan_source(spark, src)
+        return df.select(*keys, pc, *[
+            c for c in df.columns if c not in set(keys) | {pc, TS}
+        ])
     parts = group_by.unpack()
     dfs = []
     for src in group_by.sources:

@@ -175,3 +175,57 @@ def test_mixed_accuracy_join(spark, sf_dir):
     assert len(m) == out.count()
     assert (m["s_value_count_7d"] == m["s_value_count_7d_ref"]).all()
     assert (m["t_value_sum_7d"] != -1).any()  # temporal part also computed
+
+
+def test_noagg_entity_passthrough_and_join(spark, sf_dir):
+    """aggregations=None (reference join/NoAggTest.scala): the snapshot
+    row IS the feature vector. Passthrough keeps the selected columns;
+    a no-agg join part attaches them via the same day-shift rule; the
+    temporal paths refuse no-agg with a clear error."""
+    snap_src = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={
+                "c_custkey": "c_custkey",
+                "c_mktsegment": "c_mktsegment",
+                "c_acctbal_c": "floor(c_acctbal * 100 + 0.5)",
+                "ds": "'2024-01-01'",
+            },
+            partition_column="ds",
+        ),
+    )
+    gb = GroupBy((snap_src,), ("c_custkey",), None,
+                 accuracy=Accuracy.SNAPSHOT, name="cust")
+    snap = snapshot_entities(spark, gb)
+    assert sorted(snap.columns) == ["c_acctbal_c", "c_custkey", "c_mktsegment", "ds"]
+    exp = duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment, floor(c_acctbal*100 + 0.5) AS a "
+        f"FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).df()
+    got = snap.orderBy("c_custkey").toPandas()
+    assert (got["c_custkey"].values == exp["c_custkey"].values).all()
+    assert (got["c_acctbal_c"].astype(float).values == exp["a"].values).all()
+
+    left = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_orderkey": "o_orderkey", "c_custkey": "o_custkey"},
+            time_column="1704196800000",  # 2024-01-02T12:00Z -> ts_ds 01-02
+        ),
+    )
+    j = Join(left=left, join_parts=(JoinPart(gb),), name="noagg_join")
+    out = join_snapshot(spark, j)
+    gd = out.select("o_orderkey", "cust_c_mktsegment").orderBy("o_orderkey").toPandas()
+    ed = duckdb.sql(
+        f"SELECT o_orderkey, c_mktsegment FROM '{sf_dir}/orders.parquet' o "
+        f"LEFT JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+        f"ORDER BY o_orderkey"
+    ).df()
+    assert len(gd) == len(ed) > 0
+    assert (gd["cust_c_mktsegment"].fillna("-") == ed["c_mktsegment"].fillna("-")).all()
+
+    from chronon_spark.operators.asof_join import group_by_asof
+
+    with pytest.raises(ValueError, match="no-agg"):
+        group_by_asof(spark, GroupBy((snap_src,), ("c_custkey",), None, name="x"),
+                      spark.range(1).selectExpr("1 AS c_custkey", "2 AS ts"))
