@@ -254,3 +254,40 @@ def test_join_source_batch_chaining(spark, tmp_path):
     got2 = group_by_asof(spark, child2, queries).toPandas().set_index("user_id")
     for uid in (1, 2, 3):
         assert got2.loc[uid, "cnt7_average"] == got.loc[uid, "cnt7_average"]
+
+
+def test_struct_left_columns_pass_through_join(spark, sf_dir):
+    """Reference StructJoinTest parity: struct-typed left columns (built
+    in the source's selects) survive the as-of join untouched — the
+    kernel only consumes keys+ts+inputs; everything else rides the final
+    merge join."""
+    src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "value": "floor(value*100 + 0.5)",
+                "meta": "named_struct('et', event_type, 'p', props)",
+            },
+            time_column=millis_expr("ts"),
+        ),
+    )
+    gb = GroupBy(
+        (src,), ("user_id",),
+        (Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="g",
+    )
+    out = join_asof(spark, Join(left=src, join_parts=(JoinPart(gb),), name="sj"))
+    assert dict(out.dtypes)["meta"].startswith("struct<")
+    got = (
+        out.selectExpr("event_id", "meta.et AS et", "meta.p AS p")
+        .orderBy("event_id").toPandas()
+    )
+    exp = duckdb.sql(
+        f"SELECT event_id, event_type AS et, props AS p "
+        f"FROM '{sf_dir}/events.parquet' ORDER BY event_id"
+    ).df()
+    assert len(got) == len(exp) > 0
+    assert (got["et"].fillna("-") == exp["et"].fillna("-")).all()
+    assert (got["p"].fillna("-") == exp["p"].fillna("-")).all()
