@@ -82,10 +82,23 @@ def snapshot_entities(spark: SparkSession, group_by: GroupBy) -> DataFrame:
 
 
 def join_snapshot(spark: SparkSession, join_conf: Join) -> DataFrame:
-    """Left events x daily snapshots with the day-shift PIT rule."""
+    """Left events x daily snapshots with the day-shift PIT rule — or an
+    ENTITY left, which joins snapshots at the SAME ds (reference
+    batch/MergeJob.scala:175-215: the TimePartitionColumn day-shift
+    applies only to an EVENTS left; an entity left's additional join key
+    is the partition column itself)."""
     left = scan_source(spark, join_conf.left)
-    # date of the left timestamp (UTC midnight bucketing)
-    left = left.withColumn("__ts_ds", F.date_format(F.timestamp_millis(F.col(TS)), "yyyy-MM-dd"))
+    entity_left = TS not in left.columns
+    if entity_left:
+        lpc = join_conf.left.query.partition_column
+        left = left.withColumn("__ts_ds", F.col(lpc).cast("string"))
+        day_shift = 0  # state-at-ds joins state-at-ds
+    else:
+        # date of the left timestamp (UTC midnight bucketing)
+        left = left.withColumn(
+            "__ts_ds", F.date_format(F.timestamp_millis(F.col(TS)), "yyyy-MM-dd")
+        )
+        day_shift = 1  # yesterday's snapshot: nothing same-day leaks
     bounds = left.agg(F.min("__ts_ds"), F.max("__ts_ds")).first()
     min_ds, max_ds = bounds[0], bounds[1]
 
@@ -98,11 +111,11 @@ def join_snapshot(spark: SparkSession, join_conf: Join) -> DataFrame:
             snap = snapshot_entities(spark, gb)
             pc = gb.sources[0].query.partition_column
         else:
-            # events: snapshots from one day before the left's first day
+            # events: snapshots from day_shift before the left's first day
             # (yesterday's features for the earliest rows) through max.
             from chronon_spark.plans.partition_range import shift_ds
 
-            snap = snapshot_group_by(spark, gb, shift_ds(min_ds, -1), max_ds)
+            snap = snapshot_group_by(spark, gb, shift_ds(min_ds, -day_shift), max_ds)
             pc = "ds"
         prefix = jp.full_prefix()
         feature_cols = [c for c in snap.columns if c not in list(gb.key_columns) + [pc]]
@@ -113,7 +126,8 @@ def join_snapshot(spark: SparkSession, join_conf: Join) -> DataFrame:
         # the snapshot's key/date columns to unique temps so the equi-join
         # condition is unambiguous regardless of earlier part joins.
         snap = snap.withColumn(
-            "__join_ds", F.date_format(F.date_add(F.col(pc).cast("date"), 1), "yyyy-MM-dd")
+            "__join_ds",
+            F.date_format(F.date_add(F.col(pc).cast("date"), day_shift), "yyyy-MM-dd"),
         ).drop(pc)
         for rk in mapping.values():
             snap = snap.withColumnRenamed(rk, f"__r_{rk}")

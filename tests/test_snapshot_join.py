@@ -229,3 +229,37 @@ def test_noagg_entity_passthrough_and_join(spark, sf_dir):
     with pytest.raises(ValueError, match="no-agg"):
         group_by_asof(spark, GroupBy((snap_src,), ("c_custkey",), None, name="x"),
                       spark.range(1).selectExpr("1 AS c_custkey", "2 AS ts"))
+
+
+def test_entity_left_joins_same_ds(spark, sf_dir):
+    """Reference MergeJob.scala:175-215: an ENTITY left joins snapshots at
+    the SAME ds (no day shift — the shift is events-only). Planted: only
+    snapshot rows whose ds equals the left's ds attach; rows one day
+    earlier do NOT (they would under the event rule)."""
+    snap_src = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={
+                "c_custkey": "c_custkey",
+                "c_mktsegment": "c_mktsegment",
+                "ds": "CASE WHEN c_custkey % 2 = 0 THEN '2024-01-05' ELSE '2024-01-04' END",
+            },
+            partition_column="ds",
+        ),
+    )
+    gb = GroupBy((snap_src,), ("c_custkey",), None,
+                 accuracy=Accuracy.SNAPSHOT, name="cust")
+    left = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={"c_custkey": "c_custkey", "ds": "'2024-01-05'"},
+            partition_column="ds",
+        ),
+    )
+    out = join_snapshot(spark, Join(left=left, join_parts=(JoinPart(gb),), name="ee"))
+    got = out.select("c_custkey", "cust_c_mktsegment").orderBy("c_custkey").toPandas()
+    assert len(got) > 0
+    even = got[got["c_custkey"] % 2 == 0]
+    odd = got[got["c_custkey"] % 2 == 1]
+    assert even["cust_c_mktsegment"].notna().all()  # same-ds rows attach
+    assert odd["cust_c_mktsegment"].isna().all()  # prior-day rows do not
