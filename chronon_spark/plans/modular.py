@@ -130,11 +130,47 @@ def backfill_join_modular(
     rng: PartitionRange,
     step_days: int = 30,
     mode: str = "sawtooth",
+    selected_parts: Optional[list] = None,
 ) -> BackfillResult:
-    """Run the full modular pipeline; each stage resumes independently."""
+    """Run the full modular pipeline; each stage resumes independently.
+
+    ``selected_parts`` (list of JoinPart full prefixes — reference
+    SelectedJoinPartsTest / Join.computeJoin(selectedJoinParts)) restricts
+    the run to those parts: the left and the selected part tables compute
+    (or resume), the merge emits ONLY their columns. Part tables keep
+    their prefix-derived names, so a later full run resumes the selected
+    parts' tables for free — the iterate-on-one-part workflow."""
     from chronon_spark.plans.backfill import require_utc_session
 
     require_utc_session(spark)
+    if selected_parts is not None:
+        import dataclasses
+
+        want = set(selected_parts)
+        keep = tuple(
+            jp for jp in join_conf.join_parts if jp.full_prefix() in want
+        )
+        missing = want - {jp.full_prefix() for jp in keep}
+        if missing:
+            raise ValueError(
+                f"selected_parts not in join: {sorted(missing)} "
+                f"(have: {[jp.full_prefix() for jp in join_conf.join_parts]})"
+            )
+        join_conf = dataclasses.replace(join_conf, join_parts=keep)
+        # the canonical output must never hold a partial schema whose
+        # partition checkpoints would block the later full merge — a
+        # selected run merges to its own suffixed table
+        output_sel = f"{output_path}__sel_{'_'.join(sorted(want))}"
+        left_path = source_job(spark, join_conf, output_path, rng, step_days)
+        part_paths = [
+            join_part_job(
+                spark, join_conf, jp, left_path, output_path, rng, step_days, mode
+            )
+            for jp in join_conf.join_parts
+        ]
+        return merge_job(
+            spark, join_conf, left_path, part_paths, output_sel, rng, step_days
+        )
     left_path = source_job(spark, join_conf, output_path, rng, step_days)
     part_paths = [
         join_part_job(spark, join_conf, jp, left_path, output_path, rng, step_days, mode)

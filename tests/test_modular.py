@@ -174,3 +174,37 @@ def get_join():
     for col in ["a_value_sum_7d", "b_value_count"]:
         g, e = got[col].astype(float), mono[col].astype(float)
         assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all(), col
+
+
+def test_selected_parts_then_full_resume(spark, sf_dir, tmp_path):
+    """Reference SelectedJoinPartsTest: compute ONE part (the iterate
+    workflow), then the full join — the selected part's stage table is
+    reused (its lineage gains no new rows) and the canonical output only
+    ever carries the full schema."""
+    out = str(tmp_path / "out")
+    j = _join(sf_dir)
+
+    with pytest.raises(ValueError, match="selected_parts not in join"):
+        backfill_join_modular(spark, j, out, RNG, step_days=4,
+                              selected_parts=["nope"])
+
+    res = backfill_join_modular(spark, j, out, RNG, step_days=4,
+                                selected_parts=["a"])
+    assert res.lineage_rows > 0
+    sel = spark.read.parquet(out + "__sel_a")
+    assert "a_value_sum_7d" in sel.columns
+    assert "b_value_count" not in sel.columns  # only the selected part
+    lin_a_1 = spark.read.parquet(out + "__part_a__lineage").count()
+
+    backfill_join_modular(spark, j, out, RNG, step_days=4)
+    full = spark.read.parquet(out)
+    assert {"a_value_sum_7d", "b_value_count"} <= set(full.columns)
+    # part a's stage table resumed — no recompute, no new lineage rows
+    lin_a_2 = spark.read.parquet(out + "__part_a__lineage").count()
+    assert lin_a_2 == lin_a_1
+
+    sp = sel.toPandas().sort_values("event_id").reset_index(drop=True)
+    fp = full.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(sp) == len(fp) > 0
+    g, e = sp["a_value_sum_7d"].astype(float), fp["a_value_sum_7d"].astype(float)
+    assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all()
