@@ -495,3 +495,31 @@ def test_digest_invariants_label_and_target_queries(spark):
     d = bench.plan_digest(qs["training_set"](spark, sf))
     assert d["python_stages"] == 1, d  # the flagship kernel, nothing else
     assert d["exchanges"] <= 7, d
+
+
+def test_digest_invariants_serving_additions(spark):
+    """Pin the round-4 serving additions: the percentile read path and
+    the no-agg snapshot join stay Python-free with bounded exchanges
+    (the sketch plan is bucket-count algebra + one higher-order fold;
+    no window function, no UDF anywhere)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    d = bench.plan_digest(qs["percentile_serve"](spark, sf))
+    assert d["python_stages"] == 0, d
+    assert d["exchanges"] <= 8, d
+
+    d = bench.plan_digest(qs["noagg_snapshot"](spark, sf))
+    assert d["python_stages"] == 0, d
+    assert d["exchanges"] <= 2, d  # one join's worth — passthrough adds none
+
+    # compaction + serve: the tile fold is IR algebra only — the one
+    # Arrow stage is the flagship kernel's, same as tiled_fetch
+    d = bench.plan_digest(qs["tile_compaction"](spark, sf))
+    assert d["python_stages"] <= 1, d
