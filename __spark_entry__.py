@@ -2646,6 +2646,58 @@ def q_tiled_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_klist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST_K / TOP_K features on the lambda read path
+    (plans/klist_serving.py): exact k-bounded list IRs as the upload AND
+    tile payload — the merge (flatten→sort desc→slice k) is a semilattice,
+    so tiles, compaction, and the fetch share one expression. Reference
+    analogue: the K-type IRs the online fetcher merges
+    (FetcherUniqueTopKTest family). Sawtooth window: 7 whole hops back +
+    exact ts<=query head over live-hop events."""
+    from chronon_spark.plans.klist_serving import fetch_klist, klist_hop_irs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS value",
+    )
+    live_start = (int(ev.agg(F.max("ts")).first()[0]) // DAY_MS) * DAY_MS
+    closed = ev.where(F.col("ts") < live_start)
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    outs = []
+    for mode, col in (("last_k", "last3"), ("top_k", "top3")):
+        irs = klist_hop_irs(closed, ["user_id"], "value", DAY_MS, 3, mode)
+        outs.append(
+            fetch_klist(
+                spark, reqs, irs, ev, ["user_id"], "value", DAY_MS, 3,
+                mode=mode, n_hops=7, out_col=col, verify_disjoint=False,
+            )
+        )
+    out = outs[0].join(outs[1], on=["user_id", "ts"], how="inner")
+    return out.select(
+        "user_id", "ts",
+        F.concat_ws(",", F.transform("last3", lambda x: x.cast("string"))).alias("last3"),
+        F.concat_ws(",", F.transform("top3", lambda x: x.cast("string"))).alias("top3"),
+    )
+
+
+_KLIST_SERVE_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM ev),
+q AS (SELECT DISTINCT user_id, ts FROM ev WHERE ts >= (SELECT t0 FROM live))
+SELECT q.user_id, q.ts,
+   coalesce(array_to_string(
+     (list(e.c ORDER BY e.ts DESC, e.c DESC))[:3], ','), '') AS last3,
+   coalesce(array_to_string(
+     (list(e.c ORDER BY e.c DESC, e.ts ASC))[:3], ','), '') AS top3
+FROM q LEFT JOIN ev e
+  ON e.user_id = q.user_id AND e.ts <= q.ts
+ AND e.ts >= (SELECT t0 FROM live) - {7 * DAY_MS}
+GROUP BY q.user_id, q.ts
+"""
+
+
 def q_noagg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-agg GroupBy (aggregations=None — reference api.thrift:368 null
     aggregations + join/NoAggTest.scala): the entity snapshot row IS the
@@ -6254,6 +6306,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before round 4 ---------------------------
         "tile_compaction": q_tile_compaction,
         "percentile_serve": q_percentile_serve,
+        "klist_serve": q_klist_serve,
         "noagg_snapshot": q_noagg_snapshot,
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
@@ -6387,6 +6440,7 @@ def _raw_oracles() -> dict[str, str]:
         # when compaction last ran — the invariant IS the oracle
         "percentile_serve": _percentile_serve_oracle(),
         "noagg_snapshot": _NOAGG_SNAPSHOT_ORACLE,
+        "klist_serve": _KLIST_SERVE_ORACLE,
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,

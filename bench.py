@@ -548,6 +548,8 @@ HEADLINE = [
     "scd2_intervals",
     "tile_compaction",
     "percentile_serve",
+    "klist_serve",
+    "noagg_snapshot",
 ]
 
 

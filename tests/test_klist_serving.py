@@ -1,0 +1,125 @@
+"""K-list serving: the lambda read path's LAST_K / TOP_K lists must
+equal a pure-Python per-request oracle, and must be invariant to when
+the k-list upload was last compacted."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.plans.klist_serving import (
+    compact_klist_upload,
+    fetch_klist,
+    klist_hop_irs,
+)
+
+DAY_MS = 86_400_000
+T0 = 1_705_276_800_000  # 2024-01-15 midnight
+T1 = T0 + 5 * DAY_MS
+K = 3
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS value",
+    )
+
+
+def _live(ev):
+    live_hop = int(ev.agg(F.max("ts")).first()[0]) // DAY_MS
+    return live_hop, live_hop * DAY_MS
+
+
+def _py_expected(ev_pd, requests, mode, min_ts=None):
+    """Pure-Python oracle: per request, the k-list over events with
+    ts <= qts (and >= min_ts when windowed)."""
+    out = {}
+    for uid, qts in requests:
+        rows = ev_pd[(ev_pd.user_id == uid) & (ev_pd.ts <= qts)]
+        if min_ts is not None:
+            rows = rows[rows.ts >= min_ts]
+        rows = rows.dropna(subset=["value"])
+        recs = list(zip(rows.ts.astype(int), rows.value.astype(int)))
+        if mode == "last_k":
+            recs.sort(key=lambda r: (-r[0], -r[1]))
+        else:  # top_k: value desc, ts asc
+            recs.sort(key=lambda r: (-r[1], r[0]))
+        out[(uid, qts)] = [v for _, v in recs[:K]] or None
+    return out
+
+
+@pytest.mark.parametrize("mode", ["last_k", "top_k"])
+def test_fetch_equals_python_oracle(spark, sf_dir, mode):
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    irs = klist_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "value", DAY_MS, K, mode
+    )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    ev_pd = ev.toPandas()
+    req_list = [(r["user_id"], r["ts"]) for r in reqs.collect()]
+
+    for n_hops, min_ts in ((7, (live_hop - 7) * DAY_MS), (None, None)):
+        got = fetch_klist(
+            spark, reqs, irs, ev, ["user_id"], "value", DAY_MS, K,
+            mode=mode, n_hops=n_hops,
+        )
+        exp = _py_expected(ev_pd, req_list, mode, min_ts)
+        rows = got.collect()
+        assert len(rows) == len(req_list) > 0
+        for r in rows:
+            want = exp[(r["user_id"], r["ts"])]
+            have = list(r["values"]) if r["values"] is not None else None
+            assert have == want, (mode, n_hops, r["user_id"], r["ts"], have, want)
+
+
+def test_fetch_invariant_to_compaction(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    mode = "top_k"
+    upload_t0 = klist_hop_irs(
+        ev.where(F.col("ts") < T0), ["user_id"], "value", DAY_MS, K, mode
+    )
+    tiles = klist_hop_irs(
+        ev.where((F.col("ts") >= T0) & (F.col("ts") < T1)),
+        ["user_id"], "value", DAY_MS, K, mode,
+    )
+    compacted = compact_klist_upload(
+        upload_t0, tiles, ["user_id"], T0, T1, DAY_MS, tail_hops=30, k=K
+    )
+    remaining = klist_hop_irs(
+        ev.where((F.col("ts") >= T1) & (F.col("ts") < live_start)),
+        ["user_id"], "value", DAY_MS, K, mode,
+    )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    ev_pd = ev.toPandas()
+    req_list = [(r["user_id"], r["ts"]) for r in reqs.collect()]
+    got = fetch_klist(
+        spark, reqs, compacted.unionByName(remaining), ev,
+        ["user_id"], "value", DAY_MS, K, mode=mode, n_hops=None,
+    )
+    exp = _py_expected(ev_pd, req_list, mode)
+    for r in got.collect():
+        want = exp[(r["user_id"], r["ts"])]
+        have = list(r["values"]) if r["values"] is not None else None
+        assert have == want, (r["user_id"], r["ts"], have, want)
+
+
+def test_guards(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    upload_t0 = klist_hop_irs(
+        ev.where(F.col("ts") < T0), ["user_id"], "value", DAY_MS, K
+    )
+    tiles_all = klist_hop_irs(ev, ["user_id"], "value", DAY_MS, K)
+    with pytest.raises(ValueError, match="inside the old batch range"):
+        compact_klist_upload(
+            upload_t0, tiles_all, ["user_id"], T0, T1, DAY_MS, tail_hops=30, k=K
+        )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    with pytest.raises(ValueError, match="at/after the live hop"):
+        fetch_klist(
+            spark, reqs, tiles_all, ev, ["user_id"], "value", DAY_MS, K
+        )
+    with pytest.raises(ValueError, match="mode must be one of"):
+        klist_hop_irs(ev, ["user_id"], "value", DAY_MS, K, mode="median_k")
