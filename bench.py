@@ -989,7 +989,10 @@ def compact_summary(result: dict) -> dict:
     # flagship-family pairs and silently dropped the dedup shape)
     best = {}
     for p in pairs:
-        j = p.get("job", "flagship")
+        # lead slot per (job shape, N config): the bandwidth-headroom
+        # CONTROL pairs (n=1) are north-rule evidence alongside the 2->8
+        # pairs and must survive any size cut, not be dropped as "rest"
+        j = (p.get("job", "flagship"), p["n"])
         if j not in best or p["rows"] > best[j]["rows"]:
             best[j] = p
     lead = list(best.values())
@@ -1010,7 +1013,7 @@ def compact_summary(result: dict) -> dict:
     # hard budget: drop detail before ever emitting an unparseable tail
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        out["scaling"] = out["scaling"][:3]  # the per-job-shape leads
+        out["scaling"] = out["scaling"][:7]  # per-(shape, N-config) leads
         line = json.dumps(out, separators=(",", ":"))
     while len(line) > 1900 and out["queries"]:
         # shed the cheapest queries first; totals stay in `value`
