@@ -63,6 +63,10 @@ def build(master: str, shuffle_partitions: int):
         shuffle_partitions=shuffle_partitions,
         extra_conf={
             "spark.ui.enabled": "false",
+            # the console progress bar emits \r-terminated fragments that
+            # share the final stdout line with the compact JSON and can
+            # push the driver's bounded tail capture past its budget
+            "spark.ui.showConsoleProgress": "false",
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
             "spark.sql.files.maxPartitionBytes": "64m",
         },
@@ -951,7 +955,9 @@ def main() -> None:
     # "parsed": null, blinding the performance contract for a round.
     with open(BENCH_LOCAL_ARTIFACT, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(compact_summary(result), separators=(",", ":")))
+    # leading newline: guarantee the JSON owns its stdout line even if an
+    # earlier writer left a \r-terminated fragment un-newlined
+    print("\n" + json.dumps(compact_summary(result), separators=(",", ":")))
 
 
 def compact_summary(result: dict) -> dict:
