@@ -2698,6 +2698,57 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_freq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency top-k (heavy hitters) on the lambda read path
+    (plans/freq_serving.py) — the reference serves APPROX_FREQUENT_K /
+    UNIQUE_TOP_K from ItemsSketch IRs; here the IR is the deterministic
+    truncated-count list (per-hop EXACT counts, (count DESC, item ASC)
+    truncation) so the oracle replays the algebra bit-for-bit. m is
+    sized above the distinct-item count, so this query's answer is the
+    EXACT windowed top-3 event types per request."""
+    from chronon_spark.plans.freq_serving import fetch_freq_topk, freq_hop_irs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "event_type",
+    )
+    live_start = (int(ev.agg(F.max("ts")).first()[0]) // DAY_MS) * DAY_MS
+    irs = freq_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "event_type", DAY_MS, 64
+    )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    out = fetch_freq_topk(
+        spark, reqs, irs, ev, ["user_id"], "event_type", DAY_MS, 3,
+        m=64, n_hops=7, verify_disjoint=False,
+    )
+    return out.select(
+        "user_id", "ts", F.concat_ws(",", "top_items").alias("top3_types")
+    )
+
+
+_FREQ_SERVE_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM ev),
+q AS (SELECT DISTINCT user_id, ts FROM ev WHERE ts >= (SELECT t0 FROM live)),
+c AS (
+  SELECT q.user_id, q.ts, e.event_type, count(*) AS cnt
+  FROM q JOIN ev e
+    ON e.user_id = q.user_id AND e.ts <= q.ts
+   AND e.ts >= (SELECT t0 FROM live) - {7 * DAY_MS}
+  WHERE e.event_type IS NOT NULL
+  GROUP BY q.user_id, q.ts, e.event_type
+),
+r AS (
+  SELECT user_id, ts,
+     list(event_type ORDER BY cnt DESC, event_type ASC)[:3] AS items
+  FROM c GROUP BY user_id, ts
+)
+SELECT q.user_id, q.ts, coalesce(array_to_string(r.items, ','), '') AS top3_types
+FROM q LEFT JOIN r ON r.user_id = q.user_id AND r.ts = q.ts
+"""
+
+
 def q_noagg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-agg GroupBy (aggregations=None — reference api.thrift:368 null
     aggregations + join/NoAggTest.scala): the entity snapshot row IS the
@@ -6307,6 +6358,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_compaction": q_tile_compaction,
         "percentile_serve": q_percentile_serve,
         "klist_serve": q_klist_serve,
+        "freq_serve": q_freq_serve,
         "noagg_snapshot": q_noagg_snapshot,
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
@@ -6441,6 +6493,7 @@ def _raw_oracles() -> dict[str, str]:
         "percentile_serve": _percentile_serve_oracle(),
         "noagg_snapshot": _NOAGG_SNAPSHOT_ORACLE,
         "klist_serve": _KLIST_SERVE_ORACLE,
+        "freq_serve": _FREQ_SERVE_ORACLE,
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,

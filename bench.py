@@ -553,6 +553,7 @@ HEADLINE = [
     "tile_compaction",
     "percentile_serve",
     "klist_serve",
+    "freq_serve",
     "noagg_snapshot",
 ]
 
