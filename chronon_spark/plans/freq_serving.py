@@ -19,6 +19,15 @@ distributions are not adversarially flat — and every step is
 deterministic, so the DuckDB oracle replays the algebra bit-for-bit
 (the same honesty contract as the BPE / CCNet oracles).
 
+Streaming production note: unlike ``sketch_serving``'s (bucket,count)
+rows — which a single cumulative streaming aggregation emits directly —
+a k-list is NOT produced incrementally by one streaming agg, and a
+last-writer-wins upsert of per-micro-batch lists would drop earlier
+batches' entries. Produce closed-hop tiles with a per-hop batch job
+after the hop closes (the pattern the tests pin), or a foreachBatch
+upsert that MERGES the stored list with the batch's (the same
+``_merge`` expression) before writing.
+
 Entries are ``struct(negcnt=-count, v=item)`` sorted ASCENDING —
 lexicographic (-count ASC, item ASC) = (count DESC, item ASC) — so the
 item column can be ANY orderable Spark type (strings, longs). Scale:

@@ -23,6 +23,15 @@ Orders:
 - ``top_k``:  o1 = v, o2 = -ts (largest first; value ties break by ts
   ASC, the kernel/oracle rule).
 
+Streaming production note: unlike ``sketch_serving``'s (bucket,count)
+rows — which a single cumulative streaming aggregation emits directly —
+a k-list is NOT produced incrementally by one streaming agg, and a
+last-writer-wins upsert of per-micro-batch lists would drop earlier
+batches' entries. Produce closed-hop tiles with a per-hop batch job
+after the hop closes (the pattern the tests pin), or a foreachBatch
+upsert that MERGES the stored list with the batch's (the same
+``_merge`` expression) before writing.
+
 Scale: per (key, hop) state is ≤ k entries after the salted two-phase
 aggregation (phase 1 bounds per-task state at salt × k — the repo's
 standard hot-key treatment, sampling.py's top-k pattern); every join is
