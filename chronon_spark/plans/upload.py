@@ -209,7 +209,16 @@ def compact_tiles(
                 f"tile hop {bounds[1]} at/after the new batch end ({new_hop}): "
                 "compact it in the next cycle"
             )
-    merged = upload.unionByName(tile_irs, allowMissingColumns=True)
+    # STRICT union: a tile frame missing an IR column would silently
+    # null-fill and corrupt the merge (e.g. a VARIANCE part's i_m2);
+    # stream_hop_irs is pinned to the exact batch IR shape, so any
+    # mismatch here is a bug that must fail loudly
+    if set(upload.columns) != set(tile_irs.columns):
+        raise ValueError(
+            "tile IR columns != upload IR columns: "
+            f"{sorted(set(upload.columns) ^ set(tile_irs.columns))}"
+        )
+    merged = upload.unionByName(tile_irs)
     return collapse_irs(
         merged, keys, parts, _tail_start_hop(parts, new_batch_end_ms, hop_ms)
     )
