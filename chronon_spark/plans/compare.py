@@ -25,6 +25,67 @@ RIGHT_SUFFIX = "_right"
 
 _NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DoubleType, T.FloatType, T.DecimalType)
 
+_EDIT_SCHEMA = T.StructType(
+    [T.StructField("insert", T.LongType()), T.StructField("delete", T.LongType())]
+)
+
+
+def _edit_distance_pair(lv, rv) -> tuple:
+    """Insert/delete-only edit distance between two sequences — reference
+    aggregator/stats/EditDistance.between (EditDistance.scala:54-123):
+    no replacement; inserts and deletes are into right to make it like
+    left; null and empty are equivalent. With only insert/delete the
+    distance factors through the LCS: insert = len(left) - lcs,
+    delete = len(right) - lcs."""
+    le = lv is None or len(lv) == 0
+    re_ = rv is None or len(rv) == 0
+    if le and re_:
+        return 0, 0
+    if le:
+        return 0, len(rv)
+    if re_:
+        return len(lv), 0
+    lv, rv = list(lv), list(rv)
+    # strip common prefix/suffix: pure LCS mass, shrinks the DP grid
+    i = 0
+    while i < len(lv) and i < len(rv) and lv[i] == rv[i]:
+        i += 1
+    j = 0
+    while (
+        j < len(lv) - i and j < len(rv) - i and lv[len(lv) - 1 - j] == rv[len(rv) - 1 - j]
+    ):
+        j += 1
+    core_l = lv[i : len(lv) - j]
+    core_r = rv[i : len(rv) - j]
+    if not core_l or not core_r:
+        return len(core_l), len(core_r)
+    # single-row LCS DP over the stripped cores
+    prev = [0] * (len(core_r) + 1)
+    for a in core_l:
+        cur = [0] * (len(core_r) + 1)
+        for y, b in enumerate(core_r, 1):
+            cur[y] = prev[y - 1] + 1 if a == b else max(prev[y], cur[y - 1])
+        prev = cur
+    lcs = prev[-1]
+    return len(core_l) - lcs, len(core_r) - lcs
+
+
+def _edit_distance_udf():
+    """Arrow-batched struct<insert,delete> edit distance (the DP kernel is
+    not expressible in built-ins; batches keep the Python boundary
+    vectorized like packing/model inference)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ed(l, r):
+        out = [_edit_distance_pair(a, b) for a, b in zip(l, r)]
+        return pd.DataFrame(out, columns=["insert", "delete"])
+
+    # explicit annotations (module-scope pandas) so the type-hint based
+    # eval-type inference resolves on any PySpark 4.x
+    ed.__annotations__ = {"l": pd.Series, "r": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(ed, _EDIT_SCHEMA)
+
 
 def _contains_map(dt: T.DataType) -> bool:
     if isinstance(dt, T.MapType):
@@ -117,11 +178,15 @@ def compare_metrics(
     mapping = mapping or {}
     aggs: list = [F.count(F.lit(1)).alias("__total")]
     per_col: dict = {}
+    pre_cols: dict = {}
+    ed_udf = None
+    pctl = "approx_percentile" if approx_median else "percentile"
     for c in value_cols:
         l = F.col(c + LEFT_SUFFIX)
         r = F.col(mapping.get(c, c) + RIGHT_SUFFIX)
         dt = (types or {}).get(c)
         is_num = isinstance(dt, _NUMERIC) if dt is not None else True
+        is_seq = isinstance(dt, T.ArrayType)
         # Spark's EqualTo does not support map types (bucketed GroupBy
         # features are maps) — compare maps via sorted-entries JSON, which
         # is key-order independent; nested maps (map values containing
@@ -159,12 +224,46 @@ def compare_metrics(
                 f"{median_fn}(abs(CAST({c + LEFT_SUFFIX} AS DOUBLE) - "
                 f"CAST({mapping.get(c, c) + RIGHT_SUFFIX} AS DOUBLE)), 0.5)"
             )
+        if is_seq:
+            # reference sequenceMetrics (CompareMetrics.scala:85-101):
+            # edit_distance insert/delete percentiles + length percentiles
+            # + mismatch_length, for list-typed feature columns
+            if ed_udf is None:
+                ed_udf = _edit_distance_udf()
+            ed_alias = f"__{c}__ed"
+            pre_cols[ed_alias] = ed_udf(l, r)
+            names["edit_insert_median"] = F.expr(
+                f"{pctl}(`{ed_alias}`.insert, 0.5)"
+            )
+            names["edit_delete_median"] = F.expr(
+                f"{pctl}(`{ed_alias}`.delete, 0.5)"
+            )
+            names["edit_total_max"] = F.max(
+                F.col(ed_alias + ".insert") + F.col(ed_alias + ".delete")
+            )
+            # null-guarded size(): Spark's size(NULL) is -1, which would
+            # poison the percentile; skip nulls instead (reference feeds
+            # percentile sketches that also skip nulls)
+            names["left_length_median"] = F.expr(
+                f"{pctl}(CASE WHEN {c + LEFT_SUFFIX} IS NOT NULL "
+                f"THEN size({c + LEFT_SUFFIX}) END, 0.5)"
+            )
+            names["right_length_median"] = F.expr(
+                f"{pctl}(CASE WHEN {mapping.get(c, c) + RIGHT_SUFFIX} IS NOT NULL "
+                f"THEN size({mapping.get(c, c) + RIGHT_SUFFIX}) END, 0.5)"
+            )
+            names["mismatch_length"] = F.sum(
+                (l.isNotNull() & r.isNotNull() & (F.size(l) != F.size(r))).cast("long")
+            )
         for m, expr in names.items():
             alias = f"__{c}__{m}"
             aggs.append(expr.alias(alias))
             per_col.setdefault(c, []).append((m, alias))
     # ``by``: per-group metrics (e.g. per ds for ConsistencyJob) — still
-    # ONE aggregation pass, output |groups| x |columns| x |metrics| rows
+    # ONE aggregation pass (sequence columns add one Arrow projection
+    # stage before it), output |groups| x |columns| x |metrics| rows
+    if pre_cols:
+        compare_df = compare_df.withColumns(pre_cols)
     wide = compare_df.groupBy(*by).agg(*aggs) if by else compare_df.agg(*aggs)
     rows = []
     for c, metrics in per_col.items():

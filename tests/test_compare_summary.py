@@ -177,3 +177,56 @@ def test_drift_distances_vs_numpy(spark):
     ).toPandas().iloc[0]
     assert far["jsd"] == pytest.approx(math.log(2), rel=1e-6)
     assert far["hellinger"] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_edit_distance_pair_reference_cases():
+    """Reference EditDistanceTest.scala:25-44, bit-for-bit."""
+    from chronon_spark.plans.compare import _edit_distance_pair as ed
+
+    assert sum(ed(None, None)) == 0
+    assert sum(ed([], None)) == 0
+    assert sum(ed(None, [])) == 0
+    assert sum(ed([], [])) == 0
+    assert sum(ed(["abc", "def"], None)) == 2
+    assert sum(ed(["abc", "def"], [])) == 2
+    assert sum(ed(["abc", "def"], ["abc", "def"])) == 0
+    assert ed([3, 1], [4, 3, 1, 2])[1] == 2  # delete
+    # 2 deletes from & 3 inserts into right - to make it like left
+    assert ed([1, 2, 3, 4], [5, 6, 2]) == (3, 2)
+    assert sum(ed(list("abc"), list("def"))) == 6
+    assert sum(ed(list("abc"), list("dbf"))) == 4
+
+
+def test_compare_job_sequence_metrics(spark):
+    """Array-typed value columns get the reference sequenceMetrics
+    (CompareMetrics.scala:85-101): edit-distance insert/delete medians,
+    length medians, mismatch_length."""
+    from chronon_spark.plans.compare import _edit_distance_pair
+
+    rows = [
+        (1, [1, 2, 3, 4], [5, 6, 2]),      # ed (3, 2); len 4 vs 3
+        (2, [7, 8], [7, 8]),               # equal
+        (3, None, [9, 9]),                 # left null
+        (4, [1], None),                    # right null
+        (5, [4, 3, 1, 2], [3, 1]),         # ed (0, ...) reversed case
+    ]
+    left = spark.createDataFrame(
+        [(k, lv) for k, lv, _ in rows], "k int, seq array<int>"
+    )
+    right = spark.createDataFrame(
+        [(k, rv) for k, _, rv in rows], "k int, seq array<int>"
+    )
+    _, metrics = compare_job(left, right, ["k"])
+    m = {(r["column"], r["metric"]): r["value"] for r in metrics.collect()}
+    # naive expectation over the joined rows (nulls flow into the UDF)
+    eds = [_edit_distance_pair(lv, rv) for _, lv, rv in rows]
+    inserts = sorted(e[0] for e in eds)
+    deletes = sorted(e[1] for e in eds)
+    assert m[("seq", "edit_insert_median")] == inserts[len(inserts) // 2]
+    assert m[("seq", "edit_delete_median")] == deletes[len(deletes) // 2]
+    assert m[("seq", "edit_total_max")] == max(a + b for a, b in eds)
+    assert m[("seq", "mismatch_length")] == 2.0  # k=1 (4 vs 3), k=5 (4 vs 2)
+    # exact percentile interpolates: left lens [1,2,4,4] -> 3.0, right [2,2,2,3] -> 2.0
+    assert m[("seq", "left_length_median")] == 3.0
+    assert m[("seq", "right_length_median")] == 2.0
+    assert m[("seq", "mismatch")] == 2.0  # k=1 and k=5: both set, unequal
