@@ -3460,6 +3460,85 @@ SELECT * FROM m
 """
 
 
+def q_compare_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence metrics of the compare job (CompareMetrics.scala:85-101
+    sequenceMetrics; EditDistance.scala insert/delete algebra): per
+    customer, the sorted array of surviving order keys under two
+    different filters. Both arrays are strictly increasing, so the
+    insert/delete-only edit distance factors through the set
+    intersection (LCS of increasing sequences = |l ∩ r|) — which is what
+    lets an independent SQL oracle verify the Arrow DP kernel."""
+    from chronon_spark.plans.compare import compare_job
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = (
+        orders.where(F.col("o_orderkey") % 101 != 0)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("okeys"))
+    )
+    right = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("okeys"))
+    )
+    _, metrics = compare_job(left, right, keys=["o_custkey"])
+    return metrics.select("column", "metric", _r6(F.col("value")).alias("value"))
+
+
+_COMPARE_SEQ_ORACLE = """
+WITH l AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS a
+  FROM orders WHERE o_orderkey % 101 != 0 GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS a
+  FROM orders WHERE o_orderkey % 97 != 0 GROUP BY o_custkey
+),
+j AS (
+  SELECT l.a AS la, r.a AS ra,
+         CASE WHEN l.a IS NOT NULL AND r.a IS NOT NULL
+              THEN len(list_intersect(l.a, r.a)) END AS lcs
+  FROM l FULL OUTER JOIN r ON l.o_custkey = r.o_custkey
+),
+e AS (
+  SELECT la, ra,
+         CASE WHEN la IS NULL AND ra IS NULL THEN 0
+              WHEN la IS NULL THEN 0
+              WHEN ra IS NULL THEN len(la)
+              ELSE len(la) - lcs END AS ins,
+         CASE WHEN la IS NULL AND ra IS NULL THEN 0
+              WHEN la IS NULL THEN len(ra)
+              WHEN ra IS NULL THEN 0
+              ELSE len(ra) - lcs END AS del
+  FROM j
+),
+m AS (
+  SELECT 'okeys' AS column, 'both_null' AS metric,
+     CAST(count(CASE WHEN la IS NULL AND ra IS NULL THEN 1 END) AS DOUBLE) AS value FROM e
+  UNION ALL SELECT 'okeys', 'left_null',
+     CAST(count(CASE WHEN la IS NULL AND ra IS NOT NULL THEN 1 END) AS DOUBLE) FROM e
+  UNION ALL SELECT 'okeys', 'right_null',
+     CAST(count(CASE WHEN la IS NOT NULL AND ra IS NULL THEN 1 END) AS DOUBLE) FROM e
+  UNION ALL SELECT 'okeys', 'mismatch',
+     CAST(count(CASE WHEN la IS NOT NULL AND ra IS NOT NULL AND la != ra THEN 1 END) AS DOUBLE) FROM e
+  UNION ALL SELECT 'okeys', 'edit_insert_median',
+     round(quantile_cont(CAST(ins AS DOUBLE), 0.5), 6) FROM e
+  UNION ALL SELECT 'okeys', 'edit_delete_median',
+     round(quantile_cont(CAST(del AS DOUBLE), 0.5), 6) FROM e
+  UNION ALL SELECT 'okeys', 'edit_total_max',
+     round(CAST(max(ins + del) AS DOUBLE), 6) FROM e
+  UNION ALL SELECT 'okeys', 'left_length_median',
+     round(quantile_cont(CASE WHEN la IS NOT NULL THEN CAST(len(la) AS DOUBLE) END, 0.5), 6) FROM e
+  UNION ALL SELECT 'okeys', 'right_length_median',
+     round(quantile_cont(CASE WHEN ra IS NOT NULL THEN CAST(len(ra) AS DOUBLE) END, 0.5), 6) FROM e
+  UNION ALL SELECT 'okeys', 'mismatch_length',
+     CAST(count(CASE WHEN la IS NOT NULL AND ra IS NOT NULL AND len(la) != len(ra) THEN 1 END) AS DOUBLE) FROM e
+  UNION ALL SELECT 'okeys', 'total', CAST(count(*) AS DOUBLE) FROM e
+)
+SELECT * FROM m
+"""
+
+
 def q_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day per-column summaries (drift/Summarizer.scala equivalent):
     counts, null rate, distinct, stable moments in one groupBy(ds) pass +
@@ -6435,6 +6514,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "profile": q_profile,
         "compare_job": q_compare_job,
+        "compare_seq": q_compare_seq,
         "staging_q1": q_staging_q1,
         "doc_stats": q_doc_stats,
         "boilerplate_lines": q_boilerplate_lines,
@@ -6579,6 +6659,7 @@ def _raw_oracles() -> dict[str, str]:
         "anchor_topk": _ANCHOR_TOPK_ORACLE,
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,
+        "compare_seq": _COMPARE_SEQ_ORACLE,
         "feature_summary": _summary_oracle(),
         "drift": _drift_oracle(),
         "drift_dist": _drift_dist_oracle(),
