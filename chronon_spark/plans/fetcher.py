@@ -80,14 +80,27 @@ def group_by_serving_info(
     return GroupByServingInfo(group_by, batch_end_ms, hop_ms, keys, vals)
 
 
-def join_codec(spark: SparkSession, join_conf: Join) -> dict:
+def join_codec(
+    spark: SparkSession,
+    join_conf: Join,
+    served_names: Optional[set] = None,
+) -> dict:
     """Key/value/derived schemas of a Join's serving response —
     ``JoinCodec.scala`` (keyCodec/baseValueSchema/outputSchema).
 
     Derived columns are typed by running the derivation expressions over
     an EMPTY frame with the base schema — Catalyst's analyzer is the
     type oracle, no re-implementation (CatalystUtil.scala does the same
-    trick online)."""
+    trick online).
+
+    ``served_names``: restrict to join parts whose GroupBy is actually
+    serving data — the reference's schema-evolution rule
+    (SchemaEvolutionTest.scala:366-390): a newly added GroupBy with no
+    uploaded data is invisible to the codec, so ``schema_hash`` is
+    UNCHANGED until its upload lands, while removing a GroupBy from the
+    conf changes the hash immediately."""
+    import hashlib
+
     from chronon_spark.sources.scan import scan_source
 
     left_schema = scan_source(spark, join_conf.left).schema
@@ -95,6 +108,8 @@ def join_codec(spark: SparkSession, join_conf: Join) -> dict:
     value_fields: list = []
     for jp in join_conf.join_parts:
         gb = jp.group_by
+        if served_names is not None and gb.name not in served_names:
+            continue
         mapping = jp.key_mapping or {k: k for k in gb.key_columns}
         key_cols += [lc for lc in mapping if lc not in key_cols]
         ev_schema = events_df_for_group_by(spark, gb, None, None).schema
@@ -112,10 +127,14 @@ def join_codec(spark: SparkSession, join_conf: Join) -> dict:
         out_schema = apply_derivations(
             empty, join_conf.derivations, base_cols
         ).schema
+    schema_hash = hashlib.md5(
+        (key_schema.json() + "|" + out_schema.json()).encode()
+    ).hexdigest()[:16]
     return {
         "key_schema": key_schema,
         "base_value_schema": T.StructType(value_fields),
         "output_schema": out_schema,
+        "schema_hash": schema_hash,
     }
 
 
@@ -186,6 +205,7 @@ def fetch_join(
     hop_ms: int,
     uploads: Optional[dict] = None,
     fresh_events: Optional[dict] = None,
+    missing: Optional[set] = None,
 ) -> DataFrame:
     """Serve a whole Join for a requests table — ``Fetcher.fetchJoin``:
     fan out to each join part's GroupBy fetch (key-mapped), fold the
@@ -193,14 +213,25 @@ def fetch_join(
 
     ``uploads`` / ``fresh_events``: optional per-GroupBy-name overrides
     of the batch-IR table and the streaming rows (production wiring);
-    absent entries compute/scan inline."""
+    absent entries compute/scan inline.
+
+    ``missing``: GroupBy names with NO serving data yet (a v2 conf adds
+    a GroupBy before its upload lands) — those parts are skipped rather
+    than failing the whole fetch, per the reference's schema-evolution
+    behavior (SchemaEvolutionTest.scala:366-390; the online fetcher
+    discovers this from the KV miss, the offline stand-in is told).
+    A derivation referencing a skipped part's column still fails
+    loudly — same as the reference's derived-join analyzer."""
     uploads = uploads or {}
     fresh_events = fresh_events or {}
+    missing = missing or set()
     _validate_requests(requests, batch_end_ms)
     result = requests
     part_value_cols: list = []
     for jp in join_conf.join_parts:
         gb = jp.group_by
+        if gb.name in missing:
+            continue
         mapping = jp.key_mapping or {k: k for k in gb.key_columns}
         sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
         part_requests = requests.select(*sel)
