@@ -206,6 +206,7 @@ def fetch_join(
     uploads: Optional[dict] = None,
     fresh_events: Optional[dict] = None,
     missing: Optional[set] = None,
+    on_part_failure: str = "raise",
 ) -> DataFrame:
     """Serve a whole Join for a requests table — ``Fetcher.fetchJoin``:
     fan out to each join part's GroupBy fetch (key-mapped), fold the
@@ -221,7 +222,17 @@ def fetch_join(
     behavior (SchemaEvolutionTest.scala:366-390; the online fetcher
     discovers this from the KV miss, the offline stand-in is told).
     A derivation referencing a skipped part's column still fails
-    loudly — same as the reference's derived-join analyzer."""
+    loudly — same as the reference's derived-join analyzer.
+
+    ``on_part_failure``: ``"raise"`` (default) fails the fetch on the
+    first broken part; ``"embed"`` isolates each part like the
+    reference fetcher's KV partial-failure handling
+    (FetcherFailureTest.scala:54-81) — a part whose plan cannot be
+    built (missing table, bad column, corrupt upload) contributes a
+    single ``{prefix}__exception`` string column carrying the error
+    while every healthy part still serves. Only plan-construction
+    failures are catchable offline (the reference catches per-request
+    KV errors at runtime; Spark plans are lazy)."""
     uploads = uploads or {}
     fresh_events = fresh_events or {}
     missing = missing or set()
@@ -233,24 +244,34 @@ def fetch_join(
         if gb.name in missing:
             continue
         mapping = jp.key_mapping or {k: k for k in gb.key_columns}
-        sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
-        part_requests = requests.select(*sel)
-        feats = fetch_group_by(
-            spark,
-            gb,
-            part_requests,
-            batch_end_ms,
-            hop_ms,
-            upload=uploads.get(gb.name),
-            fresh_events=fresh_events.get(gb.name),
-            _requests_validated=True,
-        )
-        inv = {rk: lc for lc, rk in mapping.items()}
-        key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in gb.key_columns]
-        out_names = [p.output_column for p in gb.unpack()]
-        out_cols = [F.col(c).alias(f"{jp.full_prefix()}_{c}") for c in out_names]
+        try:
+            sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
+            part_requests = requests.select(*sel)
+            feats = fetch_group_by(
+                spark,
+                gb,
+                part_requests,
+                batch_end_ms,
+                hop_ms,
+                upload=uploads.get(gb.name),
+                fresh_events=fresh_events.get(gb.name),
+                _requests_validated=True,
+            )
+            inv = {rk: lc for lc, rk in mapping.items()}
+            key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in gb.key_columns]
+            out_names = [p.output_column for p in gb.unpack()]
+            out_cols = [
+                F.col(c).alias(f"{jp.full_prefix()}_{c}") for c in out_names
+            ]
+            feats = feats.select(*key_cols, F.col(TS), *out_cols)
+        except Exception as e:  # noqa: BLE001 — part isolation is the point
+            if on_part_failure != "embed":
+                raise
+            result = result.withColumn(
+                f"{jp.full_prefix()}__exception", F.lit(str(e)[:512])
+            )
+            continue
         part_value_cols += [f"{jp.full_prefix()}_{c}" for c in out_names]
-        feats = feats.select(*key_cols, F.col(TS), *out_cols)
         result = result.join(feats, on=list(mapping.keys()) + [TS], how="left")
     if join_conf.derivations:
         value_set = set(part_value_cols)

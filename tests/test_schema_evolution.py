@@ -159,3 +159,40 @@ def test_removed_features_still_served_columns_in_flattened_table(spark, confs):
         join_name="evo",
     )
     assert "gb_b_value_average_14d" in set(flat_after_remove.columns)
+
+
+def test_part_failure_embeds_exception_column(spark, confs, sf_dir):
+    """Reference FetcherFailureTest.scala:54-81 (KV partial failure):
+    a broken part yields a {prefix}__exception column, healthy parts
+    still serve; default mode raises."""
+    v1, _ = confs
+    gb_bad = GroupBy(
+        sources=(
+            EventSource(
+                table=f"{sf_dir}/does_not_exist.parquet",
+                query=Query(
+                    selects={"user_id": "user_id", "value": "value"},
+                    time_column=millis_expr("ts"),
+                ),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.COUNT),),
+        name="gb_bad",
+    )
+    conf = Join(
+        left=v1.left,
+        join_parts=(JoinPart(v1.join_parts[0].group_by), JoinPart(gb_bad)),
+        name="evo_fail",
+    )
+    req = _requests(spark, conf)
+    with pytest.raises(Exception):
+        fetch_join(spark, conf, req, BOUNDARY, HOP_MS)
+    served = fetch_join(
+        spark, conf, req, BOUNDARY, HOP_MS, on_part_failure="embed"
+    )
+    assert "gb_bad__exception" in served.columns
+    healthy = [c for c in served.columns if c.startswith("gb_a_")]
+    assert healthy  # gb_a features still present
+    row = served.limit(1).collect()[0]
+    assert row["gb_bad__exception"]  # non-empty error text
