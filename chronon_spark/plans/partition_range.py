@@ -103,3 +103,32 @@ def missing_ranges(requested: PartitionRange, existing: set) -> list[PartitionRa
     if run_start is not None:
         holes.append(PartitionRange(run_start, prev))
     return holes
+
+
+def range_to_fill(
+    end_partition: str,
+    query_start: Optional[str] = None,
+    query_end: Optional[str] = None,
+    first_available: Optional[str] = None,
+    override_start: Optional[str] = None,
+    historical_backfill: bool = True,
+) -> PartitionRange:
+    """The join backfill's fill range — reference
+    JoinUtils.getRangeToFill (JoinUtils.scala:113-147):
+
+    start = override_start, else the left query's start_partition, else
+    the left table's first available partition (required); with
+    ``historical_backfill=False`` the override is forced to the end
+    partition so ONLY the latest partition fills (reference
+    NoHistoricalBackfillTest.scala:64-79). end = the left query's
+    end_partition, else the requested end."""
+    if not historical_backfill:
+        override_start = end_partition
+    start = override_start or query_start or first_available
+    if start is None:
+        raise ValueError(
+            "no fill start: give override_start, the query's "
+            "start_partition, or the left table's first available partition"
+        )
+    end = query_end or end_partition
+    return PartitionRange(start, end)

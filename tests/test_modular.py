@@ -208,3 +208,33 @@ def test_selected_parts_then_full_resume(spark, sf_dir, tmp_path):
     assert len(sp) == len(fp) > 0
     g, e = sp["a_value_sum_7d"].astype(float), fp["a_value_sum_7d"].astype(float)
     assert ((g.isna() & e.isna()) | (abs(g - e) < 1e-9)).all()
+
+
+def test_range_to_fill_rules():
+    """Reference JoinUtils.getRangeToFill + NoHistoricalBackfillTest:
+    start preference order, end_partition override, and
+    historical_backfill=False -> latest-partition-only."""
+    from chronon_spark.plans.partition_range import range_to_fill
+
+    r = range_to_fill("2024-01-31", first_available="2024-01-01")
+    assert (r.start, r.end) == ("2024-01-01", "2024-01-31")
+    # query start beats first_available; override beats both
+    r = range_to_fill("2024-01-31", query_start="2024-01-10",
+                      first_available="2024-01-01")
+    assert r.start == "2024-01-10"
+    r = range_to_fill("2024-01-31", query_start="2024-01-10",
+                      override_start="2024-01-20")
+    assert r.start == "2024-01-20"
+    # query end_partition bounds the fill below the requested end
+    r = range_to_fill("2024-01-31", query_start="2024-01-10",
+                      query_end="2024-01-15")
+    assert r.end == "2024-01-15"
+    # no historical backfill: single latest partition, overriding everything
+    r = range_to_fill("2024-01-31", query_start="2024-01-10",
+                      override_start="2024-01-05",
+                      historical_backfill=False)
+    assert (r.start, r.end) == ("2024-01-31", "2024-01-31")
+    assert r.days == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        range_to_fill("2024-01-31")
