@@ -263,3 +263,57 @@ def test_entity_left_joins_same_ds(spark, sf_dir):
     odd = got[got["c_custkey"] % 2 == 1]
     assert even["cust_c_mktsegment"].notna().all()  # same-ds rows attach
     assert odd["cust_c_mktsegment"].isna().all()  # prior-day rows do not
+
+
+def test_key_mapping_overlapping_fields(spark, sf_dir):
+    """Reference KeyMappingOverlappingFieldsTest: key_mapping a -> b where
+    a is ALSO a value field of the same GroupBy. The mapped left key must
+    join against the GroupBy KEY, and the overlapping value field must
+    come through prefixed, not collide with the left key column."""
+    snap_src = EntitySource(
+        snapshot_table=f"{sf_dir}/customer.parquet",
+        query=Query(
+            selects={
+                "c_custkey": "c_custkey",
+                # value field named EXACTLY like the left key
+                "cust_id": "c_custkey",
+                "c_mktsegment": "c_mktsegment",
+                "ds": "'2024-01-01'",
+            },
+            partition_column="ds",
+        ),
+    )
+    gb = GroupBy((snap_src,), ("c_custkey",), None,
+                 accuracy=Accuracy.SNAPSHOT, name="names")
+    left = EventSource(
+        table=f"{sf_dir}/orders.parquet",
+        query=Query(
+            selects={"o_orderkey": "o_orderkey", "cust_id": "o_custkey"},
+            time_column="1704196800000",  # ts_ds 2024-01-02 -> snapshot 01-01
+        ),
+    )
+    j = Join(
+        left=left,
+        join_parts=(JoinPart(gb, key_mapping={"cust_id": "c_custkey"}),),
+        name="key_overlap",
+    )
+    out = join_snapshot(spark, j)
+    # left key survives unprefixed; overlapping value field is prefixed
+    assert "cust_id" in out.columns
+    assert "names_cust_id" in out.columns
+    gd = out.select("o_orderkey", "cust_id", "names_cust_id").orderBy(
+        "o_orderkey"
+    ).toPandas()
+    ed = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey FROM '{sf_dir}/orders.parquet' o "
+        f"LEFT JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+        f"ORDER BY o_orderkey"
+    ).df()
+    assert len(gd) == len(ed) > 0
+    # the prefixed overlap field equals the joined entity's key value
+    matched = gd["names_cust_id"].notna()
+    assert matched.any()
+    assert (
+        gd.loc[matched, "names_cust_id"].astype(int)
+        == gd.loc[matched, "cust_id"].astype(int)
+    ).all()
