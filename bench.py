@@ -502,6 +502,7 @@ HEADLINE = [
     "repetition_quality",
     "sketch_percentile",
     "compare_job",
+    "compare_seq",
     # round-3 additions
     "drift_dist",
     "dedup_clusters",
