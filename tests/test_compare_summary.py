@@ -230,3 +230,39 @@ def test_compare_job_sequence_metrics(spark):
     assert m[("seq", "left_length_median")] == 3.0
     assert m[("seq", "right_length_median")] == 2.0
     assert m[("seq", "mismatch")] == 2.0  # k=1 and k=5: both set, unequal
+
+
+def test_edit_distance_pair_hypothesis():
+    """Property: against a brute-force O(2^n) LCS on tiny alphabets —
+    small alphabet maximizes repeated elements (the regime the
+    prefix/suffix-strip + DP must get right, cf. the r3 BPE boundary
+    bug class)."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronon_spark.plans.compare import _edit_distance_pair
+
+    def brute_lcs(a, b):
+        best = 0
+        for r in range(len(a), 0, -1):
+            for idx in combinations(range(len(a)), r):
+                sub = [a[i] for i in idx]
+                it = iter(b)
+                if all(x in it for x in sub):
+                    return r
+        return best
+
+    @given(
+        st.lists(st.integers(0, 2), max_size=7),
+        st.lists(st.integers(0, 2), max_size=7),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(a, b):
+        ins, dele = _edit_distance_pair(a, b)
+        lcs = brute_lcs(a, b)
+        assert ins == len(a) - lcs
+        assert dele == len(b) - lcs
+
+    check()
