@@ -470,12 +470,14 @@ def curation_e2e_bench(spark, n_rows: int) -> dict:
         dup_span_max=0.95, verbose=False,
     )
     wall = time.time() - t0
-    stages = {name: n for name, n in out["stages"]}
+    stages = {name: n for name, n, _w in out["stages"]}
+    stage_walls = {name: w for name, _n, w in out["stages"]}
     return {
         "rows": n_rows,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_rows / wall, 1),
         "stages": stages,
+        "stage_walls": stage_walls,
     }
 
 

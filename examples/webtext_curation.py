@@ -47,7 +47,7 @@ def curate(
     decontam_k: int = 8,
     verbose: bool = True,
 ) -> dict:
-    """Returns {"stages": [(name, rows)], "result": DataFrame}.
+    """Returns {"stages": [(name, rows, stage_wall_sec)], "result": DataFrame}.
 
     ``eval_set``: optional (text) benchmark frame to decontaminate
     against; when None the decontamination stage is skipped.
@@ -68,6 +68,7 @@ def curate(
 
     stages = []
     _last = [None]  # previous stage's checkpoint, released when superseded
+    _t = [__import__("time").time()]  # per-stage wall (since prior stage)
 
     def stage(name, df):
         # localCheckpoint, NOT persist: persist caches execution but the
@@ -88,9 +89,11 @@ def curate(
         n = df.count()
         release_checkpoint(_last[0])
         _last[0] = df
-        stages.append((name, n))
+        now = __import__("time").time()
+        stages.append((name, n, round(now - _t[0], 3)))
+        _t[0] = now
         if verbose:
-            print(f"  {name:<28s} {n:>10,d} rows")
+            print(f"  {name:<28s} {n:>10,d} rows  {stages[-1][2]:7.2f}s")
         return df
 
     def pin_last():
@@ -291,7 +294,10 @@ def curate(
     )
     order = shuffle_shards(bins, "bin_id", n_shards=4, seed=31)
     n_bins = order.count()
-    stages.append(("packed training rows", n_bins))
+    stages.append(
+        ("packed training rows", n_bins,
+         round(__import__("time").time() - _t[0], 3))
+    )
     if verbose:
         fill = bins.agg(F.avg("fill_ratio")).first()[0] or 0.0
         print(f"  {'packed training rows':<28s} {n_bins:>10,d} bins "

@@ -58,7 +58,7 @@ def test_curation_stages(spark, planted):
     from webtext_curation import curate
 
     out = curate(spark, planted, verbose=False)
-    stages = dict(out["stages"])
+    stages = {n: c for n, c, _w in out["stages"]}
     result = out["result"]
 
     # recrawl rows collapse into their originals (latest wins)
@@ -74,8 +74,8 @@ def test_curation_stages(spark, planted):
     assert result.where("doc_id LIKE '%junk.example.com%'").count() == 0
 
     # stage counts monotonically non-increasing and each planted class removed
-    names = [n for n, _ in out["stages"]]
-    counts = [c for _, c in out["stages"]]
+    names = [n for n, _c, _w in out["stages"]]
+    counts = [c for _n, c, _w in out["stages"]]
     assert counts == sorted(counts, reverse=True)
     assert stages["latest per canonical url"] < stages["crawl records"]
     assert stages["exact text dedup"] < stages["latest per canonical url"] + 1
@@ -97,9 +97,9 @@ def test_curation_decontamination_stage(spark, planted):
     base = curate(spark, planted, verbose=False)
     eval_set = base["result"].select("text").limit(1)
     out = curate(spark, planted, eval_set=eval_set, verbose=False)
-    stages = dict(out["stages"])
+    stages = {n: c for n, c, _w in out["stages"]}
     assert "benchmark decontamination" in stages
-    assert stages["benchmark decontamination"] < dict(base["stages"])[
+    assert stages["benchmark decontamination"] < {n: c for n, c, _w in base["stages"]}[
         "near-dup removal (LSH + CC)"
     ]
 
@@ -131,7 +131,7 @@ def test_curation_boilerplate_and_blocklist(spark):
         dup_span_max=1.0,
         verbose=False,
     )
-    stages = dict(out["stages"])
+    stages = {n: c for n, c, _w in out["stages"]}
     assert "boilerplate line removal" in stages
     assert "blocklist filter" in stages
     texts = [r["text"] for r in out["result"].collect()]
