@@ -47,7 +47,10 @@ from chronon_spark.api.types import (
     Operation,
     validate_identifier,
 )
-from chronon_spark.operators.asof_join import events_df_for_group_by
+from chronon_spark.operators.asof_join import (
+    apply_derivations,
+    events_df_for_group_by,
+)
 from chronon_spark.sources.scan import TS
 
 HOPPED_OPS = {

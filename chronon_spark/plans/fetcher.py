@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from chronon_spark.api.types import Accuracy, GroupBy, Join, validate_identifier
 from chronon_spark.operators.asof_hopped import group_by_asof_hopped, supports_hopped
 from chronon_spark.operators.asof_join import (
+    _jp_out_cols,
     apply_derivations,
     events_df_for_group_by,
     null_out_nans,
@@ -113,8 +114,23 @@ def join_codec(
         mapping = jp.key_mapping or {k: k for k in gb.key_columns}
         key_cols += [lc for lc in mapping if lc not in key_cols]
         ev_schema = events_df_for_group_by(spark, gb, None, None).schema
-        for p in gb.unpack():
-            f = part_output_field(p, ev_schema)
+        part_fields = [part_output_field(p, ev_schema) for p in gb.unpack()]
+        if gb.derivations:
+            # derived part outputs: type them with the same empty-frame
+            # Catalyst-analyzer trick, then keep only _jp_out_cols' names
+            base = T.StructType(
+                [T.StructField(k, ev_schema[k].dataType) for k in gb.key_columns]
+                + [T.StructField(TS, T.LongType())]
+                + part_fields
+            )
+            derived_schema = apply_derivations(
+                spark.createDataFrame([], base),
+                gb.derivations,
+                list(gb.key_columns) + [TS],
+            ).schema
+            keep = set(_jp_out_cols(jp))
+            part_fields = [f for f in derived_schema.fields if f.name in keep]
+        for f in part_fields:
             value_fields.append(
                 T.StructField(f"{jp.full_prefix()}_{f.name}", f.dataType, True)
             )
@@ -259,7 +275,10 @@ def fetch_join(
             )
             inv = {rk: lc for lc, rk in mapping.items()}
             key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in gb.key_columns]
-            out_names = [p.output_column for p in gb.unpack()]
+            # GroupBy-level derivations rename/replace the part's outputs
+            # (reference GroupByDerivationsTest — served columns must be
+            # the DERIVED ones, same as the batch join's _jp_out_cols)
+            out_names = _jp_out_cols(jp)
             out_cols = [
                 F.col(c).alias(f"{jp.full_prefix()}_{c}") for c in out_names
             ]

@@ -201,3 +201,44 @@ def test_join_codec_types_derivations_via_catalyst(spark, sf_dir):
     out = {f.name: f.dataType.simpleString() for f in codec["output_schema"].fields}
     assert out["dbl"] == "double"
     assert "x_served_value_count" in out
+
+
+def test_fetch_join_groupby_derivations(spark, sf_dir):
+    """GroupBy-level derivations on the SERVING path (reference
+    online GroupByDerivationsTest): fetchJoin must serve the DERIVED
+    part columns — same names, same values as the batch backfill —
+    and join_codec's value schema must carry the derived fields."""
+    gb = GroupBy(
+        sources=(_events_source(sf_dir),),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("value", Operation.COUNT),
+        ),
+        derivations={
+            "*": "*",
+            "sum_per_event": "value_sum_7d / CAST(value_count AS DOUBLE)",
+        },
+        name="derived_gb",
+    )
+    left = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"event_id": "event_id", "user_id": "user_id"},
+            time_column=millis_expr("ts"),
+            wheres=(f"{millis_expr('ts')} >= {BOUNDARY}",),
+        ),
+    )
+    join_conf = Join(left=left, join_parts=(JoinPart(gb),), name="derived_serve")
+    from chronon_spark.sources.scan import scan_source
+
+    req = scan_source(spark, left)
+    served = fetch_join(spark, join_conf, req, BOUNDARY, DAY_MS)
+    assert "derived_gb_sum_per_event" in served.columns
+    backfill = join_asof(spark, join_conf, mode="sawtooth", tail_hop_ms=DAY_MS)
+    _assert_frames_equal(_norm(served.toPandas()), _norm(backfill.toPandas()))
+    codec = join_codec(spark, join_conf)
+    names = [f.name for f in codec["base_value_schema"].fields]
+    assert "derived_gb_sum_per_event" in names
+    typed = {f.name: f.dataType.simpleString() for f in codec["base_value_schema"].fields}
+    assert typed["derived_gb_sum_per_event"] == "double"
