@@ -3343,6 +3343,58 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
 """
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (the n-gram `decontaminate` query's
+    semantic sibling): every corpus vector scored against the eval split
+    (vec_id % 97 == 0) by ONE broadcast float64 matmul per Arrow batch —
+    a pure projection, zero shuffles (operators/similarity.py
+    score_against_set). Flags cosine >= 0.3."""
+    from chronon_spark.operators.similarity import score_against_set
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eval_df = emb.where(F.col("vec_id") % 97 == 0)
+    corpus = emb.where(F.col("vec_id") % 97 != 0)
+    scored = score_against_set(corpus, eval_df)
+    return scored.select(
+        "vec_id",
+        _r6(F.col("max_cosine")).alias("max_cosine"),
+        "matched_eval",
+        (F.col("max_cosine") >= 0.3).alias("contaminated"),
+    )
+
+
+_SEMANTIC_DECONTAM_ORACLE = """
+WITH ev AS (
+  SELECT vec_id AS eid, embedding AS e FROM embeddings WHERE vec_id % 97 = 0
+),
+c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 != 0
+),
+s AS (
+  SELECT c.vec_id, ev.eid,
+     coalesce(
+       list_sum(list_transform(range(1, len(c.embedding)+1),
+           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ev.e[i] AS DOUBLE)))
+       / NULLIF(
+           sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ev.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           0), 0) AS cos
+  FROM c CROSS JOIN ev
+),
+m AS (SELECT vec_id, max(cos) AS mc FROM s GROUP BY vec_id),
+b AS (
+  SELECT s.vec_id, min(s.eid) AS best
+  FROM s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.mc
+  GROUP BY s.vec_id
+)
+SELECT m.vec_id,
+       floor(m.mc * 1000000 + 0.5) / 1000000 AS max_cosine,
+       b.best AS matched_eval,
+       m.mc >= 0.3 AS contaminated
+FROM m JOIN b ON m.vec_id = b.vec_id
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface: JSON extraction inside Query.selects (the
     reference hands select exprs to Spark SQL verbatim, SURVEY.md S2.8) +
@@ -6515,6 +6567,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "compare_job": q_compare_job,
         "compare_seq": q_compare_seq,
+        "semantic_decontam": q_semantic_decontam,
         "staging_q1": q_staging_q1,
         "doc_stats": q_doc_stats,
         "boilerplate_lines": q_boilerplate_lines,
@@ -6660,6 +6713,7 @@ def _raw_oracles() -> dict[str, str]:
         "eval_preflight": _EVAL_PREFLIGHT_ORACLE,
         "compare_job": _COMPARE_ORACLE,
         "compare_seq": _COMPARE_SEQ_ORACLE,
+        "semantic_decontam": _SEMANTIC_DECONTAM_ORACLE,
         "feature_summary": _summary_oracle(),
         "drift": _drift_oracle(),
         "drift_dist": _drift_dist_oracle(),

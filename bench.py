@@ -505,6 +505,7 @@ HEADLINE = [
     "sketch_percentile",
     "compare_job",
     "compare_seq",
+    "semantic_decontam",
     # round-3 additions
     "drift_dist",
     "dedup_clusters",

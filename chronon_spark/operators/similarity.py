@@ -310,3 +310,87 @@ def embedding_near_dups(
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def score_against_set(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Max cosine of every corpus vector against a SMALL reference set —
+    the broadcast-matmul pattern for semantic decontamination /
+    eval-overlap scoring (Lee et al. 2022 §4 discuss n-gram overlap; the
+    embedding variant is standard in newer curation stacks).
+
+    100 TB shape: the eval set is collected once on the driver (eval
+    benchmarks are thousands of rows — bounded by contract), shipped in
+    the task closure, and the corpus streams through ``mapInPandas`` in
+    Arrow batches with ONE float64 BLAS matmul per batch: a pure
+    projection — zero shuffles, zero joins, embarrassingly parallel over
+    any partition layout. Ties on the max pick the smallest eval id
+    (numpy argmax first-hit over ascending ids == SQL min-by-max).
+
+    Output: (id_col, max_cosine double, matched_eval long).
+    """
+    import numpy as np
+
+    rows = (
+        eval_df.select(
+            F.col(eval_id_col).cast("long").alias("i"), F.col(eval_vec_col).alias("v")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty eval set")
+    eval_ids = np.array([r["i"] for r in rows], dtype=np.int64)
+    E = np.array([r["v"] for r in rows], dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+
+    out_schema = f"{id_col} long, max_cosine double, matched_eval long"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.maximum(norms, 1e-300)
+            S = Mn @ En.T  # (batch, n_eval)
+            best = S.argmax(axis=1)
+            mc = S[np.arange(len(S)), best]
+            mc = np.where(norms[:, 0] == 0.0, 0.0, mc)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "max_cosine": mc,
+                    "matched_eval": eval_ids[best],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus rows whose max eval-set cosine stays BELOW ``threshold``
+    (the kept set), annotated with the score — n-gram `benchmark_contamination`'s
+    embedding sibling: catches paraphrased leakage n-grams miss."""
+    scored = score_against_set(
+        corpus, eval_df, id_col, vec_col, eval_id_col, eval_vec_col
+    )
+    return corpus.join(
+        scored.where(F.col("max_cosine") < threshold).select(id_col), on=id_col
+    )

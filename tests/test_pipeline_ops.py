@@ -1117,3 +1117,59 @@ def test_epoch_repeat_mix_plan_is_narrow(spark):
     df = spark.range(10).withColumnRenamed("id", "doc_id").withColumn("source", F.lit("a"))
     d = bench.plan_digest(epoch_repeat_mix(df, "source", {"a": 1.5}, "doc_id"))
     assert d["exchanges"] == 0 and d["python_stages"] == 0
+
+
+def test_score_against_set_and_semantic_decontam(spark, sf_dir):
+    """Broadcast-matmul eval scoring: numpy oracle bit-close, partition
+    invariant, pure projection (zero exchanges), and the decontaminate
+    filter keeps exactly the below-threshold rows."""
+    import numpy as np
+
+    from chronon_spark.operators.similarity import (
+        score_against_set,
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eval_df = emb.where(F.col("vec_id") % 31 == 0)
+    corpus = emb.where(F.col("vec_id") % 31 != 0)
+    got = score_against_set(corpus, eval_df).toPandas().sort_values("vec_id")
+
+    ev = eval_df.orderBy("vec_id").collect()
+    E = np.array([r["embedding"] for r in ev], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    eids = np.array([r["vec_id"] for r in ev])
+    exp_rows = []
+    for r in corpus.orderBy("vec_id").collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        s = En @ (v / np.linalg.norm(v))
+        exp_rows.append((r["vec_id"], s.max(), eids[int(s.argmax())]))
+    assert len(got) == len(exp_rows) > 0
+    for (gv, gc, gm), (ev_, ec, em) in zip(
+        got[["vec_id", "max_cosine", "matched_eval"]].itertuples(index=False),
+        exp_rows,
+    ):
+        assert gv == ev_ and gm == em
+        assert abs(gc - ec) < 1e-9
+
+    # partition invariance
+    re = score_against_set(corpus.repartition(13), eval_df).toPandas()
+    assert sorted(re["vec_id"]) == sorted(got["vec_id"])
+    merged = re.set_index("vec_id").join(
+        got.set_index("vec_id"), rsuffix="_a"
+    )
+    assert (abs(merged["max_cosine"] - merged["max_cosine_a"]) < 1e-12).all()
+
+    # pure projection: no Exchange in the plan
+    plan = score_against_set(corpus, eval_df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # decontaminate keeps the complement of the flagged set
+    thr = float(got["max_cosine"].median())
+    kept = semantic_decontaminate(corpus, eval_df, threshold=thr).toPandas()
+    exp_kept = set(got.loc[got["max_cosine"] < thr, "vec_id"])
+    assert set(kept["vec_id"]) == exp_kept
+
+    with pytest.raises(ValueError, match="empty eval set"):
+        score_against_set(corpus, eval_df.where(F.lit(False)))
