@@ -97,15 +97,45 @@ def summarize(
             aggs.append(F.avg(d).alias(f"__mean_{c}"))
             # var_pop: Welford-based in Catalyst — stable at mu >> sigma
             aggs.append(F.var_pop(d).alias(f"__var_{c}"))
+        if isinstance(df.schema[c].dataType, T.ArrayType):
+            # element-level nullness for container columns — the reference
+            # NullnessCountersAggregator (udafs/NullnessCountersAggregatorTest
+            # SQL), expressed with the same aggregate() HOF: stays in
+            # whole-stage codegen, no UDAF object
+            inner_nulls = F.aggregate(
+                F.col(c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.when(x.isNull(), 1).otherwise(0),
+            )
+            aggs.append(
+                F.sum(F.coalesce(inner_nulls, F.lit(0))).alias(f"__inulls_{c}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.size(c)).otherwise(0)
+                ).alias(f"__ielems_{c}")
+            )
     wide = df.groupBy(F.col(partition_col).cast("string").alias("ds")).agg(*aggs)
 
     rows = []
     for c in cols:
         is_num = isinstance(df.schema[c].dataType, _NUMERIC)
+        is_arr = isinstance(df.schema[c].dataType, T.ArrayType)
 
         def num(name):
             return F.col(name) if is_num else F.lit(None).cast("double")
 
+        inner_nc = (
+            F.col(f"__inulls_{c}").cast("long")
+            if is_arr
+            else F.lit(None).cast("long")
+        )
+        inner_nr = (
+            F.col(f"__inulls_{c}")
+            / F.nullif(F.col(f"__ielems_{c}"), F.lit(0))
+            if is_arr
+            else F.lit(None).cast("double")
+        )
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -115,6 +145,8 @@ def summarize(
                 F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
                 num(f"__mean_{c}").alias("mean"),
                 num(f"__var_{c}").alias("variance"),
+                inner_nc.alias("inner_null_count"),
+                inner_nr.alias("inner_null_rate"),
             )
         )
     long = wide.select("ds", F.explode(F.array(*rows)).alias("s")).select("ds", "s.*")
@@ -130,7 +162,7 @@ def summarize(
             long = long.withColumn(name, F.lit(None).cast("double"))
     return long.select(
         "ds", "column", "n_rows", "null_count", "null_rate", "n_distinct",
-        "mean", "variance", *pct_names,
+        "mean", "variance", "inner_null_count", "inner_null_rate", *pct_names,
     )
 
 

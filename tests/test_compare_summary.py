@@ -266,3 +266,27 @@ def test_edit_distance_pair_hypothesis():
         assert dele == len(b) - lcs
 
     check()
+
+
+def test_summarize_inner_array_nullness(spark):
+    """Reference NullnessCountersAggregatorTest (udafs/): element-level
+    null counts for array columns via the aggregate() HOF — scalar
+    columns report null inner metrics."""
+    df = spark.createDataFrame(
+        [
+            ("d1", ["a", None, "c", None], 1.0),
+            ("d1", [None, "b", "c", "d"], 2.0),
+            ("d1", None, None),
+            ("d1", ["e", "f", None, "h"], 4.0),
+        ],
+        "ds string, arr array<string>, v double",
+    )
+    out = summarize(df, "ds", ["arr", "v"]).toPandas().set_index("column")
+    a = out.loc["arr"]
+    # 4 inner nulls over 12 elements (the all-null ROW is outer null: not counted)
+    assert a["inner_null_count"] == 4
+    assert a["inner_null_rate"] == pytest.approx(4 / 12)
+    assert a["null_count"] == 1  # the row-level null
+    v = out.loc["v"]
+    assert pd.isna(v["inner_null_count"]) and pd.isna(v["inner_null_rate"])
+    assert v["mean"] == pytest.approx(7.0 / 3)
