@@ -48,14 +48,27 @@ from pyspark.sql import functions as F
 from chronon_spark.plans.upload import COLLAPSED_HOP
 from chronon_spark.sources.scan import TS
 
-_MODES = ("last_k", "top_k")
+_MODES = ("last_k", "top_k", "first_k", "bottom_k")
 
 
 def _entry(mode: str, ts: Column, v: Column) -> Column:
+    """Rank encoding per mode — one DESC sort serves all four K-ops:
+
+    - ``last_k``:   o1 = ts,  o2 = v   (most-recent first; ts ties v DESC)
+    - ``top_k``:    o1 = v,   o2 = -ts (largest first; v ties ts ASC)
+    - ``first_k``:  o1 = -ts, o2 = -v  (earliest first; ts ties v ASC)
+    - ``bottom_k``: o1 = -v,  o2 = -ts (smallest first; v ties ts ASC)
+
+    The flipped modes are the reference's FirstK/BottomK aggregators
+    (aggregator SimpleAggregators) riding the same semilattice."""
     if mode == "last_k":
         return F.struct(ts.alias("o1"), v.alias("o2"), v.alias("v"))
     if mode == "top_k":
         return F.struct(v.alias("o1"), (-ts).alias("o2"), v.alias("v"))
+    if mode == "first_k":
+        return F.struct((-ts).alias("o1"), (-v).alias("o2"), v.alias("v"))
+    if mode == "bottom_k":
+        return F.struct((-v).alias("o1"), (-ts).alias("o2"), v.alias("v"))
     raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
 
 

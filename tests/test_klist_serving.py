@@ -42,13 +42,17 @@ def _py_expected(ev_pd, requests, mode, min_ts=None):
         recs = list(zip(rows.ts.astype(int), rows.value.astype(int)))
         if mode == "last_k":
             recs.sort(key=lambda r: (-r[0], -r[1]))
-        else:  # top_k: value desc, ts asc
+        elif mode == "top_k":  # value desc, ts asc
             recs.sort(key=lambda r: (-r[1], r[0]))
+        elif mode == "first_k":  # ts asc, value asc
+            recs.sort(key=lambda r: (r[0], r[1]))
+        else:  # bottom_k: value asc, ts asc
+            recs.sort(key=lambda r: (r[1], r[0]))
         out[(uid, qts)] = [v for _, v in recs[:K]] or None
     return out
 
 
-@pytest.mark.parametrize("mode", ["last_k", "top_k"])
+@pytest.mark.parametrize("mode", ["last_k", "top_k", "first_k", "bottom_k"])
 def test_fetch_equals_python_oracle(spark, sf_dir, mode):
     ev = _events(spark, sf_dir)
     live_hop, live_start = _live(ev)
