@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from chronon_spark.plans.upload import COLLAPSED_HOP
 from chronon_spark.sources.scan import TS
 
-_MODES = ("last_k", "top_k", "first_k", "bottom_k")
+_MODES = ("last_k", "top_k", "first_k", "bottom_k", "unique_top_k")
 
 
 def _entry(mode: str, ts: Column, v: Column) -> Column:
@@ -69,11 +69,22 @@ def _entry(mode: str, ts: Column, v: Column) -> Column:
         return F.struct((-ts).alias("o1"), (-v).alias("o2"), v.alias("v"))
     if mode == "bottom_k":
         return F.struct((-v).alias("o1"), (-ts).alias("o2"), v.alias("v"))
+    if mode == "unique_top_k":
+        # reference UniqueTopK (base/UniqueOrderByLimit.scala) with the
+        # batch kernel's concrete rule: DISTINCT values, largest first —
+        # id == order == value, so the entry is fully value-determined
+        # and dedup is struct equality at every merge point
+        return F.struct(v.alias("o1"), v.alias("o2"), v.alias("v"))
     raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
 
 
-def _merge(col: Column, k: int) -> Column:
-    return F.slice(F.sort_array(F.flatten(col), asc=False), 1, k)
+def _merge(col: Column, k: int, unique: bool = False) -> Column:
+    merged = F.sort_array(F.flatten(col), asc=False)
+    if unique:
+        # identical entries collapse FIRST — a k-slice before dedup would
+        # starve distinct values behind a hot duplicate
+        merged = F.array_distinct(merged)
+    return F.slice(merged, 1, k)
 
 
 def klist_hop_irs(
@@ -89,6 +100,7 @@ def klist_hop_irs(
     with the salted two-phase aggregation so no task ever holds more
     than salt × k entries per (key, hop)."""
     keys = list(keys)
+    unique = mode == "unique_top_k"
     ev = events.select(
         *keys,
         (F.col(TS) / F.lit(hop_ms)).cast("long").alias("__hop"),
@@ -109,14 +121,14 @@ def klist_hop_irs(
         )
         .groupBy(*keys, "__hop", "__salt")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list("__e"), asc=False), 1, int(k)
+            _merge(
+                F.array(F.collect_list("__e")), int(k), unique
             ).alias("__es")
         )
     )
     return (
         phase1.groupBy(*keys, "__hop")
-        .agg(_merge(F.collect_list("__es"), int(k)).alias("entries"))
+        .agg(_merge(F.collect_list("__es"), int(k), unique).alias("entries"))
     )
 
 
@@ -129,6 +141,7 @@ def compact_klist_upload(
     hop_ms: int,
     tail_hops: int,
     k: int,
+    mode: str = "last_k",
 ) -> DataFrame:
     """Advance the k-list upload's batch end: closed tiles fold in, rows
     older than the retained tail merge into one COLLAPSED k-list per key
@@ -157,7 +170,11 @@ def compact_klist_upload(
     collapsed = (
         merged.where(F.col("__hop") < tail_start)
         .groupBy(*keys)
-        .agg(_merge(F.collect_list("entries"), int(k)).alias("entries"))
+        .agg(
+            _merge(
+                F.collect_list("entries"), int(k), mode == "unique_top_k"
+            ).alias("entries")
+        )
         .withColumn("__hop", F.lit(COLLAPSED_HOP))
         .select(*tails.columns)
     )
@@ -222,8 +239,9 @@ def fetch_klist(
         .where(F.col("__ets") <= F.col("__qts"))
         .groupBy(*keys, "__qts")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list("__e"), asc=False), 1, int(k)
+            _merge(
+                F.array(F.collect_list("__e")), int(k),
+                mode == "unique_top_k",
             ).alias("entries")
         )
     )
@@ -243,7 +261,9 @@ def fetch_klist(
         tail.select(*keys, "__qts", "entries")
     )
     merged = contrib.groupBy(*keys, "__qts").agg(
-        _merge(F.collect_list("entries"), int(k)).alias("__m")
+        _merge(
+            F.collect_list("entries"), int(k), mode == "unique_top_k"
+        ).alias("__m")
     )
     out = merged.withColumn(
         out_col, F.transform(F.col("__m"), lambda e: e["v"])

@@ -46,13 +46,17 @@ def _py_expected(ev_pd, requests, mode, min_ts=None):
             recs.sort(key=lambda r: (-r[1], r[0]))
         elif mode == "first_k":  # ts asc, value asc
             recs.sort(key=lambda r: (r[0], r[1]))
-        else:  # bottom_k: value asc, ts asc
+        elif mode == "bottom_k":  # value asc, ts asc
             recs.sort(key=lambda r: (r[1], r[0]))
+        else:  # unique_top_k: DISTINCT values, largest first
+            vals = sorted({v for _, v in recs}, reverse=True)
+            out[(uid, qts)] = vals[:K] or None
+            continue
         out[(uid, qts)] = [v for _, v in recs[:K]] or None
     return out
 
 
-@pytest.mark.parametrize("mode", ["last_k", "top_k", "first_k", "bottom_k"])
+@pytest.mark.parametrize("mode", ["last_k", "top_k", "first_k", "bottom_k", "unique_top_k"])
 def test_fetch_equals_python_oracle(spark, sf_dir, mode):
     ev = _events(spark, sf_dir)
     live_hop, live_start = _live(ev)
@@ -77,10 +81,10 @@ def test_fetch_equals_python_oracle(spark, sf_dir, mode):
             assert have == want, (mode, n_hops, r["user_id"], r["ts"], have, want)
 
 
-def test_fetch_invariant_to_compaction(spark, sf_dir):
+@pytest.mark.parametrize("mode", ["top_k", "unique_top_k"])
+def test_fetch_invariant_to_compaction(spark, sf_dir, mode):
     ev = _events(spark, sf_dir)
     live_hop, live_start = _live(ev)
-    mode = "top_k"
     upload_t0 = klist_hop_irs(
         ev.where(F.col("ts") < T0), ["user_id"], "value", DAY_MS, K, mode
     )
@@ -89,7 +93,8 @@ def test_fetch_invariant_to_compaction(spark, sf_dir):
         ["user_id"], "value", DAY_MS, K, mode,
     )
     compacted = compact_klist_upload(
-        upload_t0, tiles, ["user_id"], T0, T1, DAY_MS, tail_hops=30, k=K
+        upload_t0, tiles, ["user_id"], T0, T1, DAY_MS, tail_hops=30, k=K,
+        mode=mode,
     )
     remaining = klist_hop_irs(
         ev.where((F.col("ts") >= T1) & (F.col("ts") < live_start)),
