@@ -58,6 +58,8 @@ HOPPED_OPS = {
     Operation.SUM,
     Operation.AVERAGE,
     Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
     Operation.MIN,
     Operation.MAX,
     Operation.LAST,
@@ -65,6 +67,17 @@ HOPPED_OPS = {
     Operation.UNIQUE_COUNT,
     Operation.APPROX_UNIQUE_COUNT,
 }
+
+# ops whose IRs are (count, sum[, higher central sums]) — share the scalar
+# merge spine in _ir_aggs/_tail_cols/finalize
+_MOMENT_OPS = (
+    Operation.COUNT,
+    Operation.SUM,
+    Operation.AVERAGE,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+)
 
 
 # The per-part query-set checkpoints register in the shared plan-lifetime
@@ -101,10 +114,10 @@ def _ir_aggs(parts: list) -> list:
     for p in parts:
         c = p.input_column
         op = p.operation
-        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+        if op in _MOMENT_OPS:
             add(f"i_cnt_{c}", F.count(c))
             add(f"i_sum_{c}", F.sum(F.col(c).cast("double")))
-            if op is Operation.VARIANCE:
+            if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
                 # m2 = sum of squared deviations about the GROUP's own mean
                 # (var_pop is Welford-based in Catalyst — numerically stable,
                 # unlike raw sum(x^2) which cancels catastrophically for
@@ -112,6 +125,38 @@ def _ir_aggs(parts: list) -> list:
                 # with the shifted-moments / Chan formula in _tail_cols +
                 # finalize (reference uses a moments-based aggregator too).
                 add(f"i_m2_{c}", F.var_pop(F.col(c).cast("double")) * F.count(c))
+            if op in (Operation.SKEW, Operation.KURTOSIS):
+                # 3rd/4th central sums about the group's own mean, from
+                # Catalyst's stable skewness/kurtosis (central-moment
+                # update aggregates): M3 = skew * m2bar^1.5 * n,
+                # M4 = (excess_kurt + 3) * m2bar^2 * n; both are exactly 0
+                # for constant groups (m2bar = 0), where the quotient
+                # forms go NaN — hence the guard, not coalesce-blindness
+                d = F.col(c).cast("double")
+                m2bar = F.var_pop(d)
+                add(
+                    f"i_m3_{c}",
+                    F.coalesce(
+                        F.when(
+                            m2bar > 0,
+                            F.skewness(d) * F.pow(m2bar, 1.5) * F.count(c),
+                        ),
+                        F.lit(0.0),
+                    ),
+                )
+                if op is Operation.KURTOSIS:
+                    add(
+                        f"i_m4_{c}",
+                        F.coalesce(
+                            F.when(
+                                m2bar > 0,
+                                (F.kurtosis(d) + 3.0)
+                                * F.pow(m2bar, 2.0)
+                                * F.count(c),
+                            ),
+                            F.lit(0.0),
+                        ),
+                    )
         elif op is Operation.MIN:
             add(f"i_min_{c}", F.min(F.col(c).cast("double")))
         elif op is Operation.MAX:
@@ -152,10 +197,10 @@ def _tail_cols(parts: list, keys: list, hop_ms: int) -> list:
         w_hops = p.window.millis // hop_ms if p.window is not None else None
         fr = _frame(keys, w_hops)
         sfx = f"{c}_{p.output_column}"
-        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+        if op in _MOMENT_OPS:
             add(f"t_cnt_{sfx}", F.sum(f"i_cnt_{c}").over(fr))
             add(f"t_sum_{sfx}", F.sum(f"i_sum_{c}").over(fr))
-            if op is Operation.VARIANCE:
+            if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
                 # shifted-moments tail terms about the per-key offset
                 # __k_{c} (added in group_by_asof_hopped): within-hop m2
                 # plus each hop's n_h * (mean_h - K)^2 contribution — every
@@ -169,6 +214,26 @@ def _tail_cols(parts: list, keys: list, hop_ms: int) -> list:
                 )
                 add(f"t_b_{sfx}", F.sum(b_hop).over(fr))
                 add(f"__k_{c}", k)
+            if op in (Operation.SKEW, Operation.KURTOSIS):
+                # re-shift each hop's central sums from its own mean to K
+                # (exact polynomial transform; d_h = mean_h - K is
+                # O(sigma)-scale since K is the key's overall mean):
+                # S3K_h = M3_h + 3 d M2_h + n d^3
+                # S4K_h = M4_h + 4 d M3_h + 6 d^2 M2_h + n d^4
+                n_h = F.col(f"i_cnt_{c}")
+                d_h = F.when(n_h > 0, F.col(f"i_sum_{c}") / n_h - F.col(f"__k_{c}"))
+                m2_h, m3_h = F.col(f"i_m2_{c}"), F.col(f"i_m3_{c}")
+                s3k = m3_h + 3 * d_h * m2_h + n_h * F.pow(d_h, 3)
+                add(f"t_s3_{sfx}", F.sum(s3k).over(fr))
+                if op is Operation.KURTOSIS:
+                    m4_h = F.col(f"i_m4_{c}")
+                    s4k = (
+                        m4_h
+                        + 4 * d_h * m3_h
+                        + 6 * F.pow(d_h, 2) * m2_h
+                        + n_h * F.pow(d_h, 4)
+                    )
+                    add(f"t_s4_{sfx}", F.sum(s4k).over(fr))
         elif op is Operation.MIN:
             add(f"t_min_{sfx}", F.min(f"i_min_{c}").over(fr))
         elif op is Operation.MAX:
@@ -426,8 +491,11 @@ def group_by_asof_hopped(
     # per-key variance offset K = overall mean of the key's events, computed
     # from the hop IRs themselves (full-partition window — same shuffle as
     # the tail window, no extra pass over raw events)
-    var_inputs = sorted({p.input_column for p in parts
-                         if p.operation is Operation.VARIANCE})
+    var_inputs = sorted({
+        p.input_column
+        for p in parts
+        if p.operation in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS)
+    })
     if var_inputs:
         wk = W.partitionBy(*keys).rowsBetween(
             W.unboundedPreceding, W.unboundedFollowing
@@ -494,7 +562,7 @@ def group_by_asof_hopped(
         op = p.operation
         sfx = f"{c}_{p.output_column}"
         name = p.output_column
-        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+        if op in _MOMENT_OPS:
             cnt = F.coalesce(F.col(f"t_cnt_{sfx}"), F.lit(0)) + F.coalesce(
                 F.col(f"h_cnt_{c}"), F.lit(0)
             )
@@ -509,6 +577,51 @@ def group_by_asof_hopped(
                 out_cols.append(s.alias(name))
             elif op is Operation.AVERAGE:
                 out_cols.append((s / cnt).alias(name))
+            elif op in (Operation.SKEW, Operation.KURTOSIS):
+                # shifted-moments merge extended to 3rd/4th order: all
+                # sums are about the per-key offset K, then re-centered
+                # to the window's own mean (delta = mean - K)
+                k = F.col(f"__k_{c}")
+                h_n = F.coalesce(F.col(f"h_cnt_{c}"), F.lit(0))
+                d_hd = F.when(h_n > 0, F.col(f"h_sum_{c}") / h_n - k)
+                h_m2 = F.coalesce(F.col(f"h_m2_{c}"), F.lit(0.0))
+                h_m3 = F.coalesce(F.col(f"h_m3_{c}"), F.lit(0.0))
+                s2k = (
+                    F.coalesce(F.col(f"t_m2_{sfx}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"t_b_{sfx}"), F.lit(0.0))
+                    + F.coalesce(h_m2 + h_n * F.pow(d_hd, 2), F.lit(0.0))
+                )
+                s3k = F.coalesce(F.col(f"t_s3_{sfx}"), F.lit(0.0)) + F.coalesce(
+                    h_m3 + 3 * d_hd * h_m2 + h_n * F.pow(d_hd, 3), F.lit(0.0)
+                )
+                delta = s / cnt - k
+                m2t = s2k - cnt * F.pow(delta, 2)
+                m3t = s3k - 3 * delta * s2k + 2 * cnt * F.pow(delta, 3)
+                m2bar = m2t / cnt
+                if op is Operation.SKEW:
+                    val = (m3t / cnt) / F.pow(m2bar, 1.5)
+                else:
+                    h_m4 = F.coalesce(F.col(f"h_m4_{c}"), F.lit(0.0))
+                    s4k = F.coalesce(
+                        F.col(f"t_s4_{sfx}"), F.lit(0.0)
+                    ) + F.coalesce(
+                        h_m4
+                        + 4 * d_hd * h_m3
+                        + 6 * F.pow(d_hd, 2) * h_m2
+                        + h_n * F.pow(d_hd, 4),
+                        F.lit(0.0),
+                    )
+                    m4t = (
+                        s4k
+                        - 4 * delta * s3k
+                        + 6 * F.pow(delta, 2) * s2k
+                        - 3 * cnt * F.pow(delta, 4)
+                    )
+                    val = (m4t / cnt) / F.pow(m2bar, 2.0) - 3.0
+                # kernel null rule: defined only for n > 1 and m2 > 0
+                out_cols.append(
+                    F.when((cnt > 1) & (m2bar > 0), val).alias(name)
+                )
             else:  # VARIANCE (population) — shifted-moments merge:
                 # M2_total = sum(m2_g) + sum(n_g*(mean_g-K)^2) - A^2/N,
                 # A = S - N*K (Chan's parallel variance about a per-key

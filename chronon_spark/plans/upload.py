@@ -45,10 +45,11 @@ def _merge_aggs(parts: list) -> list:
     for p in parts:
         c = p.input_column
         op = p.operation
-        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE):
+        if op in (Operation.COUNT, Operation.SUM, Operation.AVERAGE, Operation.VARIANCE,
+                  Operation.SKEW, Operation.KURTOSIS):
             add(f"i_cnt_{c}", F.sum(f"i_cnt_{c}"))
             add(f"i_sum_{c}", F.sum(f"i_sum_{c}"))
-            if op is Operation.VARIANCE:
+            if op in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
                 # shifted-moments merge about the per-key offset __k_{c}
                 # (joined in upload_group_by); finalized to a single i_m2
                 # post-agg: i_m2 = sum(m2_h) + sum(n_h*(mean_h-K)^2) - A^2/N
@@ -68,6 +69,28 @@ def _merge_aggs(parts: list) -> list:
                     ),
                 )
                 add(f"__k_{c}", F.first(f"__k_{c}"))
+            if op in (Operation.SKEW, Operation.KURTOSIS):
+                # per-row (hop) re-shift of the 3rd/4th central sums to K,
+                # then plain SUM — the same exact polynomial transform the
+                # hopped tail uses (asof_hopped._tail_cols)
+                n_h = F.col(f"i_cnt_{c}")
+                d_h = F.when(n_h > 0, F.col(f"i_sum_{c}") / n_h - F.col(f"__k_{c}"))
+                m2_h, m3_h = F.col(f"i_m2_{c}"), F.col(f"i_m3_{c}")
+                add(
+                    f"__s3_{c}",
+                    F.sum(m3_h + 3 * d_h * m2_h + n_h * F.pow(d_h, 3)),
+                )
+                if op is Operation.KURTOSIS:
+                    m4_h = F.col(f"i_m4_{c}")
+                    add(
+                        f"__s4_{c}",
+                        F.sum(
+                            m4_h
+                            + 4 * d_h * m3_h
+                            + 6 * F.pow(d_h, 2) * m2_h
+                            + n_h * F.pow(d_h, 4)
+                        ),
+                    )
         elif op is Operation.MIN:
             add(f"i_min_{c}", F.min(f"i_min_{c}"))
         elif op is Operation.MAX:
@@ -129,9 +152,15 @@ def collapse_irs(
     shared merge step of GroupByUpload and tile compaction."""
     tails = irs.where(F.col("__hop") >= tail_start_hop)
     old = irs.where(F.col("__hop") < tail_start_hop)
-    var_cols = sorted(
-        {p.input_column for p in parts if p.operation is Operation.VARIANCE}
-    )
+    # highest central-moment order needed per input column
+    order_of: dict = {}
+    for p in parts:
+        o = {Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}.get(
+            p.operation, 0
+        )
+        if o:
+            order_of[p.input_column] = max(order_of.get(p.input_column, 0), o)
+    var_cols = sorted(order_of)
     if var_cols:
         # per-key offset for the stable variance merge — one cheap agg over
         # IR rows (not raw events), shuffle-joined back on the same keys
@@ -145,16 +174,39 @@ def collapse_irs(
         old = old.join(kdf, on=keys, how="left")
     collapsed = old.groupBy(*keys).agg(*_merge_aggs(parts))
     for c in var_cols:
-        a = F.col(f"i_sum_{c}") - F.col(f"i_cnt_{c}") * F.col(f"__k_{c}")
+        n = F.col(f"i_cnt_{c}")
+        a = F.col(f"i_sum_{c}") - n * F.col(f"__k_{c}")
+        s2k = F.col(f"__m2s_{c}") + F.col(f"__b_{c}")
+        delta = a / n
         collapsed = collapsed.withColumn(
-            f"i_m2_{c}",
-            F.when(
-                F.col(f"i_cnt_{c}") > 0,
-                F.col(f"__m2s_{c}")
-                + F.col(f"__b_{c}")
-                - F.pow(a, 2) / F.col(f"i_cnt_{c}"),
-            ),
-        ).drop(f"__m2s_{c}", f"__b_{c}", f"__k_{c}")
+            f"i_m2_{c}", F.when(n > 0, s2k - n * F.pow(delta, 2))
+        )
+        drops = [f"__m2s_{c}", f"__b_{c}", f"__k_{c}"]
+        if order_of[c] >= 3:
+            # re-center the collapsed 3rd/4th sums from K to the collapsed
+            # group's own mean — the result is a regular hop-style IR
+            s3k = F.col(f"__s3_{c}")
+            collapsed = collapsed.withColumn(
+                f"i_m3_{c}",
+                F.when(
+                    n > 0, s3k - 3 * delta * s2k + 2 * n * F.pow(delta, 3)
+                ),
+            )
+            drops.append(f"__s3_{c}")
+        if order_of[c] >= 4:
+            s4k = F.col(f"__s4_{c}")
+            collapsed = collapsed.withColumn(
+                f"i_m4_{c}",
+                F.when(
+                    n > 0,
+                    s4k
+                    - 4 * delta * F.col(f"__s3_{c}")
+                    + 6 * F.pow(delta, 2) * s2k
+                    - 3 * n * F.pow(delta, 4),
+                ),
+            )
+            drops.append(f"__s4_{c}")
+        collapsed = collapsed.drop(*drops)
     collapsed = collapsed.withColumn("__hop", F.lit(COLLAPSED_HOP)).select(
         *tails.columns
     )
