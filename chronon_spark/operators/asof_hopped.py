@@ -27,10 +27,13 @@ against chronon_spark.kernel.sawtooth with ``tail_hop_ms`` set): head
 ``e.ts <= q.ts`` inclusive, tail ``e.ts >= round_down(q.ts - W, hop)``
 (SawtoothMutationAggregator.scala:117-133, Resolution.scala:38-48).
 
-Supported ops: COUNT, SUM, AVERAGE, VARIANCE, MIN, MAX, LAST, FIRST,
+Supported ops: COUNT, SUM, AVERAGE, VARIANCE, SKEW, KURTOSIS (population,
+excess — shifted central-moment merge to 4th order), MIN, MAX, LAST, FIRST,
 UNIQUE_COUNT (exact via set union), APPROX_UNIQUE_COUNT (HLL sketches).
 Non-mergeable ops (percentiles, *_K, histograms) use the Arrow kernel path
-(operators.asof_join.group_by_asof); ``supports_hopped`` reports the split.
+(operators.asof_join.group_by_asof) in batch, and the dedicated serving
+semilattices (plans/sketch_serving, klist_serving, freq_serving) online;
+``supports_hopped`` reports the split.
 """
 
 from __future__ import annotations
