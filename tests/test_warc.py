@@ -201,7 +201,9 @@ def test_curate_from_warc_archives_equals_direct(spark, tmp_path):
 
     direct = curate(spark, base, verbose=False, dup_span_max=0.95)
     via_warc = curate(spark, crawl2, verbose=False, dup_span_max=0.95)
-    assert via_warc["stages"] == direct["stages"]
+    assert [(n, c) for n, c, _w in via_warc["stages"]] == [
+        (n, c) for n, c, _w in direct["stages"]
+    ]
 
 
 def test_payload_hash_matches_source_of_truth(spark, warc_dir):
