@@ -374,3 +374,60 @@ def test_query_checkpoints_released(spark, sf_dir):
         assert _ids() - before  # the pass really cached a query set
         assert release_query_checkpoints() >= 1
         assert not (_ids() - before)
+
+
+def test_moments_stable_at_extreme_magnitude(spark, tmp_path):
+    """Skew/kurtosis through the shifted 3rd/4th-order merge at
+    production magnitudes (values ~1e10, sigma ~600): the per-key offset
+    K keeps every d = mean_h - K term O(sigma), so no mu-scale
+    cancellation — both plans must agree with numpy's direct central
+    moments. The naive raw-power-sum kurtosis is off by orders of
+    magnitude on the same doubles."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    base_ts = 1_700_000_000_000
+    ts = np.sort(rng.randint(0, 30 * DAY_MS, n)) + base_ts
+    vals = 1e10 + rng.randint(-1000, 1001, n).astype(np.float64)
+    pdf = pd.DataFrame({"user_id": 1, "ts": ts, "value": vals})
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+
+    gb = GroupBy(
+        sources=(
+            EventSource(
+                table=p,
+                query=Query(selects={"user_id": "user_id", "value": "value"},
+                            time_column="ts"),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(
+            Aggregation("value", Operation.SKEW),
+            Aggregation("value", Operation.KURTOSIS),
+        ),
+        name="mstab",
+    )
+    q = spark.createDataFrame(pd.DataFrame({"user_id": [1], "ts": [int(ts[-1]) + 1]}))
+
+    d = vals - vals.mean()
+    m2, m3, m4 = (d ** 2).mean(), (d ** 3).mean(), (d ** 4).mean()
+    true_skew = m3 / m2 ** 1.5
+    true_kurt = m4 / m2 ** 2 - 3.0
+
+    hop = group_by_asof_hopped(spark, gb, q, DAY_MS).first()
+    ker = group_by_asof(spark, gb, q).first()
+    # abs tolerance: skew ~0, kurt ~-1.2 at this uniform-ish data
+    assert hop["value_skew"] == pytest.approx(true_skew, abs=1e-4)
+    assert hop["value_kurtosis"] == pytest.approx(true_kurt, abs=1e-4)
+    assert ker["value_skew"] == pytest.approx(true_skew, abs=1e-4)
+    assert ker["value_kurtosis"] == pytest.approx(true_kurt, abs=1e-4)
+
+    # the failure mode the shift removes: raw power sums on doubles
+    s1, s2_, s3_, s4_ = vals.sum(), (vals**2).sum(), (vals**3).sum(), (vals**4).sum()
+    mu = s1 / n
+    m4_naive = s4_ / n - 4 * mu * s3_ / n + 6 * mu**2 * s2_ / n - 3 * mu**4
+    kurt_naive = m4_naive / (m2 ** 2) - 3.0
+    assert abs(kurt_naive - true_kurt) > 1.0  # catastrophically wrong
