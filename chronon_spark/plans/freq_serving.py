@@ -153,6 +153,7 @@ def fetch_freq_topk(
     n_hops: Optional[int] = None,
     out_col: str = "top_items",
     verify_disjoint: bool = True,
+    histogram: bool = False,
 ) -> DataFrame:
     """Per-request frequency top-k from the serving state: the exact
     ``ts <= request ts`` head over live-hop events ⊕ the window's (or
@@ -212,9 +213,63 @@ def fetch_freq_topk(
         tail.select(*keys, "__qts", "entries")
     )
     merged = _remerge(contrib, keys + ["__qts"], m)
-    out = merged.withColumn(
-        out_col, F.slice(F.transform("entries", lambda e: e["v"]), 1, int(k))
-    ).drop("entries")
+    if histogram:
+        # exact HISTOGRAM finalize: item -> count map, item-sorted for
+        # deterministic rendering (exact when m covers every item)
+        ent = F.sort_array(
+            F.transform(
+                "entries",
+                lambda e: F.struct(
+                    e["v"].alias("key"), (-e["negcnt"]).alias("value")
+                ),
+            )
+        )
+        out = merged.withColumn(out_col, F.map_from_entries(ent)).drop("entries")
+    else:
+        out = merged.withColumn(
+            out_col, F.slice(F.transform("entries", lambda e: e["v"]), 1, int(k))
+        ).drop("entries")
     return q.select(*keys, "__qts").join(
         out, on=keys + ["__qts"], how="left"
     ).withColumnRenamed("__qts", TS)
+
+
+def fetch_histogram(
+    spark: SparkSession,
+    requests: DataFrame,
+    irs: DataFrame,
+    live_events: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    hop_ms: int,
+    n_hops: Optional[int] = None,
+    out_col: str = "histogram",
+    verify_disjoint: bool = True,
+    m: Optional[int] = None,
+) -> DataFrame:
+    """Exact HISTOGRAM on the serving path (reference Operation.HISTOGRAM
+    map IR; the 21-op batch kernel's map feature could not ride
+    upload ⊕ tiles before): the same truncated-count semilattice with
+    ``m`` unbounded by default, so per-hop entries are EXACT counts and
+    the merge is a plain per-item SUM; finalize = item-sorted
+    item → count map. Bounded-``m`` mode degrades exactly like
+    ``fetch_freq_topk`` (per-hop tail mass dropped, deterministic).
+
+    Scale note: an unbounded histogram's state is O(distinct items per
+    key) — the reference's map IR has the same bound; pass ``m`` when
+    item cardinality is adversarial."""
+    return fetch_freq_topk(
+        spark,
+        requests,
+        irs,
+        live_events,
+        keys,
+        item_col,
+        hop_ms,
+        k=1,  # ignored in histogram mode
+        m=m if m is not None else (1 << 31) - 1,
+        n_hops=n_hops,
+        out_col=out_col,
+        verify_disjoint=verify_disjoint,
+        histogram=True,
+    )

@@ -135,3 +135,34 @@ def test_guards(spark, sf_dir):
         fetch_freq_topk(
             spark, reqs, tiles_all, ev, ["user_id"], "event_type", DAY_MS, K
         )
+
+
+def test_fetch_histogram_exact_map(spark, sf_dir):
+    """HISTOGRAM on the serving path: unbounded-m map fetch == exact
+    per-request value counts (batch kernel HISTOGRAM semantics), both
+    windowed and unbounded."""
+    from chronon_spark.plans.freq_serving import fetch_histogram
+
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    irs = freq_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "event_type",
+        DAY_MS, M_BIG,
+    )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    ev_pd = ev.toPandas()
+    req_list = [(r["user_id"], r["ts"]) for r in reqs.collect()]
+    for n_hops, min_ts in ((7, (live_hop - 7) * DAY_MS), (None, None)):
+        got = fetch_histogram(
+            spark, reqs, irs, ev, ["user_id"], "event_type", DAY_MS,
+            n_hops=n_hops,
+        )
+        rows = got.collect()
+        assert len(rows) == len(req_list) > 0
+        for r in rows:
+            sub = ev_pd[(ev_pd.user_id == r["user_id"]) & (ev_pd.ts <= r["ts"])]
+            if min_ts is not None:
+                sub = sub[sub.ts >= min_ts]
+            exp = dict(Counter(sub.event_type.dropna()))
+            have = dict(r["histogram"]) if r["histogram"] is not None else None
+            assert have == (exp or None), (r["user_id"], r["ts"], have, exp)
