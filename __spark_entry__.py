@@ -2727,6 +2727,56 @@ def q_freq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM on the lambda read path (plans/freq_serving.fetch_histogram):
+    unbounded-m exact item->count map from per-hop count IRs ⊕ the live
+    hop, projected to the known categories (the asof_histogram
+    convention, so the oracle never hashes a map)."""
+    from chronon_spark.plans.freq_serving import fetch_histogram, freq_hop_irs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "event_type",
+    )
+    live_start = (int(ev.agg(F.max("ts")).first()[0]) // DAY_MS) * DAY_MS
+    irs = freq_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "event_type", DAY_MS, 64
+    )
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    out = fetch_histogram(
+        spark, reqs, irs, ev, ["user_id"], "event_type", DAY_MS,
+        n_hops=7, verify_disjoint=False,
+    )
+    m = "histogram"
+    return out.select(
+        "user_id",
+        "ts",
+        F.coalesce(F.element_at(m, "click"), F.lit(0)).alias("click_w"),
+        F.coalesce(F.element_at(m, "view"), F.lit(0)).alias("view_w"),
+        F.coalesce(F.element_at(m, "purchase"), F.lit(0)).alias("purchase_w"),
+        F.coalesce(F.element_at(m, "signup"), F.lit(0)).alias("signup_w"),
+        F.coalesce(F.element_at(m, "error"), F.lit(0)).alias("error_w"),
+    )
+
+
+_HIST_SERVE_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM ev),
+q AS (SELECT DISTINCT user_id, ts FROM ev WHERE ts >= (SELECT t0 FROM live))
+SELECT q.user_id, q.ts,
+   count(CASE WHEN e.event_type = 'click' THEN 1 END) AS click_w,
+   count(CASE WHEN e.event_type = 'view' THEN 1 END) AS view_w,
+   count(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS purchase_w,
+   count(CASE WHEN e.event_type = 'signup' THEN 1 END) AS signup_w,
+   count(CASE WHEN e.event_type = 'error' THEN 1 END) AS error_w
+FROM q LEFT JOIN ev e
+  ON e.user_id = q.user_id AND e.ts <= q.ts
+ AND e.ts >= (SELECT t0 FROM live) - {7 * DAY_MS}
+GROUP BY q.user_id, q.ts
+"""
+
+
 _FREQ_SERVE_ORACLE = f"""
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
 live AS (SELECT (max(ts) // {DAY_MS}) * {DAY_MS} AS t0 FROM ev),
@@ -6490,6 +6540,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_serve": q_percentile_serve,
         "klist_serve": q_klist_serve,
         "freq_serve": q_freq_serve,
+        "hist_serve": q_hist_serve,
         "noagg_snapshot": q_noagg_snapshot,
         "label_sawtooth": q_label_sawtooth,
         "label_snapshot": q_label_snapshot,
@@ -6627,6 +6678,7 @@ def _raw_oracles() -> dict[str, str]:
         "noagg_snapshot": _NOAGG_SNAPSHOT_ORACLE,
         "klist_serve": _KLIST_SERVE_ORACLE,
         "freq_serve": _FREQ_SERVE_ORACLE,
+        "hist_serve": _HIST_SERVE_ORACLE,
         "harmonic_rank": _harmonic_rank_oracle(),
         "crawl_priority": _crawl_priority_oracle(),
         "robots_filter": _ROBOTS_FILTER_ORACLE,

@@ -558,6 +558,7 @@ HEADLINE = [
     "percentile_serve",
     "klist_serve",
     "freq_serve",
+    "hist_serve",
     "noagg_snapshot",
 ]
 
