@@ -166,3 +166,76 @@ def test_fetch_histogram_exact_map(spark, sf_dir):
             exp = dict(Counter(sub.event_type.dropna()))
             have = dict(r["histogram"]) if r["histogram"] is not None else None
             assert have == (exp or None), (r["user_id"], r["ts"], have, exp)
+
+
+def test_streamed_freq_tiles_via_foreachbatch_merge(spark, sf_dir, tmp_path):
+    """The module's production note, executed: item-IR tiles are built by
+    a REAL streaming query whose foreachBatch MERGES each micro-batch's
+    per-hop count lists into the stored tiles (SUM per item — exact in
+    the untruncated regime even when one hop's events straddle
+    micro-batches). Final tiles == batch freq_hop_irs; a serve from them
+    equals the direct computation."""
+    import os
+
+    from chronon_spark.plans.freq_serving import _remerge, fetch_freq_topk
+
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    closed = ev.where((F.col("ts") >= T0) & (F.col("ts") < live_start))
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    state_dir = str(tmp_path / "tiles")
+    closed.repartition(3).write.mode("overwrite").parquet(src)
+
+    versions = []
+
+    def upsert(batch_df, batch_id):
+        irs_b = freq_hop_irs(batch_df, ["user_id"], "event_type", DAY_MS, M_BIG)
+        if versions:
+            cur = batch_df.sparkSession.read.parquet(versions[-1])
+            irs_b = _remerge(
+                cur.unionByName(irs_b).select("user_id", "__hop", "entries"),
+                ["user_id", "__hop"],
+                M_BIG,
+            )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        irs_b.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(versions) >= 2  # hops really straddled micro-batches
+
+    streamed = spark.read.parquet(versions[-1])
+    batch = freq_hop_irs(closed, ["user_id"], "event_type", DAY_MS, M_BIG)
+    b = batch.orderBy("user_id", "__hop").toPandas()
+    s = streamed.select(batch.columns).orderBy("user_id", "__hop").toPandas()
+    assert len(b) == len(s) > 0
+    assert (b["user_id"].values == s["user_id"].values).all()
+    assert b["entries"].map(list).equals(s["entries"].map(list))
+
+    # and the serve over (pre-T0 irs ∪ streamed tiles) is exact
+    irs = freq_hop_irs(
+        ev.where(F.col("ts") < T0), ["user_id"], "event_type", DAY_MS, M_BIG
+    ).unionByName(streamed.select(batch.columns))
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    got = fetch_freq_topk(
+        spark, reqs, irs, ev, ["user_id"], "event_type", DAY_MS, K,
+        m=M_BIG, n_hops=7,
+    )
+    ev_pd = ev.toPandas()
+    req_list = [(r["user_id"], r["ts"]) for r in reqs.collect()]
+    exp = _py_expected(ev_pd, req_list, min_ts=(live_hop - 7) * DAY_MS)
+    for r in got.collect():
+        have = list(r["top_items"]) if r["top_items"] is not None else None
+        assert have == exp[(r["user_id"], r["ts"])]
