@@ -132,3 +132,73 @@ def test_guards(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="mode must be one of"):
         klist_hop_irs(ev, ["user_id"], "value", DAY_MS, K, mode="median_k")
+
+
+def test_streamed_klist_tiles_via_foreachbatch_merge(spark, sf_dir, tmp_path):
+    """Streaming production of k-list tiles (the module's production
+    note): foreachBatch merges each micro-batch's per-hop k-lists into
+    the stored tiles with the SAME semilattice merge — exact even under
+    truncation (top-k of a union == top-k of per-part top-ks), so a hop
+    straddling micro-batches loses nothing. Final tiles == batch
+    klist_hop_irs; serving from them is exact."""
+    import os
+
+    from chronon_spark.plans.klist_serving import _merge
+
+    mode = "top_k"
+    ev = _events(spark, sf_dir)
+    live_hop, live_start = _live(ev)
+    closed = ev.where((F.col("ts") >= T0) & (F.col("ts") < live_start))
+    src, ck, state_dir = (str(tmp_path / d) for d in ("src", "ck", "tiles"))
+    closed.repartition(3).write.mode("overwrite").parquet(src)
+
+    versions = []
+
+    def upsert(batch_df, batch_id):
+        irs_b = klist_hop_irs(batch_df, ["user_id"], "value", DAY_MS, K, mode)
+        if versions:
+            cur = batch_df.sparkSession.read.parquet(versions[-1])
+            irs_b = (
+                cur.unionByName(irs_b)
+                .groupBy("user_id", "__hop")
+                .agg(_merge(F.collect_list("entries"), K).alias("entries"))
+            )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        irs_b.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(versions) >= 2
+
+    streamed = spark.read.parquet(versions[-1])
+    batch = klist_hop_irs(closed, ["user_id"], "value", DAY_MS, K, mode)
+    b = batch.orderBy("user_id", "__hop").toPandas()
+    s = streamed.select(batch.columns).orderBy("user_id", "__hop").toPandas()
+    assert len(b) == len(s) > 0
+    assert b["entries"].map(list).equals(s["entries"].map(list))
+
+    irs = klist_hop_irs(
+        ev.where(F.col("ts") < T0), ["user_id"], "value", DAY_MS, K, mode
+    ).unionByName(streamed.select(batch.columns))
+    reqs = ev.where(F.col("ts") >= live_start).select("user_id", "ts").distinct()
+    got = fetch_klist(
+        spark, reqs, irs, ev, ["user_id"], "value", DAY_MS, K,
+        mode=mode, n_hops=7,
+    )
+    ev_pd = ev.toPandas()
+    req_list = [(r["user_id"], r["ts"]) for r in reqs.collect()]
+    exp = _py_expected(ev_pd, req_list, mode, min_ts=(live_hop - 7) * DAY_MS)
+    for r in got.collect():
+        have = list(r["values"]) if r["values"] is not None else None
+        assert have == exp[(r["user_id"], r["ts"])]
