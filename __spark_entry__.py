@@ -503,19 +503,21 @@ WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
 q AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
              epoch_ms(ts) // 259200000 AS b FROM events),
 head AS (
-  SELECT q.event_id, COALESCE(SUM(e.c), 0) AS h
+  SELECT q.event_id, CAST(COALESCE(SUM(e.c), 0) AS BIGINT) AS h
   FROM q LEFT JOIN ev e
     ON e.user_id = q.user_id AND e.b = q.b AND e.ts <= q.ts
   GROUP BY q.event_id),
-hs AS (SELECT user_id, b, SUM(c) AS s FROM ev GROUP BY 1, 2),
+hs AS (SELECT user_id, b, CAST(SUM(c) AS BIGINT) AS s FROM ev GROUP BY 1, 2),
 tail AS (
   SELECT q.event_id,
-         SUM(hs.s * (CAST(1 AS BIGINT) << CAST(20 - (q.b - hs.b) AS INT))) AS t
+         CAST(SUM(hs.s * (CAST(1 AS BIGINT) << CAST(20 - (q.b - hs.b) AS INT)))
+              AS BIGINT) AS t
   FROM q JOIN hs
     ON hs.user_id = q.user_id AND hs.b BETWEEN q.b - 20 AND q.b - 1
   GROUP BY q.event_id)
 SELECT q.event_id, q.user_id, q.ts,
-       head.h * (CAST(1 AS BIGINT) << 20) + COALESCE(tail.t, 0) AS decayed_q
+       CAST(head.h * (CAST(1 AS BIGINT) << 20) + COALESCE(tail.t, 0)
+            AS BIGINT) AS decayed_q
 FROM q
 JOIN head ON head.event_id = q.event_id
 LEFT JOIN tail ON tail.event_id = q.event_id
@@ -6527,13 +6529,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_utc(v) for k, v in _raw_queries().items()}
 
 
+# ORDER MATTERS: the driver's correctness run is budget-bounded (~50/round)
+# and processes queries in dict order. Rotation rule (re-derived each round
+# from the CORRECTNESS_r0*.json history): failed-last-round first, then
+# never-driver-checked, then least-recently-driver-checked (r2 tier before
+# r3 tier before r4 greens). Keys in `_raw_queries`'s definition dict that
+# are NOT in this list are new this round → they sort to the very front.
+_DRIVER_ORDER = [
+    "decayed_sum", "clustered_asof", "pq_encode", "pq_topk", "compare_seq",
+    "semantic_decontam",
+    # -- last driver-checked in round 2 --------------------------------
+    "url_canonical", "repetition_quality", "cumulative_scan",
+    "sketch_percentile", "asof_multisource", "asof_firstk_uniquetopk",
+    "skew_join", "stream_tiles", "kafka_tiles", "drift", "mutation_replay",
+    "keymapped_join", "derived_join", "bootstrap_join", "backfill_resume",
+    # -- last driver-checked in round 3 --------------------------------
+    "blocklist", "json_extract", "entity_snapshot", "shard_shuffle",
+    "lag_lead", "corpus_split", "embedding_topk", "tpch_q3", "sessionize",
+    "profile", "compare_job", "staging_q1", "doc_stats",
+    "boilerplate_lines", "tfidf_topk", "temperature_mix", "asof_moments",
+    "asof_histogram", "feature_summary", "doc_sample", "stream_sessions",
+    "unigram_logprob", "embedding_near_dup", "snapshot_join",
+    "asof_lastk_topk", "ccnet_buckets", "pack_sequences", "asof_sawtooth",
+    "exact_dedup", "pii_redact", "asof_percentile", "chained_join",
+    "fetch_join", "webtext_flagship", "decontaminate", "duplicated_spans",
+    "span_removal", "asof_join_multipart", "asof_bucketed",
+    "snapshot_groupby", "dedup_clusters", "ngram_jaccard", "minhash_lsh",
+    "incremental_dedup", "stream_curation", "ann_lsh", "semdedup",
+    "simhash_near_dups", "asof_groupby", "kmeans_cluster",
+    # -- green in round 4 (re-confirmations only) ----------------------
+    "tile_compaction", "percentile_serve", "klist_serve", "freq_serve",
+    "hist_serve", "noagg_snapshot", "label_sawtooth", "label_snapshot",
+    "target_encode", "training_set", "stupid_backoff", "kv_fetch",
+    "doc_chunks", "epoch_mix", "hits_rank", "tiled_fetch", "harmonic_rank",
+    "crawl_priority", "robots_filter", "sitemap_parse", "crawl_schedule",
+    "inverted_index", "phrase_search", "crawl_diff", "domain_rollup",
+    "bm25_topk", "incremental_index", "stream_phrase_decontam",
+    "recrawl_stats", "warc_ingest", "link_graph", "domain_rank",
+    "trust_rank", "url_traps", "robots_delay", "redirect_resolve",
+    "site_collapse", "temperature_mix_tokens", "anchor_topk",
+    "eval_preflight", "bpe_tokens", "dsir_weights", "dsir_select",
+    "model_transforms", "drift_dist", "bpe_train", "consistency",
+    "quality_classifier", "scd2_intervals",
+]
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness run is budget-bounded and
-    # processes queries in dict order (round 3 covered exactly the first
-    # 50 of 73). Queries a driver round has never checked come FIRST, then
-    # those skipped in round 3, then the round-3-green rest cheapest-first
-    # (per-query walls from `tools/check_entry.py --time` at sf0.01) — so
-    # any budget cut truncates re-confirmations, never first-time checks.
+    defs = _query_defs()
+    rank = {k: i for i, k in enumerate(_DRIVER_ORDER)}
+    ordered = sorted(defs, key=lambda k: rank.get(k, -1))
+    return {k: defs[k] for k in ordered}
+
+
+def _query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Grouped by when each query was added; _DRIVER_ORDER controls the
+    # order the driver actually sees.
     return {
         # -- never driver-checked before round 4 ---------------------------
         "tile_compaction": q_tile_compaction,
