@@ -188,3 +188,131 @@ def test_fit_validates_inputs(emb_df):
         pq_fit(emb_df, m=5, k=K, iters=1)
     with pytest.raises(ValueError, match="m and k"):
         pq_fit(emb_df, m=0, k=K)
+
+
+def test_topk_salted_equals_unsalted(emb_df):
+    """The salted two-phase rank (r4 VERDICT Wrong #3 fix) is exactly
+    the single-window rank — top-k is merge-associative — including on
+    a hot many-query batch where every query scores the whole corpus."""
+    from pyspark.sql import functions as F
+
+    cbs = _spark_fit(emb_df)
+    queries = emb_df.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adist"])
+            for r in rows
+        )
+
+    plain = key(
+        pq_topk(emb_df, queries, cbs, k_neighbors=5, salt_partitions=0).collect()
+    )
+    salted = key(
+        pq_topk(emb_df, queries, cbs, k_neighbors=5, salt_partitions=32).collect()
+    )
+    assert plain == salted and len(plain) == 20 * 5
+
+
+def test_topk_plan_has_no_corpus_wide_query_window(emb_df):
+    """Plan pin for the scale fix: the window that sees corpus-scale
+    input must be salted (partition keys include __salt); only the
+    bounded <=k-rows-per-query survivor stage may window on query_id
+    alone."""
+    from pyspark.sql import functions as F
+
+    cbs = _spark_fit(emb_df)
+    queries = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        pq_topk(emb_df, queries, cbs, k_neighbors=5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(windows) >= 2, plan
+    # optimizedPlan lists operators top-down: the LAST windows are the
+    # deepest (corpus-scale phase-1); they must carry the salt key
+    assert "__salt" in windows[-1], windows[-1]
+
+
+@pytest.fixture(scope="module")
+def ivf_parts(emb_df):
+    from chronon_spark.operators.pq import ivf_coarse_fit
+
+    cbs = _spark_fit(emb_df)
+    coarse = ivf_coarse_fit(emb_df, n_cells=4)
+    return cbs, coarse
+
+
+def test_ivf_full_probe_equals_exhaustive(emb_df, ivf_parts):
+    """nprobe == n_cells probes every cell — the IVF composition must
+    then reproduce exhaustive pq_topk exactly."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.pq import pq_ivf_topk
+
+    cbs, coarse = ivf_parts
+    queries = emb_df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adist"])
+            for r in rows
+        )
+
+    exhaustive = key(pq_topk(emb_df, queries, cbs, k_neighbors=5).collect())
+    full_probe = key(
+        pq_ivf_topk(
+            emb_df, queries, cbs, coarse, k_neighbors=5, nprobe=len(coarse)
+        ).collect()
+    )
+    assert full_probe == exhaustive
+
+
+def test_ivf_pruned_probe_recall(emb_df, ivf_parts):
+    """nprobe < n_cells scans a strict subset; results must be a
+    per-query prefix-consistent subset ranking with recall >= 0.6
+    vs exhaustive ADC on this clustered corpus."""
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.pq import pq_ivf_topk
+
+    cbs, coarse = ivf_parts
+    queries = emb_df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in pq_topk(emb_df, queries, cbs, k_neighbors=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    rows = pq_ivf_topk(
+        emb_df, queries, cbs, coarse, k_neighbors=5, nprobe=2
+    ).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_validates_nprobe(emb_df, ivf_parts):
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.pq import pq_ivf_topk
+
+    cbs, coarse = ivf_parts
+    queries = emb_df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="nprobe"):
+        pq_ivf_topk(emb_df, queries, cbs, coarse, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        pq_ivf_topk(emb_df, queries, cbs, coarse, nprobe=99)
