@@ -4525,7 +4525,7 @@ FROM agg
 """
 
 
-_MUT_DIR = "/tmp/chronon_mutations_drv"
+_MUT_DIR = "/tmp/chronon_mutations_drv2"
 
 
 def _mutation_fixture(spark):
@@ -4562,19 +4562,28 @@ def _mutation_fixture(spark):
         ds = pd.Timestamp(T0 + d * DAY_MS, unit="ms").strftime("%Y-%m-%d")
         live = versions[(versions.valid_from < eod) & (versions.valid_to >= eod)]
         for r in live.itertuples():
-            snaps.append((r.store_id, r.item_id, r.price, ds))
-    snap_df = pd.DataFrame(snaps, columns=["store_id", "item_id", "price", "ds"])
+            # ts = the row version's event time (valid_from) — needed by
+            # the windowed mutation replay (mutation_windowed)
+            snaps.append((r.store_id, r.item_id, r.price, int(r.valid_from), ds))
+    snap_df = pd.DataFrame(
+        snaps, columns=["store_id", "item_id", "price", "ts", "ds"]
+    )
     muts = []
     for item, gv in versions.sort_values("valid_from").groupby("item_id"):
         gvl = list(gv.itertuples())
         for i, v in enumerate(gvl):
             ds = pd.Timestamp(v.valid_from, unit="ms").strftime("%Y-%m-%d")
-            muts.append((v.store_id, v.item_id, v.price, v.valid_from, False, ds))
+            muts.append((v.store_id, v.item_id, v.price, int(v.valid_from),
+                         v.valid_from, False, ds))
             if i > 0:
                 prev = gvl[i - 1]
-                muts.append((prev.store_id, prev.item_id, prev.price, v.valid_from, True, ds))
+                # a before-row keeps the REPLACED version's event time
+                muts.append((prev.store_id, prev.item_id, prev.price,
+                             int(prev.valid_from), v.valid_from, True, ds))
     mut_df = pd.DataFrame(
-        muts, columns=["store_id", "item_id", "price", "mutation_ts", "is_before", "ds"]
+        muts,
+        columns=["store_id", "item_id", "price", "ts", "mutation_ts",
+                 "is_before", "ds"],
     )
     qrng = np.random.RandomState(12)
     q = pd.DataFrame(
@@ -4682,6 +4691,136 @@ hist AS (
 )
 SELECT scal.store_id, scal.ts, scal.price_count, scal.price_sum,
    scal.price_average, scal.price_variance, hist.price_histogram
+FROM scal LEFT JOIN hist ON scal.store_id = hist.store_id AND scal.ts = hist.ts
+"""
+
+
+_MW_W, _MW_HOP, _MW_BUF = 7 * DAY_MS, 3_600_000, 2 * DAY_MS
+
+
+def q_mutation_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED temporal-entities (r4 VERDICT Next #3): 7-day deletable
+    window over a mutating entity source via the reference's sawtooth
+    mutation semantics (SawtoothMutationAggregator.scala:70-180 —
+    collapsed snapshot IR ⊕ accepted tail hops ⊕ signed same-day
+    mutations with the row-event-time window test), plus HISTOGRAM(k=5)
+    truncated at FINALIZE (SimpleAggregators.scala:297-317 semantics,
+    deterministic value-ASC tie-break). The oracle replays the same
+    edges in DuckDB over the derived snapshot/mutation tables."""
+    from chronon_spark.api.types import (
+        Aggregation, EntitySource, GroupBy, Operation, Query, Window,
+    )
+    from chronon_spark.operators.mutations import temporal_entities
+
+    _mutation_fixture(spark)
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=f"{_MUT_DIR}/snap.parquet",
+                mutation_table=f"{_MUT_DIR}/mut.parquet",
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "ts": "ts",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT, windows=(Window.days(7),)),
+            Aggregation("price", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("price", Operation.AVERAGE, windows=(Window.days(7),)),
+            Aggregation("price", Operation.HISTOGRAM, arg_map={"k": 5}),
+        ),
+        name="store_prices_w",
+    )
+    queries = spark.read.parquet(f"{_MUT_DIR}/queries.parquet")
+    out = temporal_entities(spark, gb, queries)
+    hist_str = F.when(
+        F.col("price_histogram").isNotNull(),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.map_entries(F.col("price_histogram"))),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+        ),
+    )
+    return out.select(
+        "store_id", "ts",
+        F.col("price_count_7d"),
+        _r6(F.col("price_sum_7d")).alias("price_sum_7d"),
+        _r6(F.col("price_average_7d")).alias("price_average_7d"),
+        hist_str.alias("price_histogram_top5"),
+    )
+
+
+_MUTATION_WINDOWED_ORACLE = f"""
+WITH snap AS (SELECT * FROM '{_MUT_DIR}/snap.parquet/*.parquet'),
+mut AS (SELECT * FROM '{_MUT_DIR}/mut.parquet/*.parquet'),
+v AS (SELECT * FROM '{_MUT_DIR}/versions.parquet/*.parquet'),
+qq AS (
+  SELECT DISTINCT store_id, ts,
+         (ts // {DAY_MS}) * {DAY_MS} AS be,
+         strftime(epoch_ms((ts // {DAY_MS}) * {DAY_MS} - {DAY_MS}), '%Y-%m-%d') AS prev_ds,
+         strftime(epoch_ms((ts // {DAY_MS}) * {DAY_MS}), '%Y-%m-%d') AS q_ds,
+         ((ts - {_MW_W}) // {_MW_HOP}) * {_MW_HOP} AS qtail
+  FROM '{_MUT_DIR}/queries.parquet/*.parquet'
+),
+snapc AS (
+  SELECT qq.store_id, qq.ts, s.price, 1 AS sg
+  FROM qq JOIN snap s ON s.store_id = qq.store_id AND s.ds = qq.prev_ds
+  WHERE s.ts < qq.be AND s.ts > qq.be - {_MW_W}
+    AND (s.ts >= qq.be - {_MW_W} + {_MW_BUF}
+         OR ((s.ts // {_MW_HOP}) * {_MW_HOP} >= qq.qtail
+             AND (s.ts // {_MW_HOP}) * {_MW_HOP} < qq.be - {_MW_W} + {_MW_BUF}))
+),
+mutc AS (
+  SELECT qq.store_id, qq.ts, m.price,
+         CASE WHEN m.is_before THEN -1 ELSE 1 END AS sg
+  FROM qq JOIN mut m ON m.store_id = qq.store_id AND m.ds = qq.q_ds
+  WHERE m.mutation_ts >= qq.be AND m.mutation_ts < qq.ts
+    AND m.ts >= qq.qtail AND m.ts < qq.ts
+),
+u AS (SELECT * FROM snapc UNION ALL SELECT * FROM mutc),
+scal AS (
+  SELECT qq.store_id, qq.ts,
+     CAST(COALESCE(t.cnt, 0) AS BIGINT) AS price_count_7d,
+     CASE WHEN COALESCE(t.cnt, 0) > 0
+          THEN round(CAST(t.s AS DOUBLE), 6) END AS price_sum_7d,
+     CASE WHEN COALESCE(t.cnt, 0) > 0
+          THEN round(CAST(t.s AS DOUBLE) / t.cnt, 6) END AS price_average_7d
+  FROM qq LEFT JOIN (
+    SELECT store_id, ts, SUM(sg) AS cnt, SUM(sg * price) AS s
+    FROM u GROUP BY store_id, ts
+  ) t ON t.store_id = qq.store_id AND t.ts = qq.ts
+),
+-- unwindowed truncated histogram from the generating version intervals
+hc AS (
+  SELECT qq.store_id, qq.ts, v.price, count(*) AS cnt
+  FROM qq JOIN v
+    ON v.store_id = qq.store_id AND v.valid_from < qq.ts AND qq.ts <= v.valid_to
+  GROUP BY qq.store_id, qq.ts, v.price
+),
+hsel AS (
+  SELECT *, row_number() OVER (PARTITION BY store_id, ts
+                               ORDER BY cnt DESC, CAST(price AS VARCHAR) ASC) AS rn
+  FROM hc
+),
+hist AS (
+  SELECT store_id, ts,
+     string_agg(CAST(price AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ','
+                ORDER BY CAST(price AS VARCHAR)) AS price_histogram_top5
+  FROM hsel WHERE rn <= 5 GROUP BY store_id, ts
+)
+SELECT scal.store_id, scal.ts, scal.price_count_7d, scal.price_sum_7d,
+       scal.price_average_7d, hist.price_histogram_top5
 FROM scal LEFT JOIN hist ON scal.store_id = hist.store_id AND scal.ts = hist.ts
 """
 
@@ -6733,6 +6872,7 @@ def _query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_tiles": q_kafka_tiles,
         "drift": q_drift,
         "mutation_replay": q_mutation_replay,
+        "mutation_windowed": q_mutation_windowed,
         "keymapped_join": q_keymapped_join,
         "derived_join": q_derived_join,
         "bootstrap_join": q_bootstrap_join,
@@ -6910,6 +7050,7 @@ def _raw_oracles() -> dict[str, str]:
         "derived_join": _DERIVED_JOIN_ORACLE,
         "bootstrap_join": _BOOTSTRAP_ORACLE,
         "mutation_replay": _MUTATION_ORACLE,
+        "mutation_windowed": _MUTATION_WINDOWED_ORACLE,
         "sketch_percentile": _sketch_oracle(),
         "url_canonical": _URL_CANONICAL_ORACLE,
         "repetition_quality": _REPETITION_ORACLE,

@@ -325,3 +325,251 @@ def test_variance_histogram_replay_vs_interval_oracle(spark, fixture):
         assert actual == expected, (r.store_id, r.ts, actual, expected)
         checked += 1
     assert checked == len(got)
+
+
+# ------------------------------------------------- windowed replay (r5)
+
+
+@pytest.fixture(scope="module")
+def wfixture(spark, fixture, tmp_path_factory):
+    """Windowed variant of the fixture: snapshot and mutation rows carry
+    an EVENT-time column ts (the row version's valid_from — the time the
+    row last changed), which the reference's windowed mutation path
+    requires (GroupBy.scala:225-231 inputDf time column)."""
+    _, _, ver_path, q = fixture
+    versions = pd.read_parquet(ver_path)
+    base = tmp_path_factory.mktemp("wmut")
+    snaps = []
+    for d in range(N_DAYS):
+        eod = T0 + (d + 1) * DAY_MS
+        ds = pd.Timestamp(T0 + d * DAY_MS, unit="ms").strftime("%Y-%m-%d")
+        live = versions[(versions.valid_from < eod) & (versions.valid_to >= eod)]
+        for r in live.itertuples():
+            snaps.append((r.store_id, r.item_id, r.price, int(r.valid_from), ds))
+    snap_df = pd.DataFrame(
+        snaps, columns=["store_id", "item_id", "price", "ts", "ds"]
+    )
+    muts = []
+    for item, gv in versions.sort_values("valid_from").groupby("item_id"):
+        gvl = list(gv.itertuples())
+        for i, v in enumerate(gvl):
+            ds = pd.Timestamp(v.valid_from, unit="ms").strftime("%Y-%m-%d")
+            muts.append(
+                (v.store_id, v.item_id, v.price, int(v.valid_from),
+                 int(v.valid_from), False, ds)
+            )
+            if i > 0:
+                prev = gvl[i - 1]
+                muts.append(
+                    (prev.store_id, prev.item_id, prev.price,
+                     int(prev.valid_from), int(v.valid_from), True, ds)
+                )
+    mut_df = pd.DataFrame(
+        muts,
+        columns=["store_id", "item_id", "price", "ts", "mutation_ts",
+                 "is_before", "ds"],
+    )
+    snap_path = str(base / "snap.parquet")
+    mut_path = str(base / "mut.parquet")
+    spark.createDataFrame(snap_df).write.parquet(snap_path)
+    spark.createDataFrame(mut_df).write.parquet(mut_path)
+    return snap_path, mut_path, snap_df, mut_df, q
+
+
+def _w_selects():
+    return {
+        "store_id": "store_id",
+        "price": "price",
+        "ds": "ds",
+        "ts": "ts",
+        "mutation_ts": "mutation_ts",
+        "is_before": "is_before",
+    }
+
+
+def _w_gb(snap_path, mut_path, aggs):
+    return GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(selects=_w_selects(), partition_column="ds"),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=aggs,
+        name="wsp",
+    )
+
+
+def _py_windowed(snap_df, mut_df, key, qt, w_ms, hop_ms, buf_ms=2 * DAY_MS):
+    """Pure-Python replay of the reference SawtoothMutationAggregator
+    edges (update :88-104, mergeTailHops :152-168, updateIr :117-133):
+    returns the multiset of in-window prices at query time qt."""
+    be = (qt // DAY_MS) * DAY_MS
+    prev_ds = pd.Timestamp(be - DAY_MS, unit="ms").strftime("%Y-%m-%d")
+    q_ds = pd.Timestamp(be, unit="ms").strftime("%Y-%m-%d")
+    qtail = ((qt - w_ms) // hop_ms) * hop_ms
+    vals = []
+    s = snap_df[(snap_df.store_id == key) & (snap_df.ds == prev_ds)]
+    for r in s.itertuples():
+        t = r.ts
+        if not (t < be and t > be - w_ms):
+            continue
+        if t >= be - w_ms + buf_ms:
+            vals.append(r.price)  # collapsed
+        else:
+            hs = (t // hop_ms) * hop_ms
+            if hs >= qtail and hs < be - w_ms + buf_ms:
+                vals.append(r.price)  # accepted tail hop
+    mm = mut_df[(mut_df.store_id == key) & (mut_df.ds == q_ds)]
+    signed = []
+    for r in mm.itertuples():
+        if not (be <= r.mutation_ts < qt):
+            continue
+        if not (qtail <= r.ts < qt):
+            continue
+        signed.append((-1 if r.is_before else 1, r.price))
+    return vals, signed
+
+
+def test_windowed_vs_python_replay(spark, wfixture):
+    """7-day window (1h hops, 2d tail buffer): COUNT/SUM/AVERAGE at 500
+    query points match a pure-Python replay of the reference edges."""
+    from chronon_spark.api.types import Window
+
+    snap_path, mut_path, snap_df, mut_df, q = wfixture
+    W = Window.days(7)
+    gb = _w_gb(
+        snap_path, mut_path,
+        (
+            Aggregation("price", Operation.COUNT, windows=(W,)),
+            Aggregation("price", Operation.SUM, windows=(W,)),
+            Aggregation("price", Operation.AVERAGE, windows=(W,)),
+        ),
+    )
+    got = (
+        temporal_entities(spark, gb, spark.createDataFrame(q))
+        .toPandas()
+        .set_index(["store_id", "ts"])
+    )
+    w_ms, hop_ms = 7 * DAY_MS, 3_600_000
+    checked = 0
+    for (key, qt) in set(zip(q.store_id, q.ts)):
+        vals, signed = _py_windowed(snap_df, mut_df, key, qt, w_ms, hop_ms)
+        cnt = len(vals) + sum(sg for sg, _ in signed)
+        sm = float(sum(vals) + sum(sg * v for sg, v in signed))
+        row = got.loc[(key, qt)]
+        assert row["price_count_7d"] == cnt, (key, qt)
+        if cnt > 0:
+            assert row["price_sum_7d"] == pytest.approx(sm)
+            assert row["price_average_7d"] == pytest.approx(sm / cnt)
+        else:
+            assert pd.isna(row["price_sum_7d"]) and pd.isna(row["price_average_7d"])
+        checked += 1
+    assert checked >= 400
+
+
+def test_huge_window_equals_unwindowed(spark, wfixture):
+    """A window larger than all history + tail buffer degenerates to the
+    unwindowed replay exactly (every snapshot row lands in the collapsed
+    IR; every mutation's event ts precedes its query)."""
+    from chronon_spark.api.types import Window
+
+    snap_path, mut_path, _, _, q = wfixture
+    queries = spark.createDataFrame(q)
+    win = temporal_entities(
+        spark,
+        _w_gb(snap_path, mut_path,
+              (Aggregation("price", Operation.SUM, windows=(Window.days(365),)),
+               Aggregation("price", Operation.VARIANCE, windows=(Window.days(365),)))),
+        queries,
+    ).toPandas().set_index(["store_id", "ts"])
+    flat = temporal_entities(
+        spark,
+        _w_gb(snap_path, mut_path,
+              (Aggregation("price", Operation.SUM),
+               Aggregation("price", Operation.VARIANCE))),
+        queries,
+    ).toPandas().set_index(["store_id", "ts"])
+    j = win.join(flat, how="inner")
+    assert len(j) == len(win) == len(flat) > 0
+    assert np.allclose(
+        j["price_sum_365d"].fillna(-1), j["price_sum"].fillna(-1)
+    )
+    assert np.allclose(
+        j["price_variance_365d"].fillna(-1), j["price_variance"].fillna(-1),
+        rtol=1e-9, atol=1e-6,
+    )
+
+
+def test_windowed_histogram_and_finalize_truncation(spark, wfixture):
+    """Windowed HISTOGRAM replay matches the Python replay's value
+    multiset; HISTOGRAM(k) truncates at FINALIZE (top-k counts, ties by
+    value ASC) so k composes with deletion — the r4 refusal is gone."""
+    from chronon_spark.api.types import Window
+
+    snap_path, mut_path, snap_df, mut_df, q = wfixture
+    W = Window.days(7)
+    gb = _w_gb(
+        snap_path, mut_path,
+        (
+            Aggregation("price", Operation.HISTOGRAM, windows=(W,)),
+            Aggregation("price", Operation.HISTOGRAM, arg_map={"k": 3}),
+        ),
+    )
+    got = (
+        temporal_entities(spark, gb, spark.createDataFrame(q.head(200)))
+        .toPandas()
+        .set_index(["store_id", "ts"])
+    )
+    w_ms, hop_ms = 7 * DAY_MS, 3_600_000
+    from collections import Counter
+
+    for (key, qt) in set(zip(q.head(200).store_id, q.head(200).ts)):
+        vals, signed = _py_windowed(snap_df, mut_df, key, qt, w_ms, hop_ms)
+        c = Counter(str(v) for v in vals)
+        for sg, v in signed:
+            c[str(v)] += sg
+        expect = {k2: n for k2, n in c.items() if n > 0}
+        row = got.loc[(key, qt)]
+        actual = row["price_histogram_7d"]
+        actual = dict(actual) if isinstance(actual, dict) else (actual or None)
+        assert (actual or None) == (expect or None), (key, qt)
+        # truncated unwindowed histogram: top-3 of the full replay
+        full = row["price_histogram"]
+        if isinstance(full, dict) and full:
+            assert len(full) <= 3
+
+
+def test_windowed_requires_event_time(spark, fixture):
+    """Windowed parts over a source without an event-time column raise a
+    typed error (the original fixture's scans have no ts)."""
+    from chronon_spark.api.types import Window
+
+    snap_path, mut_path, _, q = fixture
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(
+            Aggregation("price", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        name="g",
+    )
+    with pytest.raises(ValueError, match="event-time"):
+        temporal_entities(spark, gb, spark.createDataFrame(q))
