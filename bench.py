@@ -1028,12 +1028,40 @@ def compact_summary(result: dict) -> dict:
         out["scaling"] = out["scaling"][:7]  # per-(shape, N-config) leads
         line = json.dumps(out, separators=(",", ":"))
     while len(line) > 1900 and out["queries"]:
-        # shed the cheapest queries first; totals stay in `value`
-        cheapest = min(out["queries"], key=out["queries"].get)
+        # shed queries whose wall a prior round's driver artifact already
+        # recorded (cheapest first), so the union of BENCH_r* `queries`
+        # maps converges on the full headline set across rounds (r4
+        # VERDICT Wrong #4: a cheapest-first-only shed starved the same
+        # cheap queries every round); never-recorded queries go last
+        recorded = [q for q in out["queries"] if q in _DRIVER_RECORDED_WALLS]
+        pool = recorded or list(out["queries"])
+        cheapest = min(pool, key=out["queries"].get)
         del out["queries"][cheapest]
         out["queries_truncated"] = True
         line = json.dumps(out, separators=(",", ":"))
     return out
+
+
+# query walls already present in a driver-captured BENCH_r*.json parsed
+# `queries` map (r4 was the first round with a parseable map); these are
+# shed FIRST when the compact line exceeds the driver's capture budget
+_DRIVER_RECORDED_WALLS = frozenset({
+    "ann_lsh", "asof_groupby", "asof_join_multipart", "bm25_topk",
+    "bpe_tokens", "bpe_train", "ccnet_buckets", "clustered_asof",
+    "compare_seq", "consistency", "crawl_diff", "crawl_priority",
+    "crawl_schedule", "decayed_sum", "decontaminate", "dedup_clusters",
+    "doc_stats", "domain_rank", "domain_rollup", "drift_dist",
+    "dsir_select", "dsir_weights", "duplicated_spans", "fetch_join",
+    "freq_serve", "harmonic_rank", "hist_serve", "hits_rank",
+    "incremental_dedup", "klist_serve", "kmeans_cluster", "kv_fetch",
+    "label_sawtooth", "label_snapshot", "minhash_lsh", "model_transforms",
+    "percentile_serve", "phrase_search", "pii_redact", "pq_encode",
+    "pq_topk", "quality_classifier", "redirect_resolve",
+    "repetition_quality", "robots_delay", "robots_filter", "semdedup",
+    "snapshot_groupby", "span_removal", "stupid_backoff", "target_encode",
+    "tile_compaction", "tiled_fetch", "training_set", "trust_rank",
+    "warc_ingest", "webtext_flagship",
+})
 
 
 if __name__ == "__main__":

@@ -283,6 +283,48 @@ class JoinPart:
         return f"{self.prefix}_{base}" if self.prefix else base
 
 
+CONTEXTUAL_SOURCE_NAME = "contextual"  # reference Constants.scala:54
+
+
+@dataclass(frozen=True)
+class ExternalSource:
+    """A feature source served by an external service, not a GroupBy
+    (reference: thrift/api.thrift:161-165 — metadata + key/value schemas).
+
+    ``value_types``: optional {value column -> Spark SQL type string}
+    declaring the served schema (the thrift valueSchema analogue) so
+    ``join_codec`` can type the response without a live frame. The
+    CONTEXTUAL source (``name == "contextual"``) echoes request columns
+    back as features (Extensions.scala:776 isContextualSource)."""
+
+    name: str
+    key_columns: tuple = ()  # external-side key column names
+    value_columns: tuple = ()  # served value column names
+    value_types: Optional[dict] = None
+
+    @property
+    def is_contextual(self) -> bool:
+        return self.name == CONTEXTUAL_SOURCE_NAME
+
+
+@dataclass(frozen=True)
+class ExternalPart:
+    """An ExternalSource attached to a Join for serving-time fan-out
+    (reference: thrift/api.thrift:387-392; offline the reference produces
+    no values — plans/fetcher.py's offline stand-in serves them from a
+    user-supplied replay frame instead)."""
+
+    source: ExternalSource
+    key_mapping: Optional[dict] = None  # left col -> external key col
+    prefix: Optional[str] = None
+
+    @property
+    def full_name(self) -> str:
+        # Extensions.scala:795-798: ext[_prefix]_<name>
+        base = f"ext_{self.prefix}_" if self.prefix else "ext_"
+        return base + self.source.name
+
+
 @dataclass(frozen=True)
 class Join:
     """Point-in-time join of a left query source against many GroupBys
@@ -294,6 +336,9 @@ class Join:
     skew_keys: Optional[dict] = None  # key col -> list of hot values to exclude
     derivations: Optional[dict] = None
     row_ids: Optional[tuple] = None
+    # serving-time external-service parts (thrift/api.thrift:415
+    # onlineExternalParts); offline they serve from replay frames
+    online_external_parts: tuple = ()
 
 
 @dataclass(frozen=True)

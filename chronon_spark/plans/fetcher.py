@@ -134,6 +134,28 @@ def join_codec(
             value_fields.append(
                 T.StructField(f"{jp.full_prefix()}_{f.name}", f.dataType, True)
             )
+    for ep in getattr(join_conf, "online_external_parts", ()) or ():
+        # external parts are always in the codec (the reference's
+        # JoinCodec includes externalPart.valueSchema fields regardless
+        # of upload state — Extensions.scala:830)
+        for lc in (ep.key_mapping or {k: k for k in ep.source.key_columns}):
+            if lc not in key_cols:
+                key_cols.append(lc)
+        vt = ep.source.value_types or {}
+        for vc in ep.source.value_columns:
+            if ep.source.is_contextual:
+                dt = left_schema[vc].dataType
+            else:
+                dt = (
+                    spark.createDataFrame(
+                        [], f"`{vc}` {vt[vc]}"
+                    ).schema[vc].dataType
+                    if vc in vt
+                    else T.StringType()
+                )
+            value_fields.append(
+                T.StructField(f"{ep.full_name}_{vc}", dt, True)
+            )
     key_schema = T.StructType([left_schema[c] for c in key_cols])
     base = T.StructType(list(left_schema.fields) + value_fields)
     out_schema = base
@@ -223,10 +245,24 @@ def fetch_join(
     fresh_events: Optional[dict] = None,
     missing: Optional[set] = None,
     on_part_failure: str = "raise",
+    external_frames: Optional[dict] = None,
 ) -> DataFrame:
     """Serve a whole Join for a requests table — ``Fetcher.fetchJoin``:
     fan out to each join part's GroupBy fetch (key-mapped), fold the
     prefixed part outputs back onto the requests, apply derivations.
+
+    ``external_frames``: {external source name -> DataFrame} offline
+    stand-ins for ``join_conf.online_external_parts`` (the reference
+    serves these from a live service and produces NOTHING offline —
+    thrift/api.thrift:414-415; here a user-supplied replay/export frame
+    of (key columns..., value columns...) fills the same slots).
+    External frames are dimension-shaped: they broadcast-join on the
+    mapped keys, outputs land as ``ext[_prefix]_<name>_<col>``
+    (Extensions.scala:795-798,830). The CONTEXTUAL source echoes request
+    columns back as features and needs no frame. A part whose frame is
+    absent or whose plan breaks follows ``on_part_failure`` exactly like
+    a GroupBy part (reference KeyMissingException soft-fail,
+    Fetcher.scala:689).
 
     ``uploads`` / ``fresh_events``: optional per-GroupBy-name overrides
     of the batch-IR table and the streaming rows (production wiring);
@@ -292,11 +328,68 @@ def fetch_join(
             continue
         part_value_cols += [f"{jp.full_prefix()}_{c}" for c in out_names]
         result = result.join(feats, on=list(mapping.keys()) + [TS], how="left")
+    for ep in getattr(join_conf, "online_external_parts", ()) or ():
+        try:
+            result, ext_cols = _serve_external_part(
+                result, ep, (external_frames or {}).get(ep.source.name)
+            )
+        except Exception as e:  # noqa: BLE001 — part isolation, as above
+            if on_part_failure != "embed":
+                raise
+            result = result.withColumn(
+                f"{ep.full_name}__exception", F.lit(str(e)[:512])
+            )
+            continue
+        part_value_cols += ext_cols
     if join_conf.derivations:
         value_set = set(part_value_cols)
         base_cols = [c for c in result.columns if c not in value_set]
         result = apply_derivations(result, join_conf.derivations, base_cols)
     return result
+
+
+def _serve_external_part(result: DataFrame, ep, frame: Optional[DataFrame]):
+    """One external part onto the running fetch result. Returns
+    (result, value column names). Contextual parts project request
+    columns; service parts broadcast-join the replay frame on the mapped
+    keys (dimension-shaped by contract — the online analogue is one RPC
+    per request, so a frame that needs a shuffle join is mis-modeled)."""
+    src = ep.source
+    out_names = [f"{ep.full_name}_{c}" for c in src.value_columns]
+    if src.is_contextual:
+        missing = [c for c in src.value_columns if c not in result.columns]
+        if missing:
+            raise ValueError(
+                f"contextual external part needs request columns {missing}"
+            )
+        for c, out in zip(src.value_columns, out_names):
+            result = result.withColumn(out, F.col(c))
+        return result, out_names
+    if frame is None:
+        raise ValueError(
+            f"no offline frame registered for external source "
+            f"'{src.name}' (pass external_frames={{'{src.name}': df}})"
+        )
+    mapping = ep.key_mapping or {k: k for k in src.key_columns}
+    missing_keys = [lc for lc in mapping if lc not in result.columns]
+    if missing_keys:
+        # KeyMissingException analogue (Extensions.scala:806-807)
+        raise ValueError(
+            f"external source '{src.name}' key columns {missing_keys} "
+            "missing from the request"
+        )
+    bad = [c for c in list(mapping.values()) + list(src.value_columns)
+           if c not in frame.columns]
+    if bad:
+        raise ValueError(
+            f"external frame for '{src.name}' lacks columns {bad}"
+        )
+    feats = frame.select(
+        *[F.col(rk).alias(lc) for lc, rk in mapping.items()],
+        *[F.col(c).alias(out) for c, out in zip(src.value_columns, out_names)],
+    )
+    result = result.join(F.broadcast(feats), on=list(mapping.keys()), how="left")
+    return result, out_names
 
 
 def fetch_group_by_tiled(

@@ -242,3 +242,99 @@ def test_fetch_join_groupby_derivations(spark, sf_dir):
     assert "derived_gb_sum_per_event" in names
     typed = {f.name: f.dataType.simpleString() for f in codec["base_value_schema"].fields}
     assert typed["derived_gb_sum_per_event"] == "double"
+
+
+# ------------------------------------------- external parts (r5)
+
+
+def _ext_join(sf_dir, parts):
+    left = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=Query(
+            selects={"event_id": "event_id", "user_id": "user_id",
+                     "event_type": "event_type"},
+            time_column=millis_expr("ts"),
+            wheres=(f"{millis_expr('ts')} >= {BOUNDARY}",),
+        ),
+    )
+    return Join(
+        left=left,
+        join_parts=(JoinPart(_gb(sf_dir, name="a")),),
+        online_external_parts=parts,
+        name="ext_join",
+    )
+
+
+def test_external_part_served_alongside_groupby(spark, sf_dir):
+    """A user-supplied replay frame fills the onlineExternalParts slot:
+    values land under ext[_prefix]_<name>_<col> next to GroupBy features,
+    and the codec types them from the declared value_types."""
+    from chronon_spark.api.types import ExternalPart, ExternalSource
+    from chronon_spark.sources.scan import scan_source
+
+    src = ExternalSource(
+        name="risk_score",
+        key_columns=("uid",),
+        value_columns=("score", "tier"),
+        value_types={"score": "double", "tier": "string"},
+    )
+    ep = ExternalPart(src, key_mapping={"user_id": "uid"}, prefix="rt")
+    join_conf = _ext_join(sf_dir, (ep,))
+    users = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id"
+    ).distinct()
+    frame = users.select(
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") * 0.5).alias("score"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("tier"),
+    )
+    req = scan_source(spark, join_conf.left)
+    out = fetch_join(
+        spark, join_conf, req, BOUNDARY, DAY_MS,
+        external_frames={"risk_score": frame},
+    ).toPandas()
+    assert "ext_rt_risk_score_score" in out.columns
+    assert "ext_rt_risk_score_tier" in out.columns
+    assert (out["ext_rt_risk_score_score"] == out["user_id"] * 0.5).all()
+    # GroupBy part still serves
+    assert "a_value_count" in out.columns
+
+    codec = join_codec(spark, join_conf)
+    by_name = {f.name: f.dataType.simpleString()
+               for f in codec["base_value_schema"].fields}
+    assert by_name["ext_rt_risk_score_score"] == "double"
+    assert by_name["ext_rt_risk_score_tier"] == "string"
+
+
+def test_contextual_external_part_echoes_request(spark, sf_dir):
+    from chronon_spark.api.types import ExternalPart, ExternalSource
+    from chronon_spark.sources.scan import scan_source
+
+    src = ExternalSource(name="contextual", value_columns=("event_type",))
+    join_conf = _ext_join(sf_dir, (ExternalPart(src),))
+    req = scan_source(spark, join_conf.left)
+    out = fetch_join(spark, join_conf, req, BOUNDARY, DAY_MS).toPandas()
+    assert (out["ext_contextual_event_type"] == out["event_type"]).all()
+
+
+def test_external_part_failure_isolates(spark, sf_dir):
+    """A broken external part (no frame registered) embeds an exception
+    column under on_part_failure='embed' while healthy parts serve; the
+    default raises."""
+    from chronon_spark.api.types import ExternalPart, ExternalSource
+    from chronon_spark.sources.scan import scan_source
+
+    src = ExternalSource(
+        name="absent_svc", key_columns=("uid",), value_columns=("x",)
+    )
+    ep = ExternalPart(src, key_mapping={"user_id": "uid"})
+    join_conf = _ext_join(sf_dir, (ep,))
+    req = scan_source(spark, join_conf.left)
+    with pytest.raises(ValueError, match="absent_svc"):
+        fetch_join(spark, join_conf, req, BOUNDARY, DAY_MS)
+    out = fetch_join(
+        spark, join_conf, req, BOUNDARY, DAY_MS, on_part_failure="embed"
+    ).toPandas()
+    assert "ext_absent_svc__exception" in out.columns
+    assert out["ext_absent_svc__exception"].str.contains("absent_svc").all()
+    assert "a_value_count" in out.columns
