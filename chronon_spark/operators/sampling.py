@@ -112,6 +112,33 @@ def top_k_per_key(
     )
 
 
+# strata-count ceiling for APIs that collect one row per distinct key to
+# the driver (language/source/domain mixes are thousands of keys; a
+# doc-level key would be a silent driver OOM). Memoized per input plan,
+# same discipline as analytic._max_key_mass.
+MAX_DRIVER_STRATA = 200_000
+_strata_cache: dict = {}
+
+
+def _assert_bounded_strata(df: DataFrame, key_col: str, what: str) -> None:
+    probe = df.select(key_col)
+    key = probe._jdf.queryExecution().analyzed().semanticHash()
+    if key not in _strata_cache:
+        _strata_cache[key] = int(
+            probe.agg(F.approx_count_distinct(key_col)).first()[0] or 0
+        )
+    n = _strata_cache[key]
+    if n > MAX_DRIVER_STRATA:
+        raise ValueError(
+            f"{what} collects one count per distinct '{key_col}' to the "
+            f"driver; ~{n:,} distinct keys exceeds the {MAX_DRIVER_STRATA:,} "
+            "bound. This API is for low-cardinality strata "
+            "(language/source/domain). For document-level keys use "
+            "hash_sample / top_k_per_key / global_top_k, which stay "
+            "distributed."
+        )
+
+
 def rebalance_sample(
     df: DataFrame,
     key_col: str,
@@ -132,6 +159,7 @@ def rebalance_sample(
     Two passes: one map-side-combined count per key (tiny result), then
     one narrow hash filter. Deterministic for fixed (seed, id).
     """
+    _assert_bounded_strata(df, key_col, "rebalance_sample")
     counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()
               if r[0] in target_weights}
     if not counts:
@@ -195,6 +223,7 @@ def temperature_mix(
     practice: the per-key fraction applies uniformly to the key's docs,
     so expected surviving token mass ∝ mass^alpha)."""
     assert 0.0 <= alpha <= 1.0
+    _assert_bounded_strata(df, key_col, "temperature_mix")
     if weight_col is None:
         grouped = df.groupBy(key_col).count()
     else:

@@ -21,6 +21,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+# closure-broadcast ceiling for score_against_set's eval set: ~100k
+# 1024-dim float64 vectors is ~800 MB in every task — past this the
+# broadcast-matmul plan is mis-applied (r4 ADVICE #3)
+MAX_EVAL_VECTORS = 100_000
+
 
 def dot(a, b) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -334,9 +339,24 @@ def score_against_set(
     (numpy argmax first-hit over ascending ids == SQL min-by-max).
 
     Output: (id_col, max_cosine double, matched_eval long).
+
+    Guards (r4 ADVICE #2/#3): the eval set is size-capped before the
+    collect (``MAX_EVAL_VECTORS`` — past that the closure broadcast
+    stops being the right plan; chunk the eval set or flip the
+    corpus/eval roles), null/ragged eval vectors raise a descriptive
+    error instead of an opaque numpy one, and corpus rows with a NULL
+    or wrong-dimension vector are reported with their ids.
     """
     import numpy as np
 
+    n_eval = eval_df.limit(MAX_EVAL_VECTORS + 1).count()
+    if n_eval > MAX_EVAL_VECTORS:
+        raise ValueError(
+            f"eval set exceeds {MAX_EVAL_VECTORS:,} vectors; "
+            "score_against_set broadcasts it in every task closure — "
+            "chunk the eval set (union the per-chunk max) or swap the "
+            "corpus/eval roles"
+        )
     rows = (
         eval_df.select(
             F.col(eval_id_col).cast("long").alias("i"), F.col(eval_vec_col).alias("v")
@@ -346,6 +366,13 @@ def score_against_set(
     )
     if not rows:
         raise ValueError("empty eval set")
+    bad = [r["i"] for r in rows if r["v"] is None]
+    if bad:
+        raise ValueError(f"eval vectors are NULL for ids {bad[:10]}")
+    dims = {len(r["v"]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError(f"eval vectors are ragged: dimensions {sorted(dims)}")
+    dim = dims.pop()
     eval_ids = np.array([r["i"] for r in rows], dtype=np.int64)
     E = np.array([r["v"] for r in rows], dtype=np.float64)
     En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
@@ -356,7 +383,17 @@ def score_against_set(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vecs = list(pdf[vec_col])
+            bad_rows = [
+                i for v, i in zip(vecs, pdf[id_col])
+                if v is None or len(v) != dim
+            ]
+            if bad_rows:
+                raise ValueError(
+                    f"corpus vectors NULL or not {dim}-dimensional for "
+                    f"ids {bad_rows[:10]} — filter/fix upstream"
+                )
+            M = np.array(vecs, dtype=np.float64)
             norms = np.linalg.norm(M, axis=1, keepdims=True)
             Mn = M / np.maximum(norms, 1e-300)
             S = Mn @ En.T  # (batch, n_eval)

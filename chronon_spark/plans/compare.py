@@ -176,6 +176,17 @@ def compare_metrics(
     unlike a sketch, so results are engine-portable).
     """
     mapping = mapping or {}
+    if types is None:
+        # direct callers may omit `types` (compare_job always passes
+        # them): infer from the comparison frame itself so array columns
+        # get the sequence metrics instead of a doomed double cast
+        # (r4 ADVICE #4)
+        schema = {f.name: f.dataType for f in compare_df.schema.fields}
+        types = {
+            c: schema[c + LEFT_SUFFIX]
+            for c in value_cols
+            if c + LEFT_SUFFIX in schema
+        }
     aggs: list = [F.count(F.lit(1)).alias("__total")]
     per_col: dict = {}
     pre_cols: dict = {}

@@ -52,23 +52,29 @@ _MODES = ("last_k", "top_k", "first_k", "bottom_k", "unique_top_k")
 
 
 def _entry(mode: str, ts: Column, v: Column) -> Column:
-    """Rank encoding per mode — one DESC sort serves all four K-ops:
+    """Rank encoding per mode; the sort DIRECTION (``_asc``) carries the
+    rest, so no value is ever arithmetically negated and every mode is
+    generic over orderable value types (the reference's
+    BottomK[T: Ordering] etc. — strings included), not just numerics:
 
-    - ``last_k``:   o1 = ts,  o2 = v   (most-recent first; ts ties v DESC)
-    - ``top_k``:    o1 = v,   o2 = -ts (largest first; v ties ts ASC)
-    - ``first_k``:  o1 = -ts, o2 = -v  (earliest first; ts ties v ASC)
-    - ``bottom_k``: o1 = -v,  o2 = -ts (smallest first; v ties ts ASC)
+    - ``last_k``  (DESC): o1 = ts, o2 = v  (most-recent first; ts ties v DESC)
+    - ``top_k``   (DESC): o1 = v,  o2 = -ts (largest first; v ties ts ASC)
+    - ``first_k`` (ASC):  o1 = ts, o2 = v  (earliest first; ts ties v ASC)
+    - ``bottom_k``(ASC):  o1 = v,  o2 = ts (smallest first; v ties ts ASC)
 
-    The flipped modes are the reference's FirstK/BottomK aggregators
-    (aggregator SimpleAggregators) riding the same semilattice."""
+    first_k/bottom_k under ASC order exactly as the previous
+    (-ts, -v)/(-v, -ts) DESC encodings did for numerics. top_k keeps the
+    one ts negation (ts is always numeric). The flipped modes are the
+    reference's FirstK/BottomK aggregators (aggregator
+    SimpleAggregators) riding the same semilattice."""
     if mode == "last_k":
         return F.struct(ts.alias("o1"), v.alias("o2"), v.alias("v"))
     if mode == "top_k":
         return F.struct(v.alias("o1"), (-ts).alias("o2"), v.alias("v"))
     if mode == "first_k":
-        return F.struct((-ts).alias("o1"), (-v).alias("o2"), v.alias("v"))
+        return F.struct(ts.alias("o1"), v.alias("o2"), v.alias("v"))
     if mode == "bottom_k":
-        return F.struct((-v).alias("o1"), (-ts).alias("o2"), v.alias("v"))
+        return F.struct(v.alias("o1"), ts.alias("o2"), v.alias("v"))
     if mode == "unique_top_k":
         # reference UniqueTopK (base/UniqueOrderByLimit.scala) with the
         # batch kernel's concrete rule: DISTINCT values, largest first —
@@ -78,8 +84,13 @@ def _entry(mode: str, ts: Column, v: Column) -> Column:
     raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
 
 
-def _merge(col: Column, k: int, unique: bool = False) -> Column:
-    merged = F.sort_array(F.flatten(col), asc=False)
+def _asc(mode: str) -> bool:
+    """first_k/bottom_k rank smallest-(ts|value)-first: ascending sort."""
+    return mode in ("first_k", "bottom_k")
+
+
+def _merge(col: Column, k: int, unique: bool = False, asc: bool = False) -> Column:
+    merged = F.sort_array(F.flatten(col), asc=asc)
     if unique:
         # identical entries collapse FIRST — a k-slice before dedup would
         # starve distinct values behind a hot duplicate
@@ -104,7 +115,7 @@ def klist_hop_irs(
     ev = events.select(
         *keys,
         (F.col(TS) / F.lit(hop_ms)).cast("long").alias("__hop"),
-        _entry(mode, F.col(TS).cast("long"), F.col(value_col).cast("long")).alias(
+        _entry(mode, F.col(TS).cast("long"), F.col(value_col)).alias(
             "__e"
         ),
     ).where(
@@ -122,13 +133,17 @@ def klist_hop_irs(
         .groupBy(*keys, "__hop", "__salt")
         .agg(
             _merge(
-                F.array(F.collect_list("__e")), int(k), unique
+                F.array(F.collect_list("__e")), int(k), unique, _asc(mode)
             ).alias("__es")
         )
     )
     return (
         phase1.groupBy(*keys, "__hop")
-        .agg(_merge(F.collect_list("__es"), int(k), unique).alias("entries"))
+        .agg(
+            _merge(F.collect_list("__es"), int(k), unique, _asc(mode)).alias(
+                "entries"
+            )
+        )
     )
 
 
@@ -172,7 +187,8 @@ def compact_klist_upload(
         .groupBy(*keys)
         .agg(
             _merge(
-                F.collect_list("entries"), int(k), mode == "unique_top_k"
+                F.collect_list("entries"), int(k), mode == "unique_top_k",
+                _asc(mode),
             ).alias("entries")
         )
         .withColumn("__hop", F.lit(COLLAPSED_HOP))
@@ -200,7 +216,8 @@ def fetch_klist(
     head over live-hop events) or unbounded (``n_hops=None`` — collapsed
     ∪ tails ∪ head). Same live-hop contract and guards as
     ``fetch_percentile_sketch``. Output: keys + ts + ``out_col``
-    (array<long>, rank order; NULL when nothing is in the window)."""
+    (array of the value column's own type, rank order; NULL when nothing
+    is in the window)."""
     keys = list(keys)
     q = requests.select(
         *keys, F.col(TS).alias("__qts"),
@@ -209,7 +226,10 @@ def fetch_klist(
     bounds = q.agg(F.min("__qhop"), F.max("__qhop")).first()
     if bounds[0] is None:
         return q.select(*keys, F.col("__qts").alias(TS)).withColumn(
-            out_col, F.lit(None).cast("array<long>")
+            out_col,
+            F.lit(None).cast(
+                f"array<{live_events.schema[value_col].dataType.simpleString()}>"
+            ),
         )
     assert bounds[0] == bounds[1], "all requests must sit in one live hop"
     live_hop = int(bounds[0])
@@ -226,7 +246,7 @@ def fetch_klist(
         (F.col(TS) / F.lit(hop_ms)).cast("long") == live_hop
     ).select(
         *keys, F.col(TS).cast("long").alias("__ets"),
-        _entry(mode, F.col(TS).cast("long"), F.col(value_col).cast("long")).alias(
+        _entry(mode, F.col(TS).cast("long"), F.col(value_col)).alias(
             "__e"
         ),
     ).where(
@@ -241,7 +261,7 @@ def fetch_klist(
         .agg(
             _merge(
                 F.array(F.collect_list("__e")), int(k),
-                mode == "unique_top_k",
+                mode == "unique_top_k", _asc(mode),
             ).alias("entries")
         )
     )
@@ -262,7 +282,8 @@ def fetch_klist(
     )
     merged = contrib.groupBy(*keys, "__qts").agg(
         _merge(
-            F.collect_list("entries"), int(k), mode == "unique_top_k"
+            F.collect_list("entries"), int(k), mode == "unique_top_k",
+            _asc(mode),
         ).alias("__m")
     )
     out = merged.withColumn(

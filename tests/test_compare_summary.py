@@ -290,3 +290,30 @@ def test_summarize_inner_array_nullness(spark):
     v = out.loc["v"]
     assert pd.isna(v["inner_null_count"]) and pd.isna(v["inner_null_rate"])
     assert v["mean"] == pytest.approx(7.0 / 3)
+
+
+def test_compare_metrics_infers_types_for_direct_calls(spark):
+    """compare_metrics without `types` infers them from the frame schema:
+    an array column gets the sequence metrics instead of a failing
+    double cast (r4 ADVICE #4)."""
+    import pandas as pd
+
+    from chronon_spark.plans.compare import compare_metrics
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2],
+                "seq_left": [[1, 2, 3], [4, 5]],
+                "seq_right": [[1, 2], [4, 5]],
+                "x_left": [1.0, 2.0],
+                "x_right": [1.0, 2.5],
+            }
+        )
+    )
+    out = compare_metrics(df, ["seq", "x"]).toPandas()
+    metrics = set(zip(out["column"], out["metric"]))
+    assert any(c == "seq" and "edit" in m for c, m in metrics) or any(
+        c == "seq" and "length" in m for c, m in metrics
+    ), sorted(metrics)
+    assert ("x", "smape") in metrics

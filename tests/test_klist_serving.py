@@ -202,3 +202,39 @@ def test_streamed_klist_tiles_via_foreachbatch_merge(spark, sf_dir, tmp_path):
     for r in got.collect():
         have = list(r["values"]) if r["values"] is not None else None
         assert have == exp[(r["user_id"], r["ts"])]
+
+
+def test_string_valued_first_k_bottom_k(spark):
+    """first_k/bottom_k are generic over orderable value types (the
+    reference's BottomK[T: Ordering]): string values rank correctly with
+    no arithmetic negation (r4 ADVICE #1)."""
+    import pandas as pd
+
+    rows = [
+        (1, T0 + i * 1000, w)
+        for i, w in enumerate(["pear", "apple", "fig", "date", "kiwi", "plum"])
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "word"])
+    )
+    live_hop, live_start = _live(ev)
+    irs = klist_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "word", DAY_MS,
+        K, mode="bottom_k",
+    )
+    req = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": [T0 + 10_000]})
+    )
+    got = fetch_klist(
+        spark, req, irs, ev, ["user_id"], "word", DAY_MS, K, mode="bottom_k"
+    ).collect()[0]["values"]
+    assert got == ["apple", "date", "fig"]  # lexicographic bottom-3
+    irs_first = klist_hop_irs(
+        ev.where(F.col("ts") < live_start), ["user_id"], "word", DAY_MS,
+        K, mode="first_k",
+    )
+    got_first = fetch_klist(
+        spark, req, irs_first, ev, ["user_id"], "word",
+        DAY_MS, K, mode="first_k",
+    ).collect()[0]["values"]
+    assert got_first == ["pear", "apple", "fig"]  # earliest-3 by ts

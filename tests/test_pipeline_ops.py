@@ -1173,3 +1173,60 @@ def test_score_against_set_and_semantic_decontam(spark, sf_dir):
 
     with pytest.raises(ValueError, match="empty eval set"):
         score_against_set(corpus, eval_df.where(F.lit(False)))
+
+
+def test_strata_collect_guard_rejects_doc_level_keys(spark, monkeypatch):
+    """rebalance_sample/temperature_mix collect one count per stratum to
+    the driver; a document-level key must raise a typed error, not OOM
+    the driver (r4 VERDICT Wrong #5)."""
+    import chronon_spark.operators.sampling as S
+
+    df = spark.range(5000).selectExpr("id AS doc_id", "id AS lang")
+    monkeypatch.setattr(S, "MAX_DRIVER_STRATA", 1000)
+    S._strata_cache.clear()
+    with pytest.raises(ValueError, match="distinct keys exceeds"):
+        S.temperature_mix(df, "lang", 0.5, "doc_id")
+    with pytest.raises(ValueError, match="hash_sample"):
+        S.rebalance_sample(df, "lang", {1: 1.0}, "doc_id")
+    # low-cardinality strata still pass (memoized probe)
+    ok = spark.range(5000).selectExpr("id AS doc_id", "id % 5 AS lang")
+    S._strata_cache.clear()
+    assert S.temperature_mix(ok, "lang", 1.0, "doc_id").count() == 5000
+
+
+def test_score_against_set_input_guards(spark):
+    """NULL/ragged eval vectors and oversized eval sets raise typed
+    errors instead of opaque numpy failures (r4 ADVICE #2/#3)."""
+    import pandas as pd
+
+    import chronon_spark.operators.similarity as sim
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        sim.score_against_set(corpus, with_null)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        sim.score_against_set(corpus, ragged)
+    # corpus-side bad vector surfaces with its id at execution
+    good_eval = corpus
+    bad_corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dimensional"):
+        sim.score_against_set(bad_corpus, good_eval).collect()
+    # size cap
+    orig = sim.MAX_EVAL_VECTORS
+    try:
+        sim.MAX_EVAL_VECTORS = 1
+        with pytest.raises(ValueError, match="exceeds"):
+            sim.score_against_set(corpus, corpus)
+    finally:
+        sim.MAX_EVAL_VECTORS = orig
