@@ -4695,6 +4695,132 @@ FROM scal LEFT JOIN hist ON scal.store_id = hist.store_id AND scal.ts = hist.ts
 """
 
 
+_MF_BATCH_END = 1_704_067_200_000 + 5 * DAY_MS  # serve day 5
+
+
+def q_mutation_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-mutation GroupBy on the SERVING path (r4 VERDICT Next #7):
+    the batch IRs are materialized as a one-day upload
+    (GroupByUpload.scala:64-130 entity route), reloaded, and requests on
+    the serving day are answered from the upload plus a partition-pruned
+    scan of only that day's mutations — history never rescanned. Oracled
+    against the GENERATING version intervals (independent of the
+    IR/upload machinery): fetch == point-in-time state."""
+    from chronon_spark.api.types import (
+        Aggregation, EntitySource, GroupBy, Operation, Query, Window,
+    )
+    from chronon_spark.plans.entity_serving import (
+        fetch_temporal_entities, upload_temporal_entities,
+    )
+
+    _mutation_fixture(spark)
+    gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=f"{_MUT_DIR}/snap.parquet",
+                mutation_table=f"{_MUT_DIR}/mut.parquet",
+                query=Query(
+                    selects={
+                        "store_id": "store_id",
+                        "price": "price",
+                        "ds": "ds",
+                        "ts": "ts",
+                        "mutation_ts": "mutation_ts",
+                        "is_before": "is_before",
+                    },
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("store_id",),
+        aggregations=(
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM),
+            Aggregation("price", Operation.AVERAGE),
+            # windowed part rides the same upload (collapsed + tail hops)
+            Aggregation("price", Operation.SUM, windows=(Window.days(7),)),
+        ),
+        name="store_prices_f",
+    )
+    requests = (
+        spark.read.parquet(f"{_MUT_DIR}/queries.parquet")
+        .where(
+            (F.col("ts") >= _MF_BATCH_END)
+            & (F.col("ts") < _MF_BATCH_END + DAY_MS)
+        )
+    )
+    out_dir = f"{_MUT_DIR}/upload_day5"
+    upload_temporal_entities(spark, gb, _MF_BATCH_END, out_dir)
+    out = fetch_temporal_entities(spark, gb, requests, _MF_BATCH_END, out_dir)
+    return out.select(
+        "store_id", "ts",
+        F.col("price_count"),
+        _r6(F.col("price_sum")).alias("price_sum"),
+        _r6(F.col("price_average")).alias("price_average"),
+        _r6(F.col("price_sum_7d")).alias("price_sum_7d"),
+    )
+
+
+def _mutation_fetch_oracle() -> str:
+    w, hop, buf = 7 * DAY_MS, 3_600_000, 2 * DAY_MS
+    return f"""
+WITH v AS (SELECT * FROM '{_MUT_DIR}/versions.parquet/*.parquet'),
+snap AS (SELECT * FROM '{_MUT_DIR}/snap.parquet/*.parquet'),
+mut AS (SELECT * FROM '{_MUT_DIR}/mut.parquet/*.parquet'),
+qq AS (
+  SELECT DISTINCT store_id, ts,
+         {_MF_BATCH_END} AS be,
+         strftime(epoch_ms(CAST({_MF_BATCH_END} - {DAY_MS} AS BIGINT)), '%Y-%m-%d') AS prev_ds,
+         strftime(epoch_ms(CAST({_MF_BATCH_END} AS BIGINT)), '%Y-%m-%d') AS q_ds,
+         ((ts - {w}) // {hop}) * {hop} AS qtail
+  FROM '{_MUT_DIR}/queries.parquet/*.parquet'
+  WHERE ts >= {_MF_BATCH_END} AND ts < {_MF_BATCH_END + DAY_MS}
+),
+-- unwindowed: point-in-time state straight from the version intervals
+live AS (
+  SELECT qq.store_id, qq.ts, v.price
+  FROM qq LEFT JOIN v
+    ON v.store_id = qq.store_id AND v.valid_from < qq.ts AND qq.ts <= v.valid_to
+),
+scal AS (
+  SELECT store_id, ts,
+     count(price) AS price_count,
+     round(CAST(sum(price) AS DOUBLE), 6) AS price_sum,
+     round(CAST(sum(price) AS DOUBLE) / count(price), 6) AS price_average
+  FROM live GROUP BY store_id, ts
+),
+-- 7d windowed: sawtooth replay over the derived snapshot/mutation rows
+snapc AS (
+  SELECT qq.store_id, qq.ts, s.price, 1 AS sg
+  FROM qq JOIN snap s ON s.store_id = qq.store_id AND s.ds = qq.prev_ds
+  WHERE s.ts < qq.be AND s.ts > qq.be - {w}
+    AND (s.ts >= qq.be - {w} + {buf}
+         OR ((s.ts // {hop}) * {hop} >= qq.qtail
+             AND (s.ts // {hop}) * {hop} < qq.be - {w} + {buf}))
+),
+mutc AS (
+  SELECT qq.store_id, qq.ts, m.price,
+         CASE WHEN m.is_before THEN -1 ELSE 1 END AS sg
+  FROM qq JOIN mut m ON m.store_id = qq.store_id AND m.ds = qq.q_ds
+  WHERE m.mutation_ts >= qq.be AND m.mutation_ts < qq.ts
+    AND m.ts >= qq.qtail AND m.ts < qq.ts
+),
+wsum AS (
+  SELECT store_id, ts, SUM(sg) AS cnt, SUM(sg * price) AS s
+  FROM (SELECT * FROM snapc UNION ALL SELECT * FROM mutc)
+  GROUP BY store_id, ts
+)
+SELECT qq.store_id, qq.ts, CAST(scal.price_count AS BIGINT) AS price_count,
+       CASE WHEN scal.price_count > 0 THEN scal.price_sum END AS price_sum,
+       CASE WHEN scal.price_count > 0 THEN scal.price_average END AS price_average,
+       CASE WHEN COALESCE(wsum.cnt, 0) > 0
+            THEN round(CAST(wsum.s AS DOUBLE), 6) END AS price_sum_7d
+FROM qq
+JOIN scal ON scal.store_id = qq.store_id AND scal.ts = qq.ts
+LEFT JOIN wsum ON wsum.store_id = qq.store_id AND wsum.ts = qq.ts
+"""
+
+
 _MW_W, _MW_HOP, _MW_BUF = 7 * DAY_MS, 3_600_000, 2 * DAY_MS
 
 
@@ -6873,6 +6999,7 @@ def _query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift": q_drift,
         "mutation_replay": q_mutation_replay,
         "mutation_windowed": q_mutation_windowed,
+        "mutation_fetch": q_mutation_fetch,
         "keymapped_join": q_keymapped_join,
         "derived_join": q_derived_join,
         "bootstrap_join": q_bootstrap_join,
@@ -7051,6 +7178,7 @@ def _raw_oracles() -> dict[str, str]:
         "bootstrap_join": _BOOTSTRAP_ORACLE,
         "mutation_replay": _MUTATION_ORACLE,
         "mutation_windowed": _MUTATION_WINDOWED_ORACLE,
+        "mutation_fetch": _mutation_fetch_oracle(),
         "sketch_percentile": _sketch_oracle(),
         "url_canonical": _URL_CANONICAL_ORACLE,
         "repetition_quality": _REPETITION_ORACLE,

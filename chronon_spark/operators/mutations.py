@@ -43,12 +43,24 @@ lies in ``[round(qt - W, hop), qt)``. Exact reference edges
 ``round(qt - W, hop) <= row_ts < qt``. Windowed rows therefore need an
 event-time column (``ts``) on BOTH the snapshot and mutation scans.
 
+Two-phase structure (r4 VERDICT Next #7 — entity serving): the
+query-INDEPENDENT batch side (snapshot collapsed IRs + tail-hop IRs +
+histogram long-format counts, all keyed by ``(keys, __prev_ds)``) is
+built by :func:`entity_batch_irs` — the exact analogue of the
+reference's ``GroupByUpload`` batchIr for entities
+(GroupByUpload.scala:64-130) — and the query-time merge consumes those
+frames. ``plans/entity_serving.py`` materializes/reloads them as the
+upload table and serves fetch requests through the same merge, so
+fetch ≡ backfill by construction of shared code AND by pytest.
+
 Spark-first: everything above is per-(key, day) groupBys plus one
 bounded-fan-out hop join per distinct hop size (a query joins at most
 ``tail_buffer/hop`` hop rows) — no Python, no corpus-wide windows.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,23 +141,8 @@ def _hop_of(ts: Column, hop: int) -> Column:
     return (F.floor(ts / F.lit(int(hop))) * F.lit(int(hop))).cast("long")
 
 
-def temporal_entities(
-    spark: SparkSession,
-    group_by: GroupBy,
-    queries: DataFrame,
-    tail_buffer_ms: int = 2 * DAY_MS,
-) -> DataFrame:
-    """Features at each distinct (keys, ts) over a mutating entity source.
-
-    ``queries`` needs the key columns + ``ts`` (epoch millis LONG).
-    Windowed parts additionally need an event-time column ``ts`` on the
-    snapshot AND mutation scans (the row's last-change time — the
-    reference's inputDf time column, GroupBy.scala:225-231); their hop
-    size is auto-picked from the window via ``tail_hop_millis``
-    (Resolution.scala semantics). ``tail_buffer_ms`` mirrors the
-    reference SawtoothMutationAggregator's tailBufferMillis default
-    (2 days).
-    """
+def _prep(spark: SparkSession, group_by: GroupBy):
+    """Shared validation + scans for the entity mutation paths."""
     src = group_by.sources[0]
     assert isinstance(src, EntitySource) and src.mutation_table, (
         "temporal_entities needs an EntitySource with a mutation_table"
@@ -182,8 +179,7 @@ def temporal_entities(
 
     windowed = [p for p in parts if p.window is not None]
     if windowed:
-        missing = [f for f in (TS,) if f not in snap.columns or f not in muts.columns]
-        if missing:
+        if TS not in snap.columns or TS not in muts.columns:
             raise ValueError(
                 "windowed temporal-entities needs an event-time column "
                 f"'{TS}' on both the snapshot and mutation scans (set the "
@@ -193,6 +189,150 @@ def temporal_entities(
         (i, p) for i, p in enumerate(parts)
         if p.window is not None and p.operation is not Operation.HISTOGRAM
     ]
+    return src, keys, parts, wscal, pc, snap, muts
+
+
+def _batch_end_of(pc: str) -> Column:
+    """Per-snapshot-row batch end: a partition p row serves queries on day
+    p+1, whose batch end is the end of day p."""
+    return (
+        F.unix_timestamp(F.col(pc).cast("string"), "yyyy-MM-dd").cast("long")
+        * F.lit(1000)
+        + F.lit(DAY_MS)
+    ).cast("long")
+
+
+def _w_snap_cond(p, be_s: Column, tail_buffer_ms: int) -> Column:
+    # reference update(): relevant iff batchEnd > ts > batchEnd - W;
+    # collapsed iff ts >= batchEnd - W + tailBuffer
+    w = p.window.millis
+    t = F.col(TS).cast("long")
+    return (
+        (t < be_s)
+        & (t > be_s - F.lit(w))
+        & (t >= be_s - F.lit(w) + F.lit(tail_buffer_ms))
+    )
+
+
+def _w_tail_cond(p, be_s: Column, tail_buffer_ms: int) -> Column:
+    w = p.window.millis
+    t = F.col(TS).cast("long")
+    return (
+        (t < be_s)
+        & (t > be_s - F.lit(w))
+        & (t < be_s - F.lit(w) + F.lit(tail_buffer_ms))
+    )
+
+
+def entity_batch_irs(
+    spark: SparkSession,
+    group_by: GroupBy,
+    tail_buffer_ms: int = 2 * DAY_MS,
+) -> dict:
+    """The query-INDEPENDENT batch side of the mutation replay — the
+    entity analogue of GroupByUpload's FinalBatchIr
+    (GroupByUpload.scala:64-130), keyed by ``(keys, __prev_ds)`` where
+    ``__prev_ds`` is the day the IRs SERVE (snapshot partition + 1 day):
+
+    - ``"scalar"``: collapsed IRs — unwindowed ``s_cnt_/s_sum_/s_ssq_``
+      plus windowed collapsed ``s_*_w{i}`` (None if no scalar parts),
+    - ``"hops"``: {hop_ms: (keys, __prev_ds, __hop, cnt_w{i}...)} —
+      windowed tail-hop IRs,
+    - ``"hist"``: {part index: (keys, __prev_ds, __hval, __hc)} —
+      histogram collapsed counts (long format),
+    - ``"hist_hops"``: {part index: (..., __hop, __hval, __hc)}.
+    """
+    _, keys, parts, wscal, pc, snap, _ = _prep(spark, group_by)
+    be_s = _batch_end_of(pc)
+    prev_ds = F.col(pc).cast("string").alias("__prev_ds")
+
+    out: dict = {"scalar": None, "hops": {}, "hist": {}, "hist_hops": {}}
+
+    snap_aggs = _ir_aggs(parts, signed=False)
+    for i, p in wscal:
+        snap_aggs += _w_aggs("", i, p, _w_snap_cond(p, be_s, tail_buffer_ms), F.lit(1))
+    if snap_aggs:
+        snap_irs = snap.groupBy(*keys, pc).agg(*snap_aggs)
+        out["scalar"] = snap_irs.select(
+            *keys,
+            F.col(pc).cast("string").alias("__prev_ds"),
+            *[
+                F.col(c).alias(f"s_{c}")
+                for c in snap_irs.columns
+                if c not in keys + [pc]
+            ],
+        )
+
+    hops_by_size: dict[int, list] = {}
+    for i, p in wscal:
+        hops_by_size.setdefault(tail_hop_millis(p.window), []).append((i, p))
+    for hop_ms, group in hops_by_size.items():
+        any_tail = F.lit(False)
+        hop_aggs: list[Column] = []
+        for i, p in group:
+            any_tail = any_tail | _w_tail_cond(p, be_s, tail_buffer_ms)
+            hop_aggs += _w_aggs("", i, p, _w_tail_cond(p, be_s, tail_buffer_ms), F.lit(1))
+        out["hops"][hop_ms] = (
+            snap.where(any_tail)
+            .withColumn("__hop", _hop_of(F.col(TS).cast("long"), hop_ms))
+            .groupBy(*keys, prev_ds, "__hop")
+            .agg(*hop_aggs)
+        )
+
+    for i, p in enumerate(parts):
+        if p.operation is not Operation.HISTOGRAM:
+            continue
+        col = p.input_column
+        val = F.col(col).cast("string")
+        snap_in = snap.where(F.col(col).isNotNull())
+        w = p.window.millis if p.window is not None else None
+        snap_coll = (
+            snap_in.where(_w_snap_cond(p, be_s, tail_buffer_ms))
+            if w is not None
+            else snap_in
+        )
+        out["hist"][i] = snap_coll.groupBy(
+            *keys, prev_ds, val.alias("__hval")
+        ).agg(F.count(F.lit(1)).alias("__hc"))
+        if w is not None:
+            out["hist_hops"][i] = (
+                snap_in.where(_w_tail_cond(p, be_s, tail_buffer_ms))
+                .withColumn("__hop", _hop_of(F.col(TS).cast("long"), tail_hop_millis(p.window)))
+                .groupBy(*keys, prev_ds, "__hop", val.alias("__hval"))
+                .agg(F.count(F.lit(1)).alias("__hc"))
+            )
+    return out
+
+
+def temporal_entities(
+    spark: SparkSession,
+    group_by: GroupBy,
+    queries: DataFrame,
+    tail_buffer_ms: int = 2 * DAY_MS,
+    batch_irs: Optional[dict] = None,
+    mutations_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Features at each distinct (keys, ts) over a mutating entity source.
+
+    ``queries`` needs the key columns + ``ts`` (epoch millis LONG).
+    Windowed parts additionally need an event-time column ``ts`` on the
+    snapshot AND mutation scans (the row's last-change time — the
+    reference's inputDf time column, GroupBy.scala:225-231); their hop
+    size is auto-picked from the window via ``tail_hop_millis``
+    (Resolution.scala semantics). ``tail_buffer_ms`` mirrors the
+    reference SawtoothMutationAggregator's tailBufferMillis default
+    (2 days).
+
+    ``batch_irs``: precomputed/reloaded :func:`entity_batch_irs` frames
+    (the serving upload); built inline when absent. ``mutations_df``:
+    override of the mutation scan (serving passes only the fresh day's
+    mutations).
+    """
+    _, keys, parts, wscal, pc, _, muts = _prep(spark, group_by)
+    if mutations_df is not None:
+        muts = mutations_df
+    if batch_irs is None:
+        batch_irs = entity_batch_irs(spark, group_by, tail_buffer_ms)
 
     # queries with day + previous-day partition string + batch-end millis
     q = (
@@ -212,51 +352,8 @@ def temporal_entities(
         .withColumn("__be", _hop_of(F.col(TS), DAY_MS))
     )
 
-    # per-snapshot-row batch end: a partition p row serves queries on day
-    # p+1, whose batch end is the end of day p
-    be_s = (
-        F.unix_timestamp(F.col(pc).cast("string"), "yyyy-MM-dd").cast("long")
-        * F.lit(1000)
-        + F.lit(DAY_MS)
-    ).cast("long")
-
-    def w_snap_cond(p) -> Column:
-        # reference update(): relevant iff batchEnd > ts > batchEnd - W;
-        # collapsed iff ts >= batchEnd - W + tailBuffer
-        w = p.window.millis
-        t = F.col(TS).cast("long")
-        return (
-            (t < be_s)
-            & (t > be_s - F.lit(w))
-            & (t >= be_s - F.lit(w) + F.lit(tail_buffer_ms))
-        )
-
-    def w_tail_cond(p) -> Column:
-        w = p.window.millis
-        t = F.col(TS).cast("long")
-        return (
-            (t < be_s)
-            & (t > be_s - F.lit(w))
-            & (t < be_s - F.lit(w) + F.lit(tail_buffer_ms))
-        )
-
-    # 1. snapshot partial IRs per (keys, ds): unwindowed aggs + windowed
-    #    COLLAPSED aggs in the same scan (absent for histogram-only
-    #    GroupBys, whose replay is entirely long-format)
-    snap_aggs = _ir_aggs(parts, signed=False)
-    for i, p in wscal:
-        snap_aggs += _w_aggs("", i, p, w_snap_cond(p), F.lit(1))
-    snap_irs = None
-    if snap_aggs:
-        snap_irs = snap.groupBy(*keys, pc).agg(*snap_aggs)
-        snap_irs = snap_irs.select(
-            *keys,
-            F.col(pc).cast("string").alias("__prev_ds"),
-            *[F.col(c).alias(f"s_{c}") for c in snap_irs.columns if c not in keys + [pc]],
-        )
-
-    # 2+3. signed same-day deltas up to each query ts; windowed parts add
-    #    the reference's row-in-window test on EVENT time
+    # signed same-day deltas up to each query ts; windowed parts add
+    # the reference's row-in-window test on EVENT time
     m = muts.withColumn(
         "__sign", F.when(F.col("is_before").cast("boolean"), F.lit(-1)).otherwise(F.lit(1))
     ).withColumn("__m_ds", F.col(pc).cast("string"))
@@ -280,25 +377,14 @@ def temporal_entities(
             *keys, TS, *[F.col(c).alias(f"d_{c}") for c in deltas.columns if c not in keys + [TS]]
         )
 
-    # 3b. tail-hop IRs: one bounded join per distinct hop size — a query
-    #     matches at most tail_buffer/hop hop rows per (key, day)
+    # tail-hop merge: one bounded join per distinct hop size — a query
+    # matches at most tail_buffer/hop hop rows per (key, day)
     tail_frames: list[DataFrame] = []
     hops_by_size: dict[int, list] = {}
     for i, p in wscal:
         hops_by_size.setdefault(tail_hop_millis(p.window), []).append((i, p))
     for hop_ms, group in hops_by_size.items():
-        any_tail = F.lit(False)
-        for _, p in group:
-            any_tail = any_tail | w_tail_cond(p)
-        hop_aggs: list[Column] = []
-        for i, p in group:
-            hop_aggs += _w_aggs("", i, p, w_tail_cond(p), F.lit(1))
-        hop_irs = (
-            snap.where(any_tail)
-            .withColumn("__hop", _hop_of(F.col(TS).cast("long"), hop_ms))
-            .groupBy(*keys, F.col(pc).cast("string").alias("__prev_ds"), "__hop")
-            .agg(*hop_aggs)
-        )
+        hop_irs = batch_irs["hops"][hop_ms]
         tj = q.join(hop_irs, on=keys + ["__prev_ds"], how="inner")
         # mergeTailHops acceptance: hopStart >= round(qt - W, hop) AND
         # hopStart < (batchEnd - W) + tailBuffer
@@ -323,10 +409,10 @@ def temporal_entities(
             tj.groupBy(*[q[k] for k in keys], q[TS]).agg(*t_aggs)
         )
 
-    # 4. combine + finalize
+    # combine + finalize
     joined = q
-    if snap_irs is not None:
-        joined = joined.join(snap_irs, on=keys + ["__prev_ds"], how="left")
+    if batch_irs["scalar"] is not None:
+        joined = joined.join(batch_irs["scalar"], on=keys + ["__prev_ds"], how="left")
     if deltas is not None:
         joined = joined.join(deltas, on=keys + [TS], how="left")
     for tf in tail_frames:
@@ -369,11 +455,12 @@ def temporal_entities(
             out_cols.append(F.when(cnt > 0, s / cnt).alias(name))
     result = joined.select(*keys, TS, *out_cols)
 
-    for p in parts:
+    for i, p in enumerate(parts):
         if p.operation is not Operation.HISTOGRAM:
             continue
         hist = _histogram_replay(
-            q, snap, m, keys, pc, p, be_s, tail_buffer_ms
+            q, batch_irs["hist"][i], batch_irs["hist_hops"].get(i),
+            m, keys, p, tail_buffer_ms,
         )
         result = result.join(hist, on=keys + [TS], how="left")
     return result
@@ -381,12 +468,11 @@ def temporal_entities(
 
 def _histogram_replay(
     q: DataFrame,
-    snap: DataFrame,
+    snap_h: DataFrame,
+    tail_h: Optional[DataFrame],
     m: DataFrame,
     keys: list,
-    pc: str,
     part,
-    be_s: Column,
     tail_buffer_ms: int,
 ) -> DataFrame:
     """Deletable HISTOGRAM replay: per-(key, value) counts from the
@@ -405,22 +491,8 @@ def _histogram_replay(
     engine-portable."""
     col, out_name = part.input_column, part.output_column
     val = F.col(col).cast("string")
-    t = F.col(TS).cast("long")
     w = part.window.millis if part.window is not None else None
 
-    snap_in = snap.where(F.col(col).isNotNull())
-    if w is not None:
-        collapsed_cond = (
-            (t < be_s)
-            & (t > be_s - F.lit(w))
-            & (t >= be_s - F.lit(w) + F.lit(tail_buffer_ms))
-        )
-        snap_coll = snap_in.where(collapsed_cond)
-    else:
-        snap_coll = snap_in
-    snap_h = snap_coll.groupBy(
-        *keys, F.col(pc).cast("string").alias("__prev_ds"), val.alias("__hval")
-    ).agg(F.count(F.lit(1)).alias("__hc"))
     qs = q.join(snap_h, on=keys + ["__prev_ds"], how="inner").select(
         *keys, TS, "__hval", F.col("__hc").alias("__c")
     )
@@ -428,22 +500,6 @@ def _histogram_replay(
     long_frames = [qs]
     if w is not None:
         hop = tail_hop_millis(part.window)
-        tail_cond = (
-            (t < be_s)
-            & (t > be_s - F.lit(w))
-            & (t < be_s - F.lit(w) + F.lit(tail_buffer_ms))
-        )
-        tail_h = (
-            snap_in.where(tail_cond)
-            .withColumn("__hop", _hop_of(t, hop))
-            .groupBy(
-                *keys,
-                F.col(pc).cast("string").alias("__prev_ds"),
-                "__hop",
-                val.alias("__hval"),
-            )
-            .agg(F.count(F.lit(1)).alias("__hc"))
-        )
         qt = q.join(tail_h, on=keys + ["__prev_ds"], how="inner").where(
             (F.col("__hop") >= _hop_of(q[TS] - F.lit(w), hop))
             & (F.col("__hop") < q["__be"] - F.lit(w) + F.lit(tail_buffer_ms))

@@ -573,3 +573,80 @@ def test_windowed_requires_event_time(spark, fixture):
     )
     with pytest.raises(ValueError, match="event-time"):
         temporal_entities(spark, gb, spark.createDataFrame(q))
+
+
+# ------------------------------------------- entity serving path (r5)
+
+
+def test_entity_upload_fetch_equals_recompute(spark, wfixture, tmp_path):
+    """The entity serving route (materialized batch-IR upload + one-day
+    mutation scan) serves exactly what the full temporal_entities
+    recompute produces — the entity analogue of ConsistencyJob, incl.
+    windowed parts and histograms (r4 VERDICT Next #7)."""
+    from chronon_spark.api.types import Window
+    from chronon_spark.plans.entity_serving import (
+        fetch_temporal_entities,
+        upload_temporal_entities,
+    )
+
+    snap_path, mut_path, _, _, q = wfixture
+    gb = _w_gb(
+        snap_path, mut_path,
+        (
+            Aggregation("price", Operation.COUNT),
+            Aggregation("price", Operation.SUM, windows=(Window.days(7),)),
+            Aggregation("price", Operation.AVERAGE, windows=(Window.days(7),)),
+            Aggregation("price", Operation.HISTOGRAM, windows=(Window.days(7),)),
+        ),
+    )
+    batch_end = T0 + 5 * DAY_MS  # serve day 5 from day-4's snapshot
+    day_q = q[(q.ts >= batch_end) & (q.ts < batch_end + DAY_MS)]
+    assert len(day_q) > 10
+    requests = spark.createDataFrame(day_q)
+
+    out_dir = str(tmp_path / "entity_upload")
+    manifest = upload_temporal_entities(spark, gb, batch_end, out_dir)
+    assert manifest["frames"], manifest
+
+    served = (
+        fetch_temporal_entities(spark, gb, requests, batch_end, out_dir)
+        .toPandas()
+        .sort_values(["store_id", "ts"])
+        .reset_index(drop=True)
+    )
+    recomputed = (
+        temporal_entities(spark, gb, requests)
+        .toPandas()
+        .sort_values(["store_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(served) == len(recomputed) > 0
+    assert sorted(served.columns) == sorted(recomputed.columns)
+    for c in served.columns:
+        a, b = served[c], recomputed[c]
+        if a.dtype.kind == "f":
+            assert np.allclose(a.fillna(-1), b.fillna(-1)), c
+        elif a.dtype == object:  # histogram maps
+            assert all(
+                (x or None) == (y or None) for x, y in zip(a, b)
+            ), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_entity_fetch_rejects_out_of_day_requests(spark, wfixture, tmp_path):
+    from chronon_spark.plans.entity_serving import (
+        fetch_temporal_entities,
+        upload_temporal_entities,
+    )
+
+    snap_path, mut_path, _, _, q = wfixture
+    gb = _w_gb(snap_path, mut_path, (Aggregation("price", Operation.SUM),))
+    batch_end = T0 + 5 * DAY_MS
+    out_dir = str(tmp_path / "up2")
+    upload_temporal_entities(spark, gb, batch_end, out_dir)
+    bad = spark.createDataFrame(
+        pd.DataFrame({"store_id": [1], "ts": [batch_end - 1]})
+    )
+    with pytest.raises(ValueError, match="serving day"):
+        fetch_temporal_entities(spark, gb, bad, batch_end, out_dir)
