@@ -23,7 +23,10 @@ Partition listings are metadata operations (catalog / manifest reads) —
 never a data scan — so a resume/unfilled-ranges check on a 100 TB table
 costs milliseconds.
 
-Iceberg runtime status (re-checked every round; r4 attempt 2026-08-18):
+Iceberg runtime status (re-checked every round; r5 attempt 2026-08-21 —
+unchanged: no iceberg/delta/hudi jar in PySpark's bundled ``jars/``, no
+``pyiceberg``, filesystem-wide search finds only the reference's
+BigQuery metastore plugin; r4 details below stand):
 the sandbox has no network (no pip/ivy/maven resolution), PySpark's
 bundled ``jars/`` contains no iceberg/delta/hudi artifact, ``pyiceberg``
 is not installed, and the only Iceberg artifact anywhere on the box is

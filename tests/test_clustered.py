@@ -107,3 +107,51 @@ def test_flag_without_bucketing_is_safe(spark, sf_dir):
     assert {tuple(r) for r in base.collect()} == {
         tuple(r) for r in hinted.collect()
     }
+
+
+# ------------------------------ bucketed merge fold (r5 stretch)
+
+
+@pytest.fixture(scope="module")
+def fold_frames(spark, sf_dir):
+    """A left + two part frames keyed by (user_id, ts), as the modular
+    merge job sees them."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents",
+    ).dropDuplicates(["user_id", "ts"])
+    left = ev.select("user_id", "ts")
+    p1 = ev.select("user_id", "ts", F.col("cents").alias("a_cents"))
+    p2 = ev.select("user_id", "ts", (F.col("cents") * 2).alias("b_twice"))
+    return left, p1, p2
+
+
+def test_bucketed_merge_fold_zero_exchanges(spark, fold_frames):
+    """The storage-partitioned merge fold: with left + parts bucketed by
+    the join key, the fold's executed plan contains ZERO exchanges
+    (Iceberg SPJ shape on Hive-format buckets), and its rows equal the
+    shuffled fold exactly."""
+    from chronon_spark.plans.clustered import bucketed_merge_fold
+
+    left, p1, p2 = fold_frames
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        folded = bucketed_merge_fold(
+            spark, left, {"a": p1, "b": p2}, ["user_id"], num_buckets=4,
+            table_prefix="t_bmf",
+        )
+        plan = folded._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        # shuffled fold for equality + exchange-count contrast
+        shuffled = left.join(p1, on=["user_id", "ts"], how="left").join(
+            p2, on=["user_id", "ts"], how="left"
+        )
+        s_plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert s_plan.count("Exchange") >= 3, s_plan
+        a = {tuple(r) for r in folded.collect()}
+        b = {tuple(r) for r in shuffled.collect()}
+        assert a == b and len(a) >= 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
