@@ -560,6 +560,10 @@ HEADLINE = [
     "freq_serve",
     "hist_serve",
     "noagg_snapshot",
+    # round-5 additions
+    "pq_ivf_topk",
+    "mutation_windowed",
+    "mutation_fetch",
 ]
 
 
@@ -785,7 +789,7 @@ def pair_entry(lo: dict, hi: dict, rows: int, job: str | None = None) -> dict:
         "four_n_rows_per_sec": hi["rows_per_sec"],
         "walls_n": lo["walls"],
         "walls_4n": hi["walls"],
-        "round": 4,
+        "round": 5,
     }
     if job:
         entry["job"] = job

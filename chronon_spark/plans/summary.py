@@ -336,3 +336,91 @@ def drift_distances(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def pack_summary_kv(summary_df: DataFrame, key_cols: list = ("ds", "column")) -> DataFrame:
+    """Summaries -> KV put rows (keyBytes, valueBytes, timestamp) — the
+    exact contract ``stats/drift/SummaryUploader.scala:31-51`` validates
+    before multiPut: key/value BinaryType, timestamp LongType. Keys are
+    canonical JSON of the key columns, values JSON of the rest, timestamp
+    the partition's end-of-day millis (summaries describe a closed ds)."""
+    key_cols = list(key_cols)
+    rest = [c for c in summary_df.columns if c not in key_cols]
+    day_ms = 86_400_000
+    ts = (
+        F.unix_timestamp(F.col("ds").cast("string"), "yyyy-MM-dd").cast("long")
+        * 1000
+        + day_ms
+    )
+    return summary_df.select(
+        F.to_json(F.struct(*[F.col(c) for c in key_cols])).cast("binary").alias(
+            "keyBytes"
+        ),
+        F.to_json(F.struct(*[F.col(c) for c in rest])).cast("binary").alias(
+            "valueBytes"
+        ),
+        ts.alias("timestamp"),
+    )
+
+
+def upload_summaries(
+    spark: SparkSession,
+    put_rows: DataFrame,
+    table: str,
+    num_buckets: int = 16,
+) -> str:
+    """SummaryUploader: validate the put-row contract and materialize the
+    summary dataset as a bucketed KV table (the offline stand-in for the
+    reference's TiledSummaryDataset multiPut — same schema gate:
+    SummaryUploader.scala:31-51; null keys dropped, null values become
+    empty bytes). Point lookups ride the same bucket-pruned scan as
+    feature uploads (plans/kvstore.py)."""
+    from pyspark.sql import types as T
+
+    from chronon_spark.plans.clustered import drop_managed_table
+
+    required = {"keyBytes": T.BinaryType(), "valueBytes": T.BinaryType(),
+                "timestamp": T.LongType()}
+    by_name = {f.name: f.dataType for f in put_rows.schema.fields}
+    missing = [c for c in required if c not in by_name]
+    if missing:
+        raise ValueError(f"Missing required columns: {', '.join(missing)}")
+    for c, want in required.items():
+        if by_name[c] != want:
+            raise ValueError(f"{c} must be {want.simpleString()}, got "
+                             f"{by_name[c].simpleString()}")
+    rows = (
+        put_rows.where(F.col("keyBytes").isNotNull())
+        .withColumn(
+            "valueBytes",
+            F.coalesce(F.col("valueBytes"), F.lit(b"")),
+        )
+        .withColumn("__k", F.md5(F.col("keyBytes").cast("string")))
+    )
+    drop_managed_table(spark, table)
+    (
+        rows.write.bucketBy(num_buckets, "__k")
+        .sortBy("__k")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def fetch_summary(spark: SparkSession, table: str, key_bytes: bytes):
+    """Bucket-pruned point lookup of one summary key (latest timestamp
+    wins, the KV read rule)."""
+    import hashlib
+
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    k = hashlib.md5(key_bytes).hexdigest()
+    rows = (
+        spark.table(table)
+        .where(F.col("__k") == k)
+        .where(F.col("keyBytes").cast("string") == key_bytes.decode())
+        .orderBy(F.col("timestamp").desc())
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
