@@ -2630,6 +2630,123 @@ GROUP BY q.user_id, q.ts
 """
 
 
+def q_spj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned merge fold (reference IcebergSparkSPJTest
+    semantics on Hive-format buckets, plans/clustered.bucketed_merge_fold):
+    the multipart join's left + part tables are bucketed on the full join
+    key set, so the fold's executed plan inserts ZERO exchanges — the
+    plan shape is pytest-pinned; the driver row checks the VALUES the
+    shuffle-free plan produces."""
+    from chronon_spark.plans.clustered import bucketed_merge_fold
+    from chronon_spark.sources.scan import millis_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        f"{millis_expr('ts')} AS ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    left = ev.select("user_id", "ts").distinct()
+    p1 = ev.groupBy("user_id", "ts").agg(
+        F.sum("cents").cast("long").alias("a_cents")
+    )
+    p2 = ev.groupBy("user_id", "ts").agg(
+        (F.sum("cents") * 2).cast("long").alias("b_twice")
+    )
+    return bucketed_merge_fold(
+        spark, left, {"a": p1, "b": p2}, ["user_id"], num_buckets=8,
+        table_prefix="drv_spj",
+    )
+
+
+_SPJ_MERGE_ORACLE = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+l AS (SELECT DISTINCT user_id, ts FROM ev),
+p1 AS (SELECT user_id, ts, CAST(SUM(c) AS BIGINT) AS a_cents FROM ev GROUP BY 1, 2),
+p2 AS (SELECT user_id, ts, CAST(SUM(c) * 2 AS BIGINT) AS b_twice FROM ev GROUP BY 1, 2)
+SELECT l.user_id, l.ts, p1.a_cents, p2.b_twice
+FROM l
+LEFT JOIN p1 ON p1.user_id = l.user_id AND p1.ts = l.ts
+LEFT JOIN p2 ON p2.user_id = l.user_id AND p2.ts = l.ts
+"""
+
+
+def q_external_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetchJoin with an onlineExternalParts slot (thrift/api.thrift:415;
+    reference serves these only online — Fetcher.scala:668-689): the
+    offline stand-in fills it from a replay frame (here the customer
+    dim), broadcast-joined on the mapped key, next to a GroupBy part
+    through the lambda read path. Output columns carry the reference's
+    ext[_prefix]_<name>_<col> naming."""
+    from chronon_spark.api.types import (
+        Aggregation,
+        ExternalPart,
+        ExternalSource,
+        GroupBy,
+        Join,
+        JoinPart,
+        Operation,
+    )
+    from chronon_spark.plans.fetcher import fetch_join
+
+    boundary = 1_705_276_800_000
+    gb = GroupBy(
+        sources=(_events_source(sf_dir, cents=True),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.COUNT),),
+        name="srv",
+    )
+    ext = ExternalPart(
+        ExternalSource(
+            name="cust_profile",
+            key_columns=("uid",),
+            value_columns=("bal_cents", "seg"),
+            value_types={"bal_cents": "bigint", "seg": "string"},
+        ),
+        key_mapping={"user_id": "uid"},
+        prefix="p",
+    )
+    join_conf = Join(
+        left=_events_source(sf_dir, cents=True),
+        join_parts=(JoinPart(gb, prefix="f"),),
+        online_external_parts=(ext,),
+        name="external_fetch",
+    )
+    frame = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("uid"),
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    requests = (
+        _event_queries(spark, sf_dir).where(F.col("ts") >= boundary).distinct()
+    )
+    out = fetch_join(
+        spark, join_conf, requests, boundary, DAY_MS,
+        external_frames={"cust_profile": frame},
+    )
+    return out.select(
+        "user_id", "ts",
+        F.col("f_srv_value_count").alias("cnt_all"),
+        F.col("ext_p_cust_profile_bal_cents").alias("bal_cents"),
+        F.col("ext_p_cust_profile_seg").alias("seg"),
+    )
+
+
+_EXTERNAL_FETCH_ORACLE = """
+WITH ev AS (SELECT user_id, floor(value * 100 + 0.5) AS c, epoch_ms(ts) AS ts FROM events),
+q AS (SELECT DISTINCT user_id, ts FROM ev WHERE ts >= 1705276800000),
+feats AS (
+  SELECT q.user_id, q.ts, count(e.c) AS cnt_all
+  FROM q LEFT JOIN ev e ON e.user_id = q.user_id AND e.ts <= q.ts
+  GROUP BY q.user_id, q.ts
+)
+SELECT f.user_id, f.ts, f.cnt_all,
+       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+       c.c_mktsegment AS seg
+FROM feats f LEFT JOIN customer c ON c.c_custkey = f.user_id
+"""
+
+
 def q_kv_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-KV serving path (plans/kvstore): the FinalBatchIr upload
     is written `bucketBy(16, __kv_key)` into the warehouse, then point
@@ -7040,6 +7157,8 @@ def _query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_percentile": q_asof_percentile,
         "chained_join": q_chained_join,
         "fetch_join": q_fetch_join,
+        "external_fetch": q_external_fetch,
+        "spj_merge": q_spj_merge,
         "webtext_flagship": q_webtext_flagship,
         "decontaminate": q_decontaminate,
         "duplicated_spans": q_duplicated_spans,
@@ -7140,6 +7259,8 @@ def _raw_oracles() -> dict[str, str]:
         "clustered_asof": _SAWTOOTH_ORACLE,
         "scd2_intervals": _SCD2_ORACLE,
         "fetch_join": _FETCH_JOIN_ORACLE,
+        "external_fetch": _EXTERNAL_FETCH_ORACLE,
+        "spj_merge": _SPJ_MERGE_ORACLE,
         "chained_join": _CHAINED_ORACLE,
         "snapshot_join": _SNAPSHOT_JOIN_ORACLE,
         "entity_snapshot": _ENTITY_SNAPSHOT_ORACLE,

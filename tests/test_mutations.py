@@ -650,3 +650,40 @@ def test_entity_fetch_rejects_out_of_day_requests(spark, wfixture, tmp_path):
     )
     with pytest.raises(ValueError, match="serving day"):
         fetch_temporal_entities(spark, gb, bad, batch_end, out_dir)
+
+
+def test_windowed_temporal_entities_through_join(spark, wfixture):
+    """EVENTS x ENTITIES TEMPORAL dispatch inside join_asof carries
+    WINDOWED parts end-to-end (r5: the windowed replay is reachable from
+    the Join surface, not just the direct operator)."""
+    from chronon_spark.api.types import EventSource, Join, JoinPart, Query, Window
+    from chronon_spark.operators.asof_join import join_asof
+
+    snap_path, mut_path, _, _, q = wfixture
+    gb = _w_gb(
+        snap_path, mut_path,
+        (Aggregation("price", Operation.SUM, windows=(Window.days(7),)),),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    left_pd = q.head(50).copy()
+    left_pd["query_id"] = range(len(left_pd))
+    spark.createDataFrame(left_pd).write.parquet(d + "/left.parquet")
+    left = EventSource(
+        table=d + "/left.parquet",
+        query=Query(selects={"query_id": "query_id", "store_id": "store_id"},
+                    time_column="ts"),
+    )
+    j = Join(left=left, join_parts=(JoinPart(gb),), name="wtej")
+    out = join_asof(spark, j).toPandas()
+    assert len(out) == 50 and "wsp_price_sum_7d" in out.columns
+
+    direct = temporal_entities(
+        spark, gb, spark.createDataFrame(left_pd[["store_id", "ts"]])
+    ).toPandas()
+    m = out.merge(direct, on=["store_id", "ts"])
+    assert len(m) == 50
+    assert np.allclose(
+        m["wsp_price_sum_7d"].fillna(-1), m["price_sum_7d"].fillna(-1)
+    )
