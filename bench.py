@@ -564,6 +564,8 @@ HEADLINE = [
     "pq_ivf_topk",
     "mutation_windowed",
     "mutation_fetch",
+    "external_fetch",
+    "spj_merge",
 ]
 
 

@@ -176,6 +176,15 @@ def join_codec(
     }
 
 
+def _is_mutation_entity(group_by: GroupBy) -> bool:
+    """A GroupBy whose source is a mutating entity table — served by the
+    mutation-replay route, not the event lambda merge."""
+    from chronon_spark.api.types import EntitySource
+
+    src = group_by.sources[0]
+    return isinstance(src, EntitySource) and bool(src.mutation_table)
+
+
 def _validate_requests(requests: DataFrame, batch_end_ms: int) -> None:
     """One agg pass: the lambda read path can only serve ts >= batch end
     (earlier heads live inside the pre-collapsed batch range)."""
@@ -299,16 +308,32 @@ def fetch_join(
         try:
             sel = [F.col(lc).alias(rk) for lc, rk in mapping.items()] + [F.col(TS)]
             part_requests = requests.select(*sel)
-            feats = fetch_group_by(
-                spark,
-                gb,
-                part_requests,
-                batch_end_ms,
-                hop_ms,
-                upload=uploads.get(gb.name),
-                fresh_events=fresh_events.get(gb.name),
-                _requests_validated=True,
-            )
+            if _is_mutation_entity(gb):
+                # entity-mutation part: the deletable-IR replay route
+                # (plans/entity_serving / operators/mutations) — the
+                # reference's GroupByUpload handles entities on the same
+                # serving surface (GroupByUpload.scala:64-130). The
+                # `uploads` override carries a prebuilt entity_batch_irs
+                # dict (manifest-reloaded) rather than an event IR frame.
+                from chronon_spark.operators.mutations import temporal_entities
+
+                feats = temporal_entities(
+                    spark,
+                    gb,
+                    part_requests,
+                    batch_irs=uploads.get(gb.name),
+                )
+            else:
+                feats = fetch_group_by(
+                    spark,
+                    gb,
+                    part_requests,
+                    batch_end_ms,
+                    hop_ms,
+                    upload=uploads.get(gb.name),
+                    fresh_events=fresh_events.get(gb.name),
+                    _requests_validated=True,
+                )
             inv = {rk: lc for lc, rk in mapping.items()}
             key_cols = [F.col(rk).alias(inv.get(rk, rk)) for rk in gb.key_columns]
             # GroupBy-level derivations rename/replace the part's outputs

@@ -338,3 +338,92 @@ def test_external_part_failure_isolates(spark, sf_dir):
     assert "ext_absent_svc__exception" in out.columns
     assert out["ext_absent_svc__exception"].str.contains("absent_svc").all()
     assert "a_value_count" in out.columns
+
+
+def test_fetch_join_serves_entity_mutation_part(spark, sf_dir, tmp_path):
+    """A Join mixing an event GroupBy part and an entity-mutation
+    GroupBy part serves both in one fetchJoin — the entity part rides
+    the deletable-IR replay route (r5: entity serving on the join fetch
+    surface). Served values == direct temporal_entities recompute."""
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.api.types import Aggregation, EntitySource, Operation, Query
+    from chronon_spark.operators.mutations import temporal_entities
+
+    # tiny deterministic versions fixture on the events' user_id key
+    DAY = 86_400_000
+    T0 = 1_705_104_000_000  # 2024-01-13 midnight (2 days before BOUNDARY)
+    rows, muts, snaps = [], [], []
+    for uid in range(40):
+        v1, v2 = 100 + uid, 500 + uid
+        switch = T0 + DAY + (uid % 24) * 3_600_000  # during 2024-01-14
+        rows.append((uid, v1, T0, switch))
+        rows.append((uid, v2, switch, T0 + 1000 * DAY))
+        for d in range(4):
+            ds = pd.Timestamp(T0 + d * DAY, unit="ms").strftime("%Y-%m-%d")
+            eod = T0 + (d + 1) * DAY
+            live = v1 if switch >= eod else v2
+            snaps.append((uid, live, ds))
+        ds1 = pd.Timestamp(T0, unit="ms").strftime("%Y-%m-%d")
+        muts.append((uid, v1, T0, False, ds1))
+        ds2 = pd.Timestamp(switch, unit="ms").strftime("%Y-%m-%d")
+        muts.append((uid, v2, switch, False, ds2))
+        muts.append((uid, v1, switch, True, ds2))
+    snap_path = str(tmp_path / "esnap.parquet")
+    mut_path = str(tmp_path / "emut.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(snaps, columns=["user_id", "bal", "ds"])
+    ).write.parquet(snap_path)
+    spark.createDataFrame(
+        pd.DataFrame(muts, columns=["user_id", "bal", "mutation_ts",
+                                    "is_before", "ds"])
+    ).write.parquet(mut_path)
+
+    ent_gb = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=snap_path,
+                mutation_table=mut_path,
+                query=Query(
+                    selects={"user_id": "user_id", "bal": "bal", "ds": "ds",
+                             "mutation_ts": "mutation_ts",
+                             "is_before": "is_before"},
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("bal", Operation.SUM),),
+        name="balances",
+    )
+    join_conf = Join(
+        left=EventSource(
+            table=f"{sf_dir}/events.parquet",
+            query=Query(
+                selects={"user_id": "user_id"},
+                time_column=millis_expr("ts"),
+                wheres=(
+                    f"{millis_expr('ts')} >= {T0 + DAY}",
+                    f"{millis_expr('ts')} < {T0 + 2 * DAY}",  # day of mutations
+                    "user_id < 40",
+                ),
+            ),
+        ),
+        join_parts=(JoinPart(_gb(sf_dir, name="a")), JoinPart(ent_gb)),
+        name="mixed",
+    )
+    from chronon_spark.sources.scan import scan_source
+
+    req = scan_source(spark, join_conf.left)
+    assert req.count() > 0
+    out = fetch_join(spark, join_conf, req, T0 + DAY, DAY).toPandas()
+    assert "a_value_count" in out.columns and "balances_bal_sum" in out.columns
+    direct = temporal_entities(
+        spark, ent_gb, req.select("user_id", "ts")
+    ).toPandas().rename(columns={"bal_sum": "direct_sum"})
+    m = out.merge(direct, on=["user_id", "ts"])
+    assert len(m) == len(out) > 0
+    assert np.allclose(
+        m["balances_bal_sum"].fillna(-1), m["direct_sum"].fillna(-1)
+    )
