@@ -141,6 +141,26 @@ def _hop_of(ts: Column, hop: int) -> Column:
     return (F.floor(ts / F.lit(int(hop))) * F.lit(int(hop))).cast("long")
 
 
+def entity_snapshot_scan(spark: SparkSession, src: EntitySource) -> DataFrame:
+    """The snapshot-side scan of a mutating entity source: the source
+    Query's selects minus the mutation meta columns, which exist only on
+    the mutation table (reference: mutationTimeColumn/reversalColumn are
+    mutation-side query fields, thrift/api.thrift:10-58)."""
+    from dataclasses import replace
+
+    snap_query = src.query
+    if src.query.selects:
+        snap_query = replace(
+            src.query,
+            selects={
+                a: e
+                for a, e in src.query.selects.items()
+                if a not in ("mutation_ts", "is_before")
+            },
+        )
+    return apply_query(load_table(spark, src.snapshot_table), snap_query)
+
+
 def _prep(spark: SparkSession, group_by: GroupBy):
     """Shared validation + scans for the entity mutation paths."""
     src = group_by.sources[0]
@@ -158,22 +178,7 @@ def _prep(spark: SparkSession, group_by: GroupBy):
             )
 
     pc = src.query.partition_column
-    # mutation meta columns exist only on the mutation table; the snapshot
-    # scan uses the same selects minus those (reference: mutationTimeColumn/
-    # reversalColumn are mutation-side query fields, thrift/api.thrift:10-58)
-    from dataclasses import replace
-
-    snap_query = src.query
-    if src.query.selects:
-        snap_query = replace(
-            src.query,
-            selects={
-                a: e
-                for a, e in src.query.selects.items()
-                if a not in ("mutation_ts", "is_before")
-            },
-        )
-    snap = apply_query(load_table(spark, src.snapshot_table), snap_query)
+    snap = entity_snapshot_scan(spark, src)
     muts = apply_query(load_table(spark, src.mutation_table), src.query)
     assert "mutation_ts" in muts.columns and "is_before" in muts.columns, muts.columns
 

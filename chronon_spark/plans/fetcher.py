@@ -113,7 +113,14 @@ def join_codec(
             continue
         mapping = jp.key_mapping or {k: k for k in gb.key_columns}
         key_cols += [lc for lc in mapping if lc not in key_cols]
-        ev_schema = events_df_for_group_by(spark, gb, None, None).schema
+        if _is_mutation_entity(gb):
+            # entity parts type from the snapshot-side scan (mutation
+            # meta columns never reach the value schema)
+            from chronon_spark.operators.mutations import entity_snapshot_scan
+
+            ev_schema = entity_snapshot_scan(spark, gb.sources[0]).schema
+        else:
+            ev_schema = events_df_for_group_by(spark, gb, None, None).schema
         part_fields = [part_output_field(p, ev_schema) for p in gb.unpack()]
         if gb.derivations:
             # derived part outputs: type them with the same empty-frame

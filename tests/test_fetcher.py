@@ -427,3 +427,44 @@ def test_fetch_join_serves_entity_mutation_part(spark, sf_dir, tmp_path):
     assert np.allclose(
         m["balances_bal_sum"].fillna(-1), m["direct_sum"].fillna(-1)
     )
+
+
+def test_join_codec_types_entity_mutation_part(spark, tmp_path):
+    """join_codec derives an entity-mutation part's value schema from the
+    snapshot-side scan (mutation meta columns excluded)."""
+    import pandas as pd
+
+    from chronon_spark.api.types import Aggregation, EntitySource, Operation, Query
+
+    snap = pd.DataFrame([(1, 10, "2024-01-13")], columns=["user_id", "bal", "ds"])
+    mut = pd.DataFrame(
+        [(1, 10, 1_705_104_000_000, False, "2024-01-13")],
+        columns=["user_id", "bal", "mutation_ts", "is_before", "ds"],
+    )
+    sp, mp = str(tmp_path / "s.parquet"), str(tmp_path / "m.parquet")
+    spark.createDataFrame(snap).write.parquet(sp)
+    spark.createDataFrame(mut).write.parquet(mp)
+    ent = GroupBy(
+        sources=(
+            EntitySource(
+                snapshot_table=sp, mutation_table=mp,
+                query=Query(
+                    selects={"user_id": "user_id", "bal": "bal", "ds": "ds",
+                             "mutation_ts": "mutation_ts",
+                             "is_before": "is_before"},
+                    partition_column="ds",
+                ),
+            ),
+        ),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("bal", Operation.SUM),),
+        name="balances",
+    )
+    left = EventSource(
+        table="/root/testdata/sf0.001/events.parquet",
+        query=Query(selects={"user_id": "user_id"},
+                    time_column=millis_expr("ts")),
+    )
+    codec = join_codec(spark, Join(left=left, join_parts=(JoinPart(ent),), name="jc"))
+    names = [f.name for f in codec["base_value_schema"].fields]
+    assert names == ["balances_bal_sum"]
