@@ -111,6 +111,83 @@ def main(argv=None) -> int:
     cp.add_argument("--conf", required=True, help="python file defining GroupBy/Join objects")
     cp.add_argument("--out", required=True, help="output directory for compiled/ JSON")
 
+    an = sub.add_parser(
+        "analyze",
+        help="derive a conf's output schema WITHOUT executing it + the "
+        "CREATE TABLE DDL (reference Driver analyze / Analyzer.scala)",
+    )
+    an.add_argument("--conf", required=True,
+                    help="python file defining get_join() or get_group_by()")
+    an.add_argument("--table", default=None,
+                    help="optional table name to render CREATE TABLE DDL for")
+
+    lf = sub.add_parser(
+        "log-flatten",
+        help="flatten schema-versioned serving logs into the eval table "
+        "(reference Driver log-flattener / LogFlattenerJob)",
+    )
+    lf.add_argument("--log-table", required=True)
+    lf.add_argument("--schema-table", required=True)
+    lf.add_argument("--output", required=True)
+    lf.add_argument("--start", required=True)
+    lf.add_argument("--end", required=True)
+    lf.add_argument("--step-days", type=int, default=30)
+
+    ct = sub.add_parser(
+        "compare-tables",
+        help="row-level diff metrics between two feature tables "
+        "(reference Driver compare-join-query / CompareJob)",
+    )
+    ct.add_argument("--left-table", required=True)
+    ct.add_argument("--right-table", required=True)
+    ct.add_argument("--keys", required=True, help="comma-separated key columns")
+    ct.add_argument("--output", required=True, help="metrics parquet path")
+    ct.add_argument("--by-ds", action="store_true", help="group metrics per ds")
+
+    cm = sub.add_parser(
+        "consistency-metrics",
+        help="offline re-join at logged points vs logged values "
+        "(reference Driver consistency-metrics-compute / ConsistencyJob)",
+    )
+    cm.add_argument("--conf", required=True, help="python file defining get_join()")
+    cm.add_argument("--logged-table", required=True,
+                    help="flattened serving log (log-flatten output)")
+    cm.add_argument("--output", required=True, help="metrics parquet path")
+    cm.add_argument("--sample-percent", type=float, default=100.0)
+
+    fe = sub.add_parser(
+        "fetch",
+        help="serve a Join for a requests table through the offline "
+        "lambda read path (reference Driver fetch / FetcherCli; batch "
+        "stand-in for the point-lookup service)",
+    )
+    fe.add_argument("--conf", required=True, help="python file defining get_join()")
+    fe.add_argument("--requests", required=True,
+                    help="parquet of request rows (left keys + ts)")
+    fe.add_argument("--output", required=True)
+    fe.add_argument("--batch-end-ms", type=int, required=True)
+    fe.add_argument("--hop-ms", type=int, default=86_400_000)
+
+    sm = sub.add_parser(
+        "summarize",
+        help="per-partition column summaries (+ optional KV upload) — "
+        "reference Driver create-summary-dataset + summarize-and-upload",
+    )
+    sm.add_argument("--table", required=True)
+    sm.add_argument("--output", required=True, help="summary parquet path")
+    sm.add_argument("--partition-col", default="ds")
+    sm.add_argument("--upload-table", default=None,
+                    help="also upload as a bucketed KV summary dataset")
+
+    ck = sub.add_parser(
+        "check-partitions",
+        help="present/missing ds partitions of a table over a range "
+        "(reference Driver check-partitions)",
+    )
+    ck.add_argument("--table", required=True)
+    ck.add_argument("--start", required=True)
+    ck.add_argument("--end", required=True)
+
     sh = sub.add_parser(
         "shell",
         help="interactive session with a conf pre-loaded (the reference's "
@@ -206,6 +283,120 @@ def main(argv=None) -> int:
         gb = _load_conf(args.conf).get_group_by()
         up_df = upload_group_by(spark, gb, args.batch_end_ms, args.hop_ms, args.output)
         print(json.dumps({"rows": up_df.count(), "output": args.output}))
+        return 0
+
+    if args.cmd == "analyze":
+        from chronon_spark.plans.analyzer import (
+            analyze_group_by,
+            analyze_join,
+            create_table_ddl,
+        )
+
+        mod = _load_conf(args.conf)
+        if hasattr(mod, "get_join"):
+            schema = analyze_join(spark, mod.get_join())
+        else:
+            schema = analyze_group_by(spark, mod.get_group_by())
+        out = {"schema": {f.name: f.dataType.simpleString() for f in schema.fields}}
+        if args.table:
+            out["ddl"] = create_table_ddl(args.table, schema)
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "log-flatten":
+        from chronon_spark.plans.log_flattener import log_flattener_job
+        from chronon_spark.plans.partition_range import PartitionRange as PR
+
+        res = log_flattener_job(
+            spark, args.log_table, args.schema_table, args.output,
+            PR(args.start, args.end), step_days=args.step_days,
+        )
+        print(json.dumps({
+            "computed_ranges": [(s.start, s.end) for s in res.computed],
+            "skipped_partitions": res.skipped_partitions,
+        }))
+        return 0
+
+    if args.cmd == "compare-tables":
+        from chronon_spark.plans.compare import compare_job
+        from chronon_spark.sources.scan import load_table
+
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        left = load_table(spark, args.left_table)
+        right = load_table(spark, args.right_table)
+        by = ["ds"] if args.by_ds and "ds" in left.columns else None
+        _, metrics = compare_job(left, right, keys, by=by)
+        metrics.write.mode("overwrite").parquet(args.output)
+        rows = {(r["column"], r["metric"]): r["value"] for r in metrics.collect()
+                if r["metric"] == "mismatch"}
+        print(json.dumps({
+            "output": args.output,
+            "mismatches": {c: v for (c, _), v in rows.items() if v},
+        }))
+        return 0
+
+    if args.cmd == "consistency-metrics":
+        from chronon_spark.plans.consistency import consistency_job
+
+        join_conf = _load_conf(args.conf).get_join()
+        _, metrics = consistency_job(
+            spark, join_conf, args.logged_table,
+            sample_percent=args.sample_percent,
+        )
+        metrics.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output,
+                          "metric_rows": metrics.count()}))
+        return 0
+
+    if args.cmd == "fetch":
+        from chronon_spark.plans.fetcher import fetch_join
+
+        join_conf = _load_conf(args.conf).get_join()
+        requests = spark.read.parquet(args.requests)
+        out_df = fetch_join(
+            spark, join_conf, requests, args.batch_end_ms, args.hop_ms
+        )
+        out_df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": out_df.count(), "output": args.output}))
+        return 0
+
+    if args.cmd == "summarize":
+        from chronon_spark.plans.summary import (
+            pack_summary_kv,
+            summarize,
+            upload_summaries,
+        )
+        from chronon_spark.sources.scan import load_table
+
+        df = load_table(spark, args.table)
+        summ = summarize(df, args.partition_col)
+        summ.write.mode("overwrite").parquet(args.output)
+        out = {"output": args.output, "rows": summ.count()}
+        if args.upload_table:
+            out["upload_table"] = upload_summaries(
+                spark, pack_summary_kv(spark.read.parquet(args.output)),
+                args.upload_table,
+            )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "check-partitions":
+        from chronon_spark.plans.backfill import existing_partitions
+        from chronon_spark.plans.partition_range import (
+            PartitionRange as PR,
+            missing_ranges,
+        )
+
+        rng = PR(args.start, args.end)
+        have = {
+            ds for ds in existing_partitions(spark, args.table)
+            if args.start <= ds <= args.end
+        }
+        missing = missing_ranges(rng, have)
+        print(json.dumps({
+            "present": sorted(have),
+            "missing_ranges": [(m.start, m.end) for m in missing],
+        }))
         return 0
 
     rng = PartitionRange(args.start, args.end)

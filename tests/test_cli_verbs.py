@@ -1,0 +1,111 @@
+"""Round-5 CLI verbs (reference Driver.scala subcommand parity):
+analyze / compare-tables / check-partitions / summarize / log-flatten /
+fetch wiring over the existing plan functions."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.cli import main
+
+
+def _run(capsys, *argv):
+    rc = main(["--master", "local[4]", *argv])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    return json.loads(out)
+
+
+@pytest.fixture(scope="module")
+def conf_file(sf_dir, tmp_path_factory):
+    p = tmp_path_factory.mktemp("confs") / "conf.py"
+    p.write_text(f'''
+from chronon_spark.api.types import (
+    Aggregation, EventSource, GroupBy, Join, JoinPart, Operation, Query, Window,
+)
+
+def get_group_by():
+    return GroupBy(
+        sources=(EventSource(
+            table="{sf_dir}/events.parquet",
+            query=Query(
+                selects={{"user_id": "user_id", "value": "value"}},
+                time_column="unix_micros(CAST(ts AS TIMESTAMP)) div 1000",
+            ),
+        ),),
+        key_columns=("user_id",),
+        aggregations=(Aggregation("value", Operation.SUM, windows=(Window.days(7),)),),
+        name="cli_gb",
+    )
+
+def get_join():
+    return Join(
+        left=EventSource(
+            table="{sf_dir}/events.parquet",
+            query=Query(
+                selects={{"user_id": "user_id"}},
+                time_column="unix_micros(CAST(ts AS TIMESTAMP)) div 1000",
+            ),
+        ),
+        join_parts=(JoinPart(get_group_by()),),
+        name="cli_join",
+    )
+''')
+    return str(p)
+
+
+def test_analyze_verb(capsys, conf_file):
+    out = _run(capsys, "analyze", "--conf", conf_file, "--table", "t_cli")
+    assert out["schema"]["cli_gb_value_sum_7d"] == "double"
+    assert out["ddl"].startswith("CREATE TABLE")
+
+
+def test_check_partitions_verb(capsys, spark, tmp_path):
+    p = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-04")],
+        "v long, ds string",
+    ).write.partitionBy("ds").parquet(p)
+    out = _run(capsys, "check-partitions", "--table", p,
+               "--start", "2024-01-01", "--end", "2024-01-04")
+    assert out["present"] == ["2024-01-01", "2024-01-02", "2024-01-04"]
+    assert out["missing_ranges"] == [["2024-01-03", "2024-01-03"]]
+
+
+def test_compare_tables_verb(capsys, spark, tmp_path):
+    a = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    b = a.withColumn("v", F.when(F.col("k") < 5, F.col("v") + 1).otherwise(F.col("v")))
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa); b.write.parquet(pb)
+    mout = str(tmp_path / "metrics")
+    out = _run(capsys, "compare-tables", "--left-table", pa,
+               "--right-table", pb, "--keys", "k", "--output", mout)
+    assert out["mismatches"]["v"] == 5
+    assert spark.read.parquet(mout).count() > 0
+
+
+def test_summarize_verb_with_upload(capsys, spark, sf_dir, tmp_path):
+    src = str(tmp_path / "evd")
+    spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    ).write.parquet(src)
+    sout = str(tmp_path / "summ")
+    out = _run(capsys, "summarize", "--table", src, "--output", sout,
+               "--upload-table", "t_cli_summaries")
+    assert out["rows"] > 0 and out["upload_table"] == "t_cli_summaries"
+    assert spark.table("t_cli_summaries").count() == out["rows"]
+
+
+def test_fetch_verb(capsys, spark, sf_dir, tmp_path, conf_file):
+    boundary = 1_705_276_800_000
+    req = str(tmp_path / "requests")
+    spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts"
+    ).where(F.col("ts") >= boundary).limit(200).write.parquet(req)
+    fout = str(tmp_path / "served")
+    out = _run(capsys, "fetch", "--conf", conf_file,
+               "--requests", req, "--output", fout,
+               "--batch-end-ms", str(boundary))
+    assert out["rows"] > 0
+    assert "cli_gb_value_sum_7d" in spark.read.parquet(fout).columns
