@@ -179,6 +179,29 @@ def main(argv=None) -> int:
     sm.add_argument("--upload-table", default=None,
                     help="also upload as a bucketed KV summary dataset")
 
+    sg = sub.add_parser(
+        "streaming-groupby",
+        help="drain a streaming source into tiled partial IRs "
+        "(reference Driver group-by-streaming; availableNow trigger over "
+        "a file-backed stream of decoded event rows — a broker topic "
+        "plugs in through streaming/kafka.py unchanged)",
+    )
+    sg.add_argument("--conf", required=True, help="python file defining get_group_by()")
+    sg.add_argument("--records-dir", required=True,
+                    help="parquet dir of decoded event rows (keys + ts + inputs)")
+    sg.add_argument("--checkpoint", required=True)
+    sg.add_argument("--output", required=True, help="tile-IR parquet path")
+    sg.add_argument("--hop-ms", type=int, default=None)
+
+    mu = sub.add_parser(
+        "metadata-upload",
+        help="write enriched conf metadata JSON per conf "
+        "(reference Driver metadata-upload; the KV store is a directory "
+        "here - same group_bys/joins layout)",
+    )
+    mu.add_argument("--conf", required=True)
+    mu.add_argument("--out", required=True)
+
     ck = sub.add_parser(
         "check-partitions",
         help="present/missing ds partitions of a table over a range "
@@ -378,6 +401,39 @@ def main(argv=None) -> int:
                 args.upload_table,
             )
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "streaming-groupby":
+        from chronon_spark.streaming.stream_groupby import (
+            run_available_now,
+            stream_tile_aggregate,
+        )
+
+        gb = _load_conf(args.conf).get_group_by()
+        schema = spark.read.parquet(args.records_dir).schema
+        stream = spark.readStream.schema(schema).parquet(args.records_dir)
+        tiles = run_available_now(
+            stream_tile_aggregate(stream, gb, hop_ms=args.hop_ms),
+            args.checkpoint,
+            f"cli_stream_{gb.name}",
+        )
+        tiles.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"tiles": tiles.count(), "output": args.output}))
+        return 0
+
+    if args.cmd == "metadata-upload":
+        from chronon_spark.api.types import GroupBy, Join
+        from chronon_spark.plans.exporter import export_metadata
+
+        mod = _load_conf(args.conf)
+        objs = [v for v in vars(mod).values() if isinstance(v, (GroupBy, Join))]
+        for getter in ("get_join", "get_group_by"):
+            if hasattr(mod, getter):
+                o = getattr(mod, getter)()
+                if not any(o == x for x in objs):
+                    objs.append(o)
+        written = export_metadata(spark, objs, args.out)
+        print(json.dumps({"written": written}))
         return 0
 
     if args.cmd == "check-partitions":

@@ -109,3 +109,24 @@ def test_fetch_verb(capsys, spark, sf_dir, tmp_path, conf_file):
                "--batch-end-ms", str(boundary))
     assert out["rows"] > 0
     assert "cli_gb_value_sum_7d" in spark.read.parquet(fout).columns
+
+
+def test_streaming_groupby_verb(capsys, spark, sf_dir, tmp_path, conf_file):
+    rec = str(tmp_path / "records")
+    spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ts", "value"
+    ).write.parquet(rec)
+    out = _run(capsys, "streaming-groupby", "--conf", conf_file,
+               "--records-dir", rec,
+               "--checkpoint", str(tmp_path / "ckpt"),
+               "--output", str(tmp_path / "tiles"))
+    assert out["tiles"] > 0
+    tiles = spark.read.parquet(str(tmp_path / "tiles"))
+    assert {"user_id", "tile_start", "tile_end"} <= set(tiles.columns)
+
+
+def test_metadata_upload_verb(capsys, conf_file, tmp_path):
+    out = _run(capsys, "metadata-upload", "--conf", conf_file,
+               "--out", str(tmp_path / "md"))
+    assert any("joins/" in w for w in out["written"])
+    assert any("group_bys/" in w for w in out["written"])
