@@ -11,7 +11,28 @@ from chronon_spark.cli import main
 
 
 def _run(capsys, *argv):
-    rc = main(["--master", "local[4]", *argv])
+    # cli.main -> build_session -> getOrCreate APPLIES the production
+    # runtime confs (arrow on, dynamic overwrite) to the shared test
+    # session; snapshot and restore them so later tests keep the
+    # conftest session's semantics (pandas NaN handling differs with
+    # arrow on/off).
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.builder.getOrCreate()
+    guarded = [
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.shuffle.partitions",
+    ]
+    before = {k: s.conf.get(k, None) for k in guarded}
+    try:
+        rc = main(["--master", "local[4]", *argv])
+    finally:
+        for k, v in before.items():
+            if v is None:
+                s.conf.unset(k)
+            else:
+                s.conf.set(k, v)
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert rc == 0
     return json.loads(out)
